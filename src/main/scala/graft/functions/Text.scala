@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders.
+  *
+  * Re-expresses the reference's keyword pipeline (tokenize → lowercase →
+  * alnum filter → stopword drop; `/root/reference/cache.py:215-218`) as pure
+  * Catalyst column expressions (whole-stage-codegen friendly — no UDFs), plus
+  * the training-data-pipeline text operators (language ID, quality scoring,
+  * fingerprinting, shingling) that a 100 TB corpus job needs.
+  *
+  * All builders are deterministic and engine-portable: every formula has an
+  * exact ANSI-SQL twin used by the DuckDB oracle (see [[graft.queries]]).
+  */
+object Text {
+
+  /** Compact English stopword list (reference vendors NLTK's english list,
+    * `cache.py:14,227`; we keep a fixed subset so the oracle SQL can inline
+    * the same literal set).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** SQL-literal form of [[StopWords]] for oracle formulations. */
+  val StopWordsSql: String = StopWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Whitespace tokenizer over lowercased text (reference C5/C6). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Tokens that are alphanumeric and not stopwords (reference C7/C8). */
+  def keywordTokens(text: Column): Column =
+    filter(tokens(text), t => t.rlike("^[a-z0-9]+$") && !t.isin(StopWords: _*))
+
+  /** Word bigram shingles, 1-based `element_at` to mirror DuckDB list
+    * indexing: shingle i = tokens(i) ++ " " ++ tokens(i+1).
+    */
+  def shingles(text: Column): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+  }
+
+  /** MinHash component: min over shingles of md5(seed || shingle).
+    * md5-hex is byte-identical across engines, unlike xxhash64/murmur.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(seed.toString), s))))
+
+  /** Document fingerprint: md5 of the sorted distinct token set — robust to
+    * token order and duplication (canonical "bag of words" identity).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Count of tokens matching an English stopword — the language-ID signal. */
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(StopWords: _*))).cast("long")
+
+  /** Heuristic language ID: ≥10% of tokens are English stopwords → "en".
+    * Integer arithmetic only, so the oracle twin is bit-identical.
+    */
+  def langId(text: Column): Column =
+    when(stopwordHits(text) * 10 >= size(tokens(text)).cast("long"), lit("en"))
+      .otherwise(lit("und"))
+
+  /** BPE-ish token count: alpha runs and digit runs count separately. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+}

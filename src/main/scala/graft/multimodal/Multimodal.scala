@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (beyond-reference north star).
+  *
+  * Images / audio / video are opaque `binary` payloads plus a typed
+  * metadata struct. The Spark-side plumbing — schema, partition-friendly
+  * batch shape, per-partition decode boundary — is real and tested; the
+  * actual codec step is a clearly-marked deterministic STUB (image/audio
+  * libraries are not in this container). At cluster scale the decode step
+  * is the same `mapPartitions` boundary with a real codec inside, sized so
+  * one partition's payloads fit in executor memory
+  * (`spark.sql.files.maxPartitionBytes` for the scan side).
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", StringType)))
+
+  /** Attach an opaque payload column: here derived from text bytes (the
+    * container has no real media), establishing the binary-column shape.
+    */
+  def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", to_binary(col(textCol), lit("utf-8")))
+
+  /** Metadata extraction WITHOUT decoding: byte length + checksum are
+    * codec-free; width/height come from the (stubbed) header sniff.
+    */
+  def describePayload(df: DataFrame): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit("image/fake").as("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      stubWidth(col("payload")).as("width"),
+      stubHeight(col("payload")).as("height"),
+      md5(col("payload")).as("checksum")))
+
+  /** STUB codec: deterministic fake dimensions from payload size. A real
+    * deployment replaces these two expressions with a header parse (PNG
+    * IHDR / JPEG SOF) — same column contract.
+    */
+  private def stubWidth(payload: org.apache.spark.sql.Column) =
+    (octet_length(payload) % 640 + 1).cast("int")
+  private def stubHeight(payload: org.apache.spark.sql.Column) =
+    (octet_length(payload) % 480 + 1).cast("int")
+
+  /** Per-partition decode / feature-extract boundary. Batch shape: one
+    * iterator pass, constant memory, no driver collect. The feature
+    * vector here is a STUB (first-16-bytes histogram); a real pipeline
+    * swaps `decodeOne` for the codec + model call.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      // ??? real codec goes here — deterministic fake: byte histogram.
+      val v = new Array[Float](dim)
+      if (payload != null) payload.foreach(b => v((b & 0xff) % dim) += 1f)
+      v
+    }
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ decodeOne(r.getAs[Array[Byte]](idx)).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling shape for video-like payloads: explode k evenly-spaced
+    * (stub) frame offsets per payload — the downstream per-frame pipeline
+    * then treats frames as rows (the scalable layout: frame work
+    * parallelizes across the cluster instead of per-video loops).
+    */
+  def sampleFrames(df: DataFrame, k: Int = 4): DataFrame =
+    df.withColumn("frame_no", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("frame_offset",
+        (col("frame_no") * octet_length(col("payload")).cast("long") / k).cast("long"))
+}

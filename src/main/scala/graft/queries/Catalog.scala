@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** One driver-verifiable query per operator in SURVEY.md §2 (names carry the
+  * operator ids), plus the beyond-reference training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal plumbing).
+  *
+  * Every query is written twice: once as a Spark DataFrame plan and once as
+  * DuckDB SQL for the driver's oracle diff. Cross-engine determinism rules
+  * used throughout:
+  *
+  *  - every result has a total-order `ORDER BY` (ties broken by a key);
+  *  - no raw timestamps in outputs (formatted to strings; engines disagree
+  *    on ns-precision and tz-awareness in parquet round-trips);
+  *  - no FP aggregation of non-integer-valued doubles: money-like sums go
+  *    through the "cents trick" `floor(x*100 + 0.5)` — identical IEEE ops in
+  *    both engines, then exact integer sums;
+  *  - per-row double arithmetic (a fixed expression tree of IEEE ops) is
+  *    deterministic and allowed;
+  *  - FP thresholds are chosen inside empirically-verified wide gaps of the
+  *    data's value distribution, so 1e-12 summation noise cannot flip a row.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  /** floor(x*100 + 0.5) — exact cross-engine integer cents. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+
+  // --------------------------------------------------------------------
+  // Scans / sources / sinks (SURVEY §2.1)
+  // --------------------------------------------------------------------
+
+  private val scans = Seq(
+    // S1: tolerant line-JSON scan (reference: json.loads-per-line with
+    // except-continue, DataProcessing.ipynb c9). Here: JSON column extract.
+    Q("s1_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id")),
+
+    // S2: scan with pushed filter + sort (cache.py:153).
+    Q("s2_scan_filter_sort",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber")),
+
+    // S3: projection-only scan — column pruning (cache.py:224).
+    Q("s3_projection_prune",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey")),
+
+    // S4/F5: point read by key (cache.py:63,166).
+    Q("s4_point_read",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_custkey") === 42)
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42")),
+
+    // K4/A6: count (c26/c38).
+    Q("k4_count",
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")))
+
+  // --------------------------------------------------------------------
+  // Projections / filters (SURVEY §2.2)
+  // --------------------------------------------------------------------
+
+  private val filters = Seq(
+    // P1/P2: field whitelist + computed column (c16). Per-row double
+    // arithmetic — deterministic (fixed IEEE expression tree).
+    Q("p2_computed_project",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    // F1: case-insensitive regex substring match on text (app.py:122).
+    Q("f1_regex_search",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").rlike("(?i)spark"))
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)spark') ORDER BY doc_id")),
+
+    // F2: any-array-element-in-list membership (hashtag $in, app.py:126).
+    Q("f2_any_token_in",
+      (s, d) => Tables.documents(s, d)
+        .filter(arrays_overlap(split(col("text"), " "),
+          array(lit("vector"), lit("stream"))))
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE list_has_any(string_split(text, ' '), ['vector','stream']) ORDER BY doc_id")),
+
+    // F3: language equality (app.py:128).
+    Q("f3_lang_eq",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id")),
+
+    // F6/F7: disjunction + conjunctive predicate accretion (cache.py:143-151)
+    // — implementing the reference's *intended* OR (its hashtag branch
+    // clobbers the keyword branch, SURVEY §2.2 F6).
+    Q("f6_f7_compound_pred",
+      (s, d) => Tables.events(s, d)
+        .filter((col("event_type") === "error" || col("value") > 90)
+          && col("user_id") < 25)
+        .select("event_id").orderBy("event_id"),
+      Some("SELECT event_id FROM events WHERE (event_type = 'error' OR value > 90) AND user_id < 25 ORDER BY event_id")),
+
+    // F8: prefix classifier (startswith 'RT', c9).
+    Q("f8_prefix_match",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").startsWith("key"))
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE text LIKE 'key%' ORDER BY doc_id")),
+
+    // F9: date-range predicate (declared-but-never-applied in the reference,
+    // app.py:75-76 — implemented for real here).
+    Q("f9_date_range",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1995-06-01", "1996-06-01"))
+        .select("o_orderkey").orderBy("o_orderkey"),
+      Some("SELECT o_orderkey FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1996-06-01 00:00:00' ORDER BY o_orderkey")))
+
+  // --------------------------------------------------------------------
+  // Joins (SURVEY §2.3)
+  // --------------------------------------------------------------------
+
+  private val joins = Seq(
+    // J1: tweet→user lookup join; reference does N+1 memoized point SELECTs
+    // (app.py:205) — here a single broadcast hash left join.
+    Q("j1_lookup_join",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    // J2/A7: child-group assembly joined back to the parent (c16
+    // add_retweets): partial aggregation map-side, then join.
+    Q("j2_group_assemble",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        Tables.orders(s, d)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "o_orderstatus", "n_items", "sum_qty", "max_price")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, n_items, sum_qty, max_price FROM orders JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items, SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey ORDER BY o_orderkey")),
+
+    // J3: existence semi-join (cache.py:200-206 dead code, done right).
+    Q("j3_semi_exists",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000) ORDER BY c_custkey")),
+
+    // F4 + anti join: null-check as "has no children" (app.py:120's
+    // $exists:False, expressed as an anti join).
+    Q("f4_anti_isnull",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
+
+    // J4: name→key→rows chain lookup (app.py:269-301).
+    Q("j4_chain_lookup",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_name") === "Customer#000000042")),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_name = 'Customer#000000042' ORDER BY o_orderkey")))
+
+  // --------------------------------------------------------------------
+  // Aggregations / windows / sorts / set ops (SURVEY §2.4-2.7)
+  // --------------------------------------------------------------------
+
+  private val aggs = Seq(
+    // A4/A6 + flagship agg: grouped metrics with exact cross-engine sums
+    // (cents trick for money; l_quantity is integer-valued so FP-exact).
+    Q("q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents, SUM(l_quantity)/count(*) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // A3: dedup by key (c12/c14/c16 unique_ones set).
+    Q("a3_dedup_distinct",
+      (s, d) => Tables.events(s, d)
+        .select("user_id").distinct().orderBy("user_id"),
+      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id")),
+
+    // A4: conditional counters tallied in one scan (c9's
+    // num_tweets/num_retweets counters).
+    Q("a4_conditional_agg",
+      (s, d) => Tables.events(s, d).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_events, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks FROM events")),
+
+    // A5: array length (len(retweets), app.py:240).
+    Q("a5_array_length",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id")),
+
+    // §2.5: pagination via row_number window (app.py:200-201).
+    Q("w1_pagination",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          row_number().over(
+            Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("rn"))
+        .filter(col("rn").between(11, 20))
+        .orderBy("rn"),
+      Some("SELECT o_orderkey, o_totalprice, rn FROM (SELECT o_orderkey, o_totalprice, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn BETWEEN 11 AND 20 ORDER BY rn")),
+
+    // §2.5: per-group top-k generalization (per-user top tweets).
+    Q("w2_topk_per_group",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .as("rn"))
+        .filter(col("rn") <= 3)
+        .select("custkey", "o_orderkey", "o_totalprice")
+        .orderBy("custkey", "o_orderkey"),
+      Some("SELECT custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey AS custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY custkey, o_orderkey")),
+
+    // T1/T2/T3: multi-key descending top-k — fused by Spark into
+    // TakeOrderedAndProject (no full sort materialization).
+    Q("t1_multikey_topk",
+      (s, d) => Tables.events(s, d)
+        .orderBy(col("value").desc, col("event_id"))
+        .select("event_id", "user_id", "value")
+        .limit(50),
+      Some("SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 50")),
+
+    // T4: top-5 sidebar (app.py:156 top users by followers).
+    Q("t4_top5",
+      (s, d) => Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+        .limit(5),
+      Some("SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5")),
+
+    // §2.7: UNION ALL of keyword-results and token-results (app.py:141-144;
+    // duplicates kept, as in the reference).
+    Q("u1_union_all",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("text").rlike("(?i)vector")).select("doc_id")
+          .unionByName(
+            docs.filter(arrays_overlap(split(col("text"), " "),
+              array(lit("stream"), lit("merge")))).select("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM (SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)vector') UNION ALL SELECT doc_id FROM documents WHERE list_has_any(string_split(text, ' '), ['stream','merge'])) ORDER BY doc_id")))
+
+  // --------------------------------------------------------------------
+  // Scalar functions (SURVEY §2.8)
+  // --------------------------------------------------------------------
+
+  private val scalars = Seq(
+    // C1/C2/C4: timestamp parse/format round trips.
+    Q("c1_date_format",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("disp"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y %H:%M') AS disp FROM orders ORDER BY o_orderkey")),
+
+    // C11: int↔string id casts.
+    Q("c11_cast_str",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("user_id").cast("string").as("uid_str"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(user_id AS VARCHAR) AS uid_str FROM events ORDER BY event_id")),
+
+    // C12: page-count arithmetic (math.ceil(len/10), app.py:146).
+    Q("c12_ceil_pages",
+      (s, d) => Tables.documents(s, d)
+        .agg(ceil(count(lit(1)) / lit(10.0)).as("pages")),
+      Some("SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS pages FROM documents")))
+
+  // --------------------------------------------------------------------
+  // Keyword analytics + text pipeline (SURVEY §2.4 A1/A2, §2.8 C5-C8;
+  // beyond-reference text analysis)
+  // --------------------------------------------------------------------
+
+  private val textual = Seq(
+    // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
+    // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
+    Q("a1_word_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$") && !col("word").isin(Text.StopWords: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20),
+      Some(s"SELECT word, cnt FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$$') AND word NOT IN ${Text.StopWordsSql} GROUP BY word) ORDER BY cnt DESC, word LIMIT 20")),
+
+    // Beyond-reference: heuristic language ID (stopword-hit ratio).
+    Q("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS BIGINT) * 10 >= CAST(len(string_split(lower(text), ' ')) AS BIGINT) THEN 'en' ELSE 'und' END AS lang_pred FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: quality scoring — length / stopword / density
+    // ratios. Single-division doubles: deterministic.
+    Q("text_quality",
+      (s, d) => {
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          toks.as("n_tokens"),
+          (Text.stopwordHits(col("text")).cast("double") / toks).as("stopword_ratio"),
+          (length(col("text")).cast("double") / toks).as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      Some(s"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: BPE-ish token counting (alpha runs + digit runs).
+    Q("text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: document fingerprint (md5 of sorted distinct
+    // token set — canonical bag-of-words identity).
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: multimodal plumbing — opaque payload treated as
+    // bytes + typed metadata derived without decoding.
+    Q("mm_binary_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (octet_length(col("text")).cast("long") % 640).as("fake_width"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, CAST(strlen(text) AS BIGINT) % 640 AS fake_width FROM documents ORDER BY doc_id")))
+
+  // --------------------------------------------------------------------
+  // Dedup family (beyond-reference north star)
+  // --------------------------------------------------------------------
+
+  private val dedup = Seq(
+    // Exact dedup via content hash + group count.
+    Q("dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("h"),
+      Some("SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text) ORDER BY h")),
+
+    // MinHash signatures over word-bigram shingles (4 portable md5 hashes).
+    Q("dedup_minhash",
+      (s, d) => graft.operators.Dedup
+        .minhashSignatures(Tables.documents(s, d), "doc_id", "text", 4)
+        .orderBy("doc_id"),
+      Some(minhashSql + " ORDER BY doc_id")),
+
+    // LSH banding: candidate pairs sharing band (h0,h1) OR band (h2,h3).
+    // The signature table is materialized before the self-joins — inlined
+    // signature expressions would be re-evaluated inside the join
+    // (measured 100×: 102s → <1s at sf0.001).
+    Q("dedup_lsh_pairs",
+      (s, d) => graft.operators.Dedup
+        .lshCandidatePairs(Tables.documents(s, d), "doc_id", "text", 4, 2)
+        .orderBy("id_a", "id_b"),
+      Some(s"WITH sig AS ($minhashSql) SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id) ORDER BY id_a, id_b")),
+
+    // N-gram (bigram-shingle) Jaccard similarity for same-source pairs.
+    // jaccard = shared / (na + nb - shared): single double division of exact
+    // integers — deterministic cross-engine.
+    Q("dedup_ngram_jaccard",
+      (s, d) => graft.operators.Dedup
+        .ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy("id_a", "id_b"),
+      Some("WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents), w AS (SELECT DISTINCT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM t), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM w a JOIN w b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na.nd + nb.nd - shared) AS jaccard FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b ORDER BY id_a, id_b")))
+
+  /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
+    * transform over 1-based element_at — verified aligned).
+    */
+  private lazy val minhashSql: String =
+    "SELECT doc_id, list_aggregate([md5('0' || sh) for sh in shl], 'min') AS h0, " +
+      "list_aggregate([md5('1' || sh) for sh in shl], 'min') AS h1, " +
+      "list_aggregate([md5('2' || sh) for sh in shl], 'min') AS h2, " +
+      "list_aggregate([md5('3' || sh) for sh in shl], 'min') AS h3 " +
+      "FROM (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)] AS shl " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))"
+
+  // --------------------------------------------------------------------
+  // Vector similarity (beyond-reference north star)
+  // --------------------------------------------------------------------
+
+  private val vectors = Seq(
+    // Embedding-cosine near-dup pairs within a label partition. Threshold
+    // 0.3547 sits in an empirically-verified 7.5e-4-wide gap of the
+    // same-label pair-cosine distribution at sf0.01 — 1e-12 FP summation
+    // noise cannot flip membership.
+    Q("dedup_embcos",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.3547)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), u AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS xa, CAST(unnest(eb) AS DOUBLE) AS xb FROM p), dd AS (SELECT id_a, id_b, SUM(xa*xb) AS dot, SUM(xa*xa) AS na, SUM(xb*xb) AS nb FROM u GROUP BY id_a, id_b) SELECT id_a, id_b FROM dd WHERE dot / (sqrt(na) * sqrt(nb)) > 0.3547 ORDER BY id_a, id_b")),
+
+    // Brute-force cosine top-k ANN baseline (query = vec_id 0). Ranking
+    // gaps ≥ 3e-4 at sf0.01 — stable under FP noise.
+    Q("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(Vectors.toDouble(col("embedding")).as("qv"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (Vectors.dot(Vectors.toDouble(col("embedding")), col("qv"))
+              / Vectors.norm(Vectors.toDouble(col("embedding")))).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+      },
+      Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10")))
+
+  // --------------------------------------------------------------------
+  // Streaming batch-equivalent (SURVEY §2.9)
+  // --------------------------------------------------------------------
+
+  private val streaming = Seq(
+    // Tumbling-window event aggregation — the batch twin of the Structured
+    // Streaming pipeline in graft.streaming (same plan shape). Window start
+    // formatted to string: engines disagree on timestamp tz-awareness.
+    Q("stream_window_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("value"))).as("sum_value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value_cents"))
+        .orderBy("window_start", "event_type"),
+      Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")))
+
+  // --------------------------------------------------------------------
+
+  val all: Seq[Q] =
+    scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++ dedup ++ vectors ++ streaming
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

