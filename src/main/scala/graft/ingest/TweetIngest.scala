@@ -127,8 +127,7 @@ object TweetIngest {
         userStruct("quoted_status"))).as("u"))
       .filter(col("u.id").isNotNull)
       .select(col("u.*"))
-      .withColumn("created_at",
-        to_timestamp(col("created_at_raw"), TwitterTimeFormat))
+      .withColumn("created_at", parseTwitterTime(col("created_at_raw")))
       .drop("created_at_raw")
       .dropDuplicates("id")
   }

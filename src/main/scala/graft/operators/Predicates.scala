@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.schema.TwitterSchemas.TwitterTimeFormat
+import graft.schema.TwitterSchemas.parseTwitterTime
 
 /** F1-F9 as composable Column builders (SURVEY §2.2).
   *
@@ -43,7 +43,7 @@ object Predicates {
     * implemented for real here (SURVEY §7.4#4).
     */
   def createdBetween(startDate: String, endDate: String): Column =
-    to_timestamp(col("created_at"), TwitterTimeFormat)
+    parseTwitterTime(col("created_at"))
       .between(to_date(lit(startDate), "MM/dd/yyyy"), to_date(lit(endDate), "MM/dd/yyyy"))
 
   /** F5: key equality point filter. */

@@ -420,6 +420,20 @@ object Catalog {
         .orderBy("id_a", "id_b"),
       Some("WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents), w AS (SELECT DISTINCT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM t), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM w a JOIN w b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na.nd + nb.nd - shared) AS jaccard FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b ORDER BY id_a, id_b")))
 
+  /** Rows-only checks (no SQL-expressible oracle — driver records a
+    * weaker rows>0 check): SimHash fingerprints and LSH-bucketed ANN.
+    */
+  private val dedupNoOracle = Seq(
+    Q("dedup_simhash",
+      (s, d) => graft.operators.Dedup
+        .simhash(Tables.documents(s, d), "doc_id", "text", 16)
+        .orderBy("doc_id"),
+      None),
+    Q("sim_lsh_ann",
+      (s, d) => graft.operators.Similarity
+        .topKLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 10, planes = 2),
+      None))
+
   /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
     * transform over 1-based element_at — verified aligned).
     */
@@ -494,7 +508,8 @@ object Catalog {
   // --------------------------------------------------------------------
 
   val all: Seq[Q] =
-    scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++ dedup ++ vectors ++ streaming
+    scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
+      dedup ++ dedupNoOracle ++ vectors ++ streaming
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

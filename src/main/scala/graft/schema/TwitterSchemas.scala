@@ -95,9 +95,16 @@ object TwitterSchemas {
     StructField("friends_count", LongType),
     StructField("created_at", TimestampType)))
 
-  /** Twitter's created_at format ("Sun Apr 12 16:48:01 +0000 2020") as a
-    * java.time pattern (reference parses with "%a %b %d %H:%M:%S %z %Y",
-    * app.py:33).
+  /** Twitter's created_at format ("Sun Apr 12 16:48:01 +0000 2020"; the
+    * reference parses it with "%a %b %d %H:%M:%S %z %Y", app.py:33).
+    *
+    * Spark 4's datetime parser rejects 'E' (day-of-week) letters in parse
+    * patterns, so [[parseTwitterTime]] skips the fixed-width "EEE " prefix
+    * and parses the remainder.
     */
-  val TwitterTimeFormat = "EEE MMM dd HH:mm:ss xx yyyy"
+  val TwitterTimeFormat = "MMM dd HH:mm:ss xx yyyy"
+
+  def parseTwitterTime(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.to_timestamp(
+      org.apache.spark.sql.functions.substring(c, 5, 26), TwitterTimeFormat)
 }

@@ -1,0 +1,43 @@
+package graft.api
+
+import graft.{SparkSpec, TestFixtures}
+
+/** Engine facade: tables + cache wiring (≈ TwitterSearchApp surface). */
+class EngineSpec extends SparkSpec {
+
+  private lazy val engine: Engine = {
+    import spark.implicits._
+    val tPath = tmpDir("engtweets")
+    val uPath = tmpDir("engusers")
+    TestFixtures.tweets.toDF().write.mode("overwrite").parquet(tPath)
+    TestFixtures.users.toDF().write.mode("overwrite").parquet(uPath)
+    new Engine(spark, tPath, uPath, cacheSize = 8)
+  }
+
+  test("searchTweets returns enriched rows and memoizes") {
+    val r1 = engine.searchTweets(keyword = Some("house"))
+    assert(r1.size === 2)
+    val misses = engine.cache.misses.get()
+    val r2 = engine.searchTweets(keyword = Some("house"))
+    assert(r2 === r1)
+    assert(engine.cache.misses.get() === misses) // served from cache
+  }
+
+  test("user surfaces work end-to-end") {
+    assert(engine.userByScreenName("alice").size === 1)
+    assert(engine.tweetsForUser("bob").size === 2)
+    assert(engine.topUsersByFollowers(2).head.getAs[String]("screen_name") === "bob")
+    assert(engine.topTweetsByFavorites(1).head.getAs[String]("id_str") === "5")
+  }
+
+  test("topKeywords warm-up surface") {
+    val kws = engine.topKeywords(3).map(_.getString(0))
+    assert(kws.contains("house"))
+  }
+
+  test("cache checkpoint writes state") {
+    val p = tmpDir("engckpt") + "/state"
+    engine.checkpointCache(p)
+    assert(spark.read.parquet(p).count() >= 1)
+  }
+}

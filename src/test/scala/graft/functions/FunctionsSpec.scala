@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text + Vectors column builders. */
+class FunctionsSpec extends SparkSpec {
+
+  test("fingerprint is invariant to token order and duplication") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta"))
+      .toDF("id", "text")
+      .select($"id", Text.fingerprint($"text").as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("langId flags stopword-rich text as en") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "foo bar baz qux quux corge grault garply waldo fred"))
+      .toDF("id", "text")
+      .select($"id", Text.langId($"text").as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "en", 2L -> "und"))
+  }
+
+  test("bpeish token count splits alpha and digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "abc123 def, 45x")).toDF("id", "text")
+      .select(Text.bpeishTokenCount($"text").as("n"))
+    // abc / 123 / def / 45 / x
+    assert(df.collect().head.getLong(0) === 5L)
+  }
+
+  test("keywordTokens drops stopwords and non-alnum tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "The quick-brown fox and 42 dogs")).toDF("id", "text")
+      .select(Text.keywordTokens($"text").as("t"))
+    // "quick-brown" is one whitespace token; '-' fails the alnum filter
+    val toks = df.collect().head.getSeq[String](0)
+    assert(toks === Seq("fox", "42", "dogs"))
+  }
+
+  test("dot / norm / cosine compute correct doubles") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+      .select(
+        Vectors.dot(Vectors.toDouble($"a"), Vectors.toDouble($"b")).as("dot"),
+        Vectors.norm(Vectors.toDouble($"a")).as("na"),
+        Vectors.cosine(Vectors.toDouble($"a"), Vectors.toDouble($"b")).as("cos"))
+    val r = df.collect().head
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(math.abs(r.getDouble(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("lshBucket is deterministic and within range") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(1.0f, -2.0f, 0.5f)))
+      .toDF("id", "v")
+      .select($"id", Vectors.lshBucket(Vectors.toDouble($"v"), 4).as("b"))
+    val bs = df.collect().map(_.getLong(1))
+    assert(bs(0) === bs(1))
+    assert(bs(0) >= 0 && bs(0) < 16)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup family: exact, MinHash signatures, LSH candidate pairs,
+  * n-gram Jaccard, SimHash.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "g", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g", "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "g", "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (4L, "g", "completely different content about spark engines"),
+      (5L, "g", "unrelated words nothing shared here at all today"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    assert(Dedup.exact(docs, "text").count() === 4)
+    val groups = Dedup.exactGroups(docs, "text")
+      .collect().map(r => r.getLong(1)).sorted
+    assert(groups === Array(1L, 1L, 1L, 2L))
+  }
+
+  test("identical docs share the full minhash signature; different docs do not") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("LSH candidates include the exact pair and exclude unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, disjoint absent") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    // 1 vs 3: 8 bigrams each, 7 shared → 7/9
+    assert(math.abs(j((1L, 3L)) - 7.0 / 9.0) < 1e-12)
+    assert(!j.contains((4L, 5L)))
+  }
+
+  test("simhash: identical texts equal; near dups closer than unrelated") {
+    val s = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === s(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(3L)) <= hamming(s(1L), s(5L)))
+  }
+
+  test("simhashPairs emits only pairs within the hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
