@@ -16,8 +16,22 @@ object Vectors {
   /** array<float> → array<double>. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen expression ([[DotProduct]]); accepts
+    * array<float> or array<double> directly, sums in double.
+    * (Spark 4 Columns wrap ColumnNodes, not Expressions — the classic-mode
+    * bridge is ExpressionUtils.)
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The composable HOF formulation (kept as the reference semantics the
+    * native expression is tested against; interpreted, so not for hot
+    * paths).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

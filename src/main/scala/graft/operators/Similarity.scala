@@ -24,8 +24,8 @@ object Similarity {
   def topKBruteForce(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int = 10): DataFrame = {
     val qv = df.filter(col(idCol) === queryId)
-      .select(Vectors.toDouble(col(vecCol)).as("__qv"))
-    val v = Vectors.toDouble(col(vecCol))
+      .select(col(vecCol).as("__qv"))
+    val v = col(vecCol)
     df.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col(idCol),
@@ -47,8 +47,8 @@ object Similarity {
       queryId: Long, k: Int = 10, planes: Int = 4): DataFrame = {
     val bucketed = withLshBuckets(df, vecCol, planes)
     val qv = bucketed.filter(col(idCol) === queryId)
-      .select(Vectors.toDouble(col(vecCol)).as("__qv"), col("bucket").as("__qb"))
-    val v = Vectors.toDouble(col(vecCol))
+      .select(col(vecCol).as("__qv"), col("bucket").as("__qb"))
+    val v = col(vecCol)
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(qv), col("bucket") === col("__qb"))
       .select(col(idCol),

@@ -456,8 +456,11 @@ object Catalog {
     // noise cannot flip membership.
     Q("dedup_embcos",
       (s, d) => {
+        // Native codegen DotProduct on raw float arrays (no per-element
+        // cast transform); values identical — elements widen to double
+        // inside the loop.
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
           .withColumn("nrm", Vectors.norm(col("v")))
         val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
@@ -475,12 +478,12 @@ object Catalog {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val qv = emb.filter(col("vec_id") === 0)
-          .select(Vectors.toDouble(col("embedding")).as("qv"))
+          .select(col("embedding").as("qv"))
         emb.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(qv))
           .select(col("vec_id"),
-            (Vectors.dot(Vectors.toDouble(col("embedding")), col("qv"))
-              / Vectors.norm(Vectors.toDouble(col("embedding")))).as("score"))
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
           .limit(10)
           .select("vec_id")
