@@ -185,6 +185,25 @@ object Catalog {
         .select("c_custkey").orderBy("c_custkey"),
       Some("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
 
+    // Multi-join analytical query (TPC-H Q3 shape): selective dim filter →
+    // two shuffle joins → grouped revenue → top-k. Exercises Catalyst join
+    // planning (broadcast for customer, shuffle for orders⋈lineitem) and
+    // exact cents revenue.
+    Q("j5_multijoin_topk",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < "1997-01-01")
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > "1997-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10),
+      Some("SELECT l_orderkey, odate, revenue_cents FROM (SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01' GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')) ORDER BY revenue_cents DESC, l_orderkey LIMIT 10")),
+
     // J4: name→key→rows chain lookup (app.py:269-301).
     Q("j4_chain_lookup",
       (s, d) => Tables.orders(s, d)
@@ -277,6 +296,34 @@ object Catalog {
         .select("c_custkey", "c_acctbal")
         .limit(5),
       Some("SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5")),
+
+    // Hierarchical totals: ROLLUP over (returnflag, linestatus) — subtotal
+    // and grand-total rows carry NULL group keys, so both engines order
+    // with NULLS FIRST explicitly (DuckDB defaults to NULLS LAST).
+    Q("a8_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+
+    // Set ops beyond UNION: INTERSECT and EXCEPT (distinct semantics).
+    Q("u2_intersect",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("text").rlike("(?i)spark")).select("doc_id")
+          .intersect(docs.filter(col("lang") === "en").select("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)spark') INTERSECT SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id")),
+    Q("u3_except",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("text").rlike("(?i)spark")).select("doc_id")
+          .except(docs.filter(col("lang") === "en").select("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)spark') EXCEPT SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id")),
 
     // §2.7: UNION ALL of keyword-results and token-results (app.py:141-144;
     // duplicates kept, as in the reference).
@@ -506,7 +553,29 @@ object Catalog {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
           col("event_type"), col("cnt"), col("sum_value_cents"))
         .orderBy("window_start", "event_type"),
-      Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")))
+      Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Gap-based sessionization, batch form: a >30-min silence starts a new
+    // session (streaming twin: EventStream.sessionCounts session_window).
+    // lag + running-sum-of-flags — second-granularity gap arithmetic is
+    // identical cross-engine (both floor to epoch seconds).
+    Q("stream_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), f AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")))
 
   // --------------------------------------------------------------------
 
