@@ -20,11 +20,13 @@ final class Engine(
     cacheSize: Int = 100,
     cacheTtlSeconds: Double = Double.PositiveInfinity) {
 
-  /** Curated tables, persisted — they are the hot working set (the
-    * reference keeps them server-side in Mongo/MySQL).
+  /** Curated tables, persisted MEMORY_AND_DISK — they are the hot working
+    * set (the reference keeps them server-side in Mongo/MySQL).
     */
   lazy val tweets: DataFrame = spark.read.parquet(tweetsPath)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   lazy val users: DataFrame = spark.read.parquet(usersPath)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   val cache = new ResultCache(cacheSize, cacheTtlSeconds)
 
