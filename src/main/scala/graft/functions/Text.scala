@@ -65,6 +65,14 @@ object Text {
     when(stopwordHits(text) * 10 >= size(tokens(text)).cast("long"), lit("en"))
       .otherwise(lit("und"))
 
+  /** NLTK-word_tokenize-ish tokenizer: word runs and single punctuation
+    * marks become tokens ("hello, world!" → [hello, ",", world, "!"]).
+    * Documented divergence from Punkt (SURVEY §7.4#3): contractions split
+    * at the apostrophe ("don't" → [don, ', t] vs NLTK's [do, n't]).
+    */
+  def wordTokenize(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
   /** BPE-ish token count: alpha runs and digit runs count separately. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient aggregation (100 TB posture).
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer. Salted two-phase aggregation splits each key into `salts`
+  * sub-keys for the partial phase, then merges partials — bounding any
+  * single task at ~1/salts of the hottest key. Works for algebraic
+  * aggregates (sum/count/min/max); AQE's skew handling covers joins,
+  * this covers aggregation.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count over `valueCol` grouped by `key`.
+    * Equivalent to `groupBy(key).agg(sum(value), count(*))` (asserted in
+    * SkewSpec), but no reducer sees more than ~1/salts of a hot key.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val partial = salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_" + valueCol),
+        sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** Salted distinct-count: exact, two-phase. Phase 1 dedups (key, value)
+    * within salt partitions; phase 2 dedups across salts then counts.
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.select(col(key), col(valueCol))
+      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .dropDuplicates(key, valueCol, "__salt") // partial dedup, salt-local
+      .dropDuplicates(key, valueCol)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_distinct_" + valueCol))
+
+  /** Broadcast-salt pattern for a skewed join key: replicate the small
+    * side `salts` times so the big side's salted keys all find a match.
+    * bigSide gains `__salt` ∈ [0, salts); smallSide is exploded per salt.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
+  }
+}

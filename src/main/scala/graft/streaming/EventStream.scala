@@ -57,6 +57,27 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Custom accumulating state across micro-batches: running per-user
+    * event counts via mapGroupsWithState (the KeyValueGroupedDataset
+    * stateful API). State is one long per user — bounded by user
+    * cardinality; production variants add a timeout to expire idle keys.
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (uid, n)
+      }
+      .toDF("user_id", "n_events")
+  }
+
   /** Sink: parquet append with checkpointing, AvailableNow trigger (drain
     * whatever has arrived, then stop — the batch-friendly trigger).
     */

@@ -31,6 +31,14 @@ class FunctionsSpec extends SparkSpec {
     assert(m === Map(1L -> "en", 2L -> "und"))
   }
 
+  test("wordTokenize splits words and punctuation NLTK-ishly") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, world! don't")).toDF("id", "text")
+      .select(Text.wordTokenize($"text").as("t"))
+    assert(df.collect().head.getSeq[String](0) ===
+      Seq("Hello", ",", "world", "!", "don", "'", "t"))
+  }
+
   test("bpeish token count splits alpha and digit runs") {
     import spark.implicits._
     val df = Seq((1L, "abc123 def, 45x")).toDF("id", "text")

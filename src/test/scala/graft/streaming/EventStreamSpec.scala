@@ -49,6 +49,27 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.forall(_.getAs[Long]("n_events") > 0))
   }
 
+  test("mapGroupsWithState accumulates per-user counts across micro-batches") {
+    val dir = tmpDir("evstate")
+    def writeBatch(name: String, ids: Range): Unit =
+      Files.write(Paths.get(dir, name), ids.map(i =>
+        s"""{"event_id": $i, "ts": "2024-01-01T00:00:0${i % 10 / 10}Z", "user_id": ${i % 3}, "event_type": "view", "value": 1.0, "props": "{}"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    writeBatch("b0.json", 0 until 30)
+    val q = EventStream.runningUserCounts(EventStream.readJsonStream(spark, dir))
+      .writeStream.format("memory").queryName("ustate").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.json", 30 until 60)
+      q.processAllAvailable()
+      // state carried across batches: 60 events / 3 users = 20 each
+      val m = spark.table("ustate")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m === Map(0L -> 20L, 1L -> 20L, 2L -> 20L))
+    } finally q.stop()
+  }
+
   test("parquet sink drains available data with AvailableNow") {
     val out = tmpDir("evout")
     val ckpt = tmpDir("evckpt")
