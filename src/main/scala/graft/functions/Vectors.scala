@@ -42,17 +42,23 @@ object Vectors {
 
   /** Sign-bit LSH bucket over `planes` pseudo-random hyperplanes.
     *
-    * Hyperplane p's component for dimension i is derived from a portable
-    * integer hash of (p, i) — deterministic, seedable, no stored model. The
-    * bucket id packs the sign bits of the `planes` projections.
+    * Hyperplane components are ±1, derived from a fixed-seed hash of
+    * (plane, dim) at plan-construction time and embedded as literal
+    * arrays — deterministic, seedable, no stored model, and the
+    * projection is the native codegen [[DotProduct]] (no interpreted
+    * per-element work). `maxDim` caps the hyperplane length; vectors
+    * longer than it only project their first `maxDim` dims.
     */
-  def lshBucket(v: Column, planes: Int): Column = {
+  def lshBucket(v: Column, planes: Int, maxDim: Int = 4096): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val bits = (0 until planes).map { p =>
-      // component(p, i) in {-1.0, +1.0} from crc32 parity of "p:i"
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * (crc32(concat(lit(s"$p:"), i.cast("string"))) % 2 * 2 - 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      val comps = Array.tabulate(maxDim) { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i), 0x9747b28c)
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+      val plane = typedlit(comps.toSeq)
+      val proj = ColumnBridge.column(
+        DotProduct(ColumnBridge.expression(v), ColumnBridge.expression(plane)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
