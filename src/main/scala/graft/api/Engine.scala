@@ -79,4 +79,13 @@ final class Engine(
     }
 
   def checkpointCache(path: String): Unit = cache.checkpoint(spark, path)
+
+  /** SQL surface: the curated tables as temp views, so every engine query
+    * is also expressible as `engine.sql("SELECT ... FROM tweets ...")`.
+    */
+  def sql(query: String): DataFrame = {
+    tweets.createOrReplaceTempView("tweets")
+    users.createOrReplaceTempView("users")
+    spark.sql(query)
+  }
 }

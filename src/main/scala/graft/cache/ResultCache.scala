@@ -79,4 +79,14 @@ final class ResultCache(
     snap.toDF("key", "timestamp_ms", "n_rows")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Keys from a checkpoint, LRU-order (oldest first) — the restart
+    * warm-up list (reference reloads its serialized cache at startup,
+    * cache.py:62-67; payloads here are recomputed by re-running the
+    * queries for these keys, not deserialized).
+    */
+  def checkpointedKeys(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path)
+      .orderBy("timestamp_ms")
+      .collect().map(_.getAs[String]("key")).toSeq
 }

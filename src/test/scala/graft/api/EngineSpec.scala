@@ -35,9 +35,19 @@ class EngineSpec extends SparkSpec {
     assert(kws.contains("house"))
   }
 
-  test("cache checkpoint writes state") {
+  test("cache checkpoint writes state and keys restore in LRU order") {
     val p = tmpDir("engckpt") + "/state"
+    engine.searchTweets(keyword = Some("casa"))
     engine.checkpointCache(p)
     assert(spark.read.parquet(p).count() >= 1)
+    val keys = engine.cache.checkpointedKeys(spark, p)
+    assert(keys.nonEmpty && keys.exists(_.contains("kw=casa")))
+  }
+
+  test("sql surface exposes the curated tables as views") {
+    val rows = engine.sql(
+      "SELECT t.id_str, u.screen_name FROM tweets t JOIN users u ON t.user_id = u.id " +
+        "WHERE t.text RLIKE '(?i)house' ORDER BY t.id_str").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("2", "5"))
   }
 }
