@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** IVF (inverted-file) ANN index: k-means coarse quantizer + per-centroid
+  * posting lists (the classic IVF-Flat layout).
+  *
+  * Training is Lloyd's algorithm expressed as DataFrame plans: assignment
+  * is a map-side argmax over native [[graft.functions.DotProduct]]
+  * projections against broadcast centroid literals (zero shuffle);
+  * the update step is one grouped average per iteration. Centroids
+  * (k × dim doubles) always fit on the driver — that is the design point
+  * of IVF: the model is tiny, the corpus never moves.
+  *
+  * Search probes the `nprobe` nearest centroids and scores only their
+  * posting lists: ~nprobe/k of the corpus per query at full recall within
+  * the probed cells. At 100 TB the assigned corpus is written partitioned
+  * by `centroid_id`, so a probe is partition pruning.
+  */
+object Ivf {
+
+  /** Negative squared L2 distance to a literal centroid (argmax-friendly):
+    * -(|v|² - 2·v·c + |c|²). |v|² is shared across centroids so it can be
+    * dropped for argmax, but keeping it makes the score a true -distance².
+    */
+  private def negSqDist(v: Column, vNorm2: Column, c: Array[Double]): Column = {
+    val cn2 = c.map(x => x * x).sum
+    (Vectors.dot(v, typedlit(c.toSeq)) * 2 - vNorm2 - lit(cn2))
+  }
+
+  /** Assign each vector its nearest centroid: one projected column per
+    * centroid, argmax via array_max over (score, idx) structs. Map-side
+    * only.
+    */
+  def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    val vn2 = Vectors.dot(v, v)
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(negSqDist(v, vn2, c).as("s"), lit(i).as("c"))
+    }: _*)
+    df.withColumn("centroid_id", array_max(scored).getField("c"))
+  }
+
+  /** Lloyd's k-means: deterministic init (first k vectors by id), then
+    * `iters` assign/average rounds. Returns the learned centroids.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(Vectors.toDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = assign(df, vecCol, centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg("x").as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          case None       => centroids(cid) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** IVF search: score only the posting lists of the `nprobe` centroids
+    * nearest to the query vector.
+    */
+  def search(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], queryId: Long,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(Vectors.toDouble(col(vecCol))).collect().head.getSeq[Double](0).toArray
+    val qn2 = q.map(x => x * x).sum
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val dot = c.zip(q).map { case (a, b) => a * b }.sum
+        (i, -(qn2 - 2 * dot + c.map(x => x * x).sum))
+      }
+      .sortBy(-_._2).take(nprobe).map(_._1).toSet
+    val v = col(vecCol)
+    assign(df, vecCol, centroids)
+      .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        (Vectors.dot(v, typedlit(q.toSeq)) / Vectors.norm(v)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

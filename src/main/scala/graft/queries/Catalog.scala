@@ -358,6 +358,16 @@ object Catalog {
         .orderBy("event_id"),
       Some("SELECT event_id, CAST(user_id AS VARCHAR) AS uid_str FROM events ORDER BY event_id")),
 
+    // C13: string build/slice functions (display-string layer, app.py:165+).
+    Q("c13_string_funcs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head10"),
+          expr("replace(substr(text, 1, 20), ' ', '_')").as("packed"),
+          concat(col("lang"), lit(":"), col("n_chars").cast("string")).as("tag"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, upper(substr(text, 1, 10)) AS head10, replace(substr(text, 1, 20), ' ', '_') AS packed, lang || ':' || CAST(n_chars AS VARCHAR) AS tag FROM documents ORDER BY doc_id")),
+
     // C12: page-count arithmetic (math.ceil(len/10), app.py:146).
     Q("c12_ceil_pages",
       (s, d) => Tables.documents(s, d)
@@ -479,6 +489,13 @@ object Catalog {
     Q("sim_lsh_ann",
       (s, d) => graft.operators.Similarity
         .topKLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 10, planes = 2),
+      None),
+    Q("sim_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+        graft.operators.Ivf.search(emb, "vec_id", "embedding", centroids, 0L, k = 10, nprobe = 2)
+      },
       None))
 
   /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
