@@ -75,7 +75,16 @@ object Catalog {
     // K4/A6: count (c26/c38).
     Q("k4_count",
       (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt")),
-      Some("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")))
+      Some("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")),
+
+    // S6: catalog listing (list_collection_names, c24/c25) — rows-only.
+    Q("s6_catalog_listing",
+      (s, d) => {
+        Tables.names.foreach(n =>
+          Tables(s, d, n).createOrReplaceTempView(s"graft_$n"))
+        s.sql("SHOW TABLES").orderBy("tableName")
+      },
+      None))
 
   // --------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
@@ -325,6 +334,29 @@ object Catalog {
       },
       Some("SELECT doc_id FROM documents WHERE regexp_matches(text, '(?i)spark') EXCEPT SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id")),
 
+    // Wide-table reshaping: pivot event counts per user. Oracle twin uses
+    // conditional aggregation (semantically identical); Spark's pivot
+    // yields null for empty cells → na.fill(0) to match COUNT FILTER's 0.
+    Q("a9_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "error", "purchase"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("SELECT user_id, CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view, CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click, CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // Exact interpolated percentiles (type-7 / linear): Spark percentile ≡
+    // DuckDB quantile_cont; l_quantity is integer-valued so interpolation
+    // arithmetic is deterministic cross-engine.
+    Q("a10_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // §2.7: UNION ALL of keyword-results and token-results (app.py:141-144;
     // duplicates kept, as in the reference).
     Q("u1_union_all",
@@ -367,6 +399,16 @@ object Catalog {
           concat(col("lang"), lit(":"), col("n_chars").cast("string")).as("tag"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, upper(substr(text, 1, 10)) AS head10, replace(substr(text, 1, 20), ' ', '_') AS packed, lang || ':' || CAST(n_chars AS VARCHAR) AS tag FROM documents ORDER BY doc_id")),
+
+    // C16: array functions — sort/distinct/slice/join over token arrays
+    // (1-based slice on both engines).
+    Q("c16_array_funcs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws("|", slice(array_sort(array_distinct(
+            split(lower(col("text")), " "))), 1, 5)).as("first5"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], '|') AS first5 FROM documents ORDER BY doc_id")),
 
     // C12: page-count arithmetic (math.ceil(len/10), app.py:146).
     Q("c12_ceil_pages",
