@@ -86,6 +86,24 @@ class TweetIngestSpec extends SparkSpec {
       .exists(_.contains("lang=en")))
   }
 
+  test("single-pass curatedTweets equals the two-phase canonical+retweets path") {
+    val raw = TweetIngest.readRaw(spark, rawPath)
+    val onePass = TweetIngest.curatedTweets(raw)
+      .orderBy("id_str").collect().toSeq
+    val twoPass = TweetIngest.withRetweets(TweetIngest.canonicalTweets(raw), raw)
+      .orderBy("id_str").collect().toSeq
+    assert(onePass === twoPass)
+  }
+
+  test("duplicate ids carry identical payloads (dedup winner is well-defined)") {
+    val raw = TweetIngest.readRaw(spark, rawPath)
+    import org.apache.spark.sql.functions._
+    val dupPayloads = raw.groupBy("id_str")
+      .agg(countDistinct(struct(col("text"), col("lang"), col("user.id_str"))).as("n"))
+      .filter(col("n") > 1)
+    assert(dupPayloads.count() === 0)
+  }
+
   test("ingest is idempotent: re-reading produces identical id sets") {
     val raw = TweetIngest.readRaw(spark, rawPath)
     val a = TweetIngest.canonicalTweets(raw).select("id_str").collect().map(_.getString(0)).sorted
