@@ -445,15 +445,18 @@ object Catalog {
     Q("text_quality",
       (s, d) => {
         val toks = size(split(lower(col("text")), " ")).cast("long")
+        val punct = size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(0))).cast("long")
         Tables.documents(s, d).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           toks.as("n_tokens"),
           (Text.stopwordHits(col("text")).cast("double") / toks).as("stopword_ratio"),
+          (punct.cast("double") / length(col("text"))).as("punct_ratio"),
           (length(col("text")).cast("double") / toks).as("chars_per_token"))
           .orderBy("doc_id")
       },
-      Some(s"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
+      Some(s"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / strlen(text) AS punct_ratio, CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
 
     // Beyond-reference: BPE-ish token counting (alpha runs + digit runs).
     Q("text_tokens",

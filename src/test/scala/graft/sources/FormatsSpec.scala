@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Round-trips through every supported format preserve values. */
+class FormatsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private lazy val df = {
+    val rows = (1 to 100).map(i => Row(i.toLong, s"name_$i", i * 1.5))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("parquet/orc/json/csv round-trips preserve values") {
+    (Formats.Columnar ++ Formats.Text).foreach { fmt =>
+      val path = tmpDir(s"fmt_$fmt") + "/data"
+      Formats.write(df, fmt, path)
+      val back = Formats.read(spark, fmt, path, Some(schema))
+        .orderBy("id").collect()
+      val orig = df.orderBy("id").collect()
+      assert(back === orig, s"format=$fmt")
+    }
+  }
+
+  test("partitioned write produces partition directories readable with pruning") {
+    val path = tmpDir("fmt_part") + "/data"
+    val dfp = df.withColumn("bucket",
+      org.apache.spark.sql.functions.col("id") % 4)
+    Formats.write(dfp, "parquet", path, partitionBy = Seq("bucket"))
+    val pruned = spark.read.parquet(path).filter("bucket = 2")
+    assert(pruned.count() === 25)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+}
