@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-quality regression tests: the physical plans the engine is
+  * designed around (README "Design") must not silently degrade.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("s2: filter is pushed to the parquet scan") {
+    val p = plan("s2_scan_filter_sort")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+  }
+
+  test("s3: read schema is pruned to the projected columns") {
+    val p = plan("s3_projection_prune")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"), p)
+  }
+
+  test("j1: lookup join is a broadcast hash join") {
+    val p = plan("j1_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t1: top-k fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan("t1_multikey_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("f3: language filter prunes partitions on a lang-partitioned table") {
+    import graft.ingest.TweetIngest
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("planspec")
+    val line =
+      """{"id": 1, "id_str": "1", "text": "hello", "lang": "en", "created_at": "Sun Apr 12 16:48:01 +0000 2020", "user": {"id": 5, "id_str": "5", "screen_name": "u", "created_at": "Sun Apr 12 16:48:01 +0000 2020"}}"""
+    val line2 = line.replace(""""lang": "en"""", """"lang": "fr"""").replace(""""id_str": "1"""", """"id_str": "2"""")
+    Files.write(Paths.get(dir, "raw.json"), (line + "\n" + line2).getBytes("UTF-8"))
+    TweetIngest.run(spark, dir + "/raw.json", dir + "/tweets", dir + "/users")
+    val q = spark.read.parquet(dir + "/tweets").filter("lang = 'en'")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(q.count() === 1)
+  }
+}
