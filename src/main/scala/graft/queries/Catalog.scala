@@ -242,6 +242,16 @@ object Catalog {
         .orderBy("l_returnflag", "l_linestatus"),
       Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents, SUM(l_quantity)/count(*) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
 
+    // Distinct aggregation (exact; the approx_count_distinct variant is
+    // engine-specific HLL and not oracle-comparable).
+    Q("a11_count_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // A3: dedup by key (c12/c14/c16 unique_ones set).
     Q("a3_dedup_distinct",
       (s, d) => Tables.events(s, d)
