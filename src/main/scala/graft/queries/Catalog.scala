@@ -627,6 +627,22 @@ object Catalog {
         .orderBy("window_start", "event_type"),
       Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Event funnel: users whose first view precedes their first click
+    // precedes their first purchase. Oracle truncates to microseconds to
+    // match Spark's parquet timestamp precision before comparing.
+    Q("stream_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firsts = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        firsts
+          .filter(col("tv") < col("tc") && col("tc") < col("tp"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_users FROM (SELECT user_id, min(CASE WHEN event_type = 'view' THEN date_trunc('microseconds', ts) END) AS tv, min(CASE WHEN event_type = 'click' THEN date_trunc('microseconds', ts) END) AS tc, min(CASE WHEN event_type = 'purchase' THEN date_trunc('microseconds', ts) END) AS tp FROM events GROUP BY user_id) WHERE tv < tc AND tc < tp")),
+
     // Gap-based sessionization, batch form: a >30-min silence starts a new
     // session (streaming twin: EventStream.sessionCounts session_window).
     // lag + running-sum-of-flags — second-granularity gap arithmetic is
