@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-prior) join — an operator Spark's SQL surface lacks.
+  *
+  * Composed from built-ins per the custom-operator preference order
+  * (compose > custom plan): tag both inputs, union, and take a running
+  * `last(value, ignoreNulls)` over (key, time) — one shuffle on the key,
+  * no range self-join blowup. Equal timestamps resolve like ASOF's
+  * `right.ts <= left.ts` (the right row sorts first and is visible).
+  * At scale this is the streamed formulation: sort-merge within key
+  * partitions, O(n) per key, skew handled by AQE like any window.
+  */
+object AsOf {
+
+  /** For each `left` row: all left columns + `valueCol` from the latest
+    * `right` row with `right.ts <= left.ts` and equal `key` (null when no
+    * prior right row exists — left-join semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCol: String): DataFrame = {
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val taggedRight = right
+      .select(col(key), col(ts), col(valueCol))
+      .withColumn("__side", lit(0))
+      .withColumnRenamed(valueCol, "__v")
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) :+ col(valueCol): _*)
+  }
+}

@@ -213,6 +213,24 @@ object Catalog {
         .limit(10),
       Some("SELECT l_orderkey, odate, revenue_cents FROM (SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01' GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')) ORDER BY revenue_cents DESC, l_orderkey LIMIT 10")),
 
+    // As-of join (nearest prior view for each purchase) — composed from
+    // union + running last() (operators.AsOf); DuckDB oracles it with its
+    // native ASOF LEFT JOIN. Timestamps truncated to Spark's microsecond
+    // parquet precision on the oracle side.
+    Q("j6_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("ts").as("prior_view_ts"))
+        graft.operators.AsOf.asofJoin(purchases, views, "user_id", "ts", "prior_view_ts")
+          .select(col("event_id"),
+            date_format(col("prior_view_ts"), "yyyy-MM-dd HH:mm:ss").as("prior_view"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, strftime(vts, '%Y-%m-%d %H:%M:%S') AS prior_view FROM (SELECT p.event_id, v.vts FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, date_trunc('microseconds', ts) AS ts, date_trunc('microseconds', ts) AS vts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND v.ts <= p.ts) ORDER BY event_id")),
+
     // J4: name→key→rows chain lookup (app.py:269-301).
     Q("j4_chain_lookup",
       (s, d) => Tables.orders(s, d)

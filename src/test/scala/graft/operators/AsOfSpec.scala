@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of join semantics: latest prior match, inclusive equality, left
+  * rows without a prior match survive with null.
+  */
+class AsOfSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row with ts <= left ts per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), (2L, "k1", 205L), (3L, "k2", 50L), (4L, "k2", 300L))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("k1", 90L, "a"), ("k1", 100L, "b"), ("k1", 200L, "c"),
+      ("k2", 60L, "x"))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofJoin(left, right, "k", "ts", "v")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got === Map(
+      1L -> Some("b"), // equal ts is inclusive
+      2L -> Some("c"), // latest prior, not first
+      3L -> None,      // no right row at or before 50
+      4L -> Some("x")))
+  }
+}
