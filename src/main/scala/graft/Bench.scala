@@ -1,6 +1,32 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: times every catalog query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line (stdout) plus the same JSON to `BENCH.json` in the
+  * working directory (sbt prefixes stdout with "[info]", which broke the
+  * driver's parse in round 1 — the file is the decoration-free channel).
+  *
+  * Measurement rules (learned round 1):
+  *  - Full-plan execution via the `noop` sink — `.count()` lets Catalyst
+  *    prune computed projections and sorts, under-measuring exactly the
+  *    projection-heavy queries the bench claims to time.
+  *  - Interleaved passes: the host VM shows sporadic multi-second I/O
+  *    stalls that hit a *contiguous block* of run order. Three back-to-back
+  *    runs of one query can all land in one stall window; three full passes
+  *    over the whole suite separate a query's runs by minutes, so min-of-
+  *    passes survives any stall shorter than a pass.
+  *  - A failed run records -1 (never its elapsed time — failures throw
+  *    fast and would masquerade as good numbers); failed queries are
+  *    excluded from the total and listed in an `errors` array.
+  *  - Stall escape hatch: queries whose min is still suspiciously large
+  *    (> 3 s at sf0.1 — clean round-1 max was 0.9 s) get one extra retry
+  *    pass at the end, when any stall window has likely passed.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,21 +38,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Three timed runs per query, report the min: the host shows sporadic
-    // multi-second stalls that land on random queries; min-of-N keeps the
-    // number close to the query's true cost while staying a full real run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    /** One timed full-plan execution; -1.0 marks a failure. */
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        -1.0
       }
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val passes = 3
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to passes; (name, fn) <- queries)
+      samples(name) = runOnce(fn) :: samples(name)
+
+    def best(name: String): Double = {
+      val ok = samples(name).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+
+    // Retry pass for stall suspects: a min that never dropped below 3 s is
+    // more likely a stall that outlasted all passes than a real cost.
+    for ((name, fn) <- queries if best(name) > 3.0)
+      samples(name) = runOnce(fn) :: samples(name)
+
+    val mins = queries.map { case (name, _) => name -> best(name) }
+    val errors = mins.collect { case (n, t) if t < 0 => n }
+    val total = mins.collect { case (_, t) if t >= 0 => t }.sum
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

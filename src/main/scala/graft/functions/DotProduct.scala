@@ -14,8 +14,13 @@ import org.apache.spark.sql.types._
   * pairwise-similarity plans (embedding near-dup / ANN at 100 TB scale:
   * billions of pairs × vector width). This expression generates a tight
   * primitive loop inside whole-stage codegen: no allocation, no lambda
-  * dispatch, values widened to double exactly like the HOF form, so
-  * results are bit-identical to it (sequential left-to-right summation).
+  * dispatch, values widened to double exactly like the HOF form. For
+  * equal-length arrays with non-null elements, results are bit-identical
+  * to the HOF form (sequential left-to-right summation). Divergences, by
+  * design: mismatched lengths sum over min(length) — truncation that
+  * Vectors.lshBucket relies on (4096-dim plane literals vs shorter
+  * vectors) — where the HOF form yields NULL; null elements are undefined
+  * here (primitive read) vs NULL there.
   *
   * Array elements are assumed non-null (embedding vectors); a null array
   * yields null (NullIntolerant).

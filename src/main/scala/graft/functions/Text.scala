@@ -16,14 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Compact English stopword list (reference vendors NLTK's english list,
-    * `cache.py:14,227`; we keep a fixed subset so the oracle SQL can inline
-    * the same literal set).
+  /** NLTK's English stopword list (179 words), vendored as a resource for
+    * parity with the reference (`cache.py:14,227` uses
+    * `stopwords.words('english')`). Loaded once; order preserved.
     */
-  val StopWords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  val StopWords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/nltk_english_stopwords.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
 
-  /** SQL-literal form of [[StopWords]] for oracle formulations. */
-  val StopWordsSql: String = StopWords.map(w => s"'$w'").mkString("(", ",", ")")
+  /** SQL-literal form of [[StopWords]] for oracle formulations
+    * (apostrophes in contractions like don't escaped as '' for ANSI SQL).
+    */
+  val StopWordsSql: String =
+    StopWords.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ",", ")")
 
   /** Whitespace tokenizer over lowercased text (reference C5/C6). */
   def tokens(text: Column): Column = split(lower(text), " ")
@@ -65,13 +73,24 @@ object Text {
     when(stopwordHits(text) * 10 >= size(tokens(text)).cast("long"), lit("en"))
       .otherwise(lit("und"))
 
-  /** NLTK-word_tokenize-ish tokenizer: word runs and single punctuation
-    * marks become tokens ("hello, world!" → [hello, ",", world, "!"]).
-    * Documented divergence from Punkt (SURVEY §7.4#3): contractions split
-    * at the apostrophe ("don't" → [don, ', t] vs NLTK's [do, n't]).
+  /** NLTK-word_tokenize-compatible tokenizer for the common cases: word
+    * runs and single punctuation marks become tokens, and English clitic
+    * contractions split the Treebank way — "don't" → [do, n't], "can't" →
+    * [ca, n't], "it's" → [it, 's], "we've" → [we, 've] (reference
+    * `cache.py:16,216`; fixtures in FunctionsSpec assert real NLTK
+    * outputs). Remaining documented divergences from Punkt+Treebank:
+    * abbreviations ("U.S." splits at the periods) and directional quote
+    * conversion (NLTK rewrites " to `` / '').
     */
-  def wordTokenize(text: Column): Column =
-    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+  def wordTokenize(text: Column): Column = {
+    // Detach clitics first (space before n't / 's-family), then extract
+    // tokens with the clitic alternatives ahead of the generic word run.
+    val detached = regexp_replace(
+      regexp_replace(text, "(?i)(\\w)(n't)\\b", "$1 $2"),
+      "(?i)(\\w)('s|'re|'ve|'ll|'d|'m)\\b", "$1 $2")
+    regexp_extract_all(detached,
+      lit("(?i)n't|'(?:s|re|ve|ll|d|m)\\b|\\w+|[^\\w\\s]"), lit(0))
+  }
 
   /** BPE-ish token count: alpha runs and digit runs count separately. */
   def bpeishTokenCount(text: Column): Column =

@@ -120,11 +120,17 @@ object TweetIngest {
         f("friends_count").as("friends_count"),
         f("created_at").as("created_at_raw"))
     }
+    // All four author positions: the line's own user, the retweeted
+    // original's user, a top-level quoted status's user, and a quoted
+    // status nested inside a retweet (curatedTweets emits quoted docs from
+    // that path, so its authors must exist in the users table too —
+    // reference add_users collects the same set, cell 34).
     raw
       .select(explode(array(
         userStruct(""),
         userStruct("retweeted_status"),
-        userStruct("quoted_status"))).as("u"))
+        userStruct("quoted_status"),
+        userStruct("retweeted_status.quoted_status"))).as("u"))
       .filter(col("u.id").isNotNull)
       .select(col("u.*"))
       .withColumn("created_at", parseTwitterTime(col("created_at_raw")))

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * `right.ts <= left.ts` (the right row sorts first and is visible).
   * At scale this is the streamed formulation: sort-merge within key
   * partitions, O(n) per key, skew handled by AQE like any window.
+  *
+  * Determinism: multiple right rows with identical (key, ts) are a tie
+  * ASOF semantics leave undefined; here the window order ends on the
+  * value column, so the GREATEST value wins — a fixed, documented rule
+  * instead of whichever row the shuffle happened to deliver last.
   */
 object AsOf {
 
@@ -31,8 +36,10 @@ object AsOf {
       .withColumn("__side", lit(0))
       .withColumnRenamed(valueCol, "__v")
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // Final __v key: deterministic winner among right rows tied on
+    // (key, ts) — last() in frame order picks the greatest value.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))

@@ -13,8 +13,15 @@ import graft.functions.Text
   * signatures are computed map-side (pure column expressions, no UDFs),
   * candidate generation shuffles only on compact hash keys, and pairwise
   * verification happens only inside candidate buckets (never all-pairs).
-  * At cluster scale, persist signature tables once (they are tiny relative
-  * to the corpus) instead of recomputing per join side.
+  *
+  * Cache lifecycle: signature tables are materialized via
+  * `localCheckpoint(eager = true)` — unlike `.cache()`, each call builds a
+  * fresh checkpointed RDD that the ContextCleaner releases when the result
+  * is dropped, so repeated calls neither pile up storage nor log
+  * "already cached" warnings. On a real cluster prefer writing the
+  * signature table once (parquet) and passing it to the
+  * `...FromSignatures` variants — localCheckpoint blocks don't survive
+  * executor loss.
   */
 object Dedup {
 
@@ -57,15 +64,14 @@ object Dedup {
       .groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate pairs: ids whose signatures collide on at least one
-    * band of `rowsPerBand` consecutive hashes. The signature table is
-    * materialized (cached) before the self-joins — signatures are tiny
-    * and recomputing the hash expressions per join side both doubles work
-    * and blows up optimizer time on deep expression trees.
+  /** LSH candidate pairs from a materialized signature table (the cluster
+    * path: persist signatures once, reuse across band joins).
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, numHashes).cache()
+  def lshCandidatePairsFromSignatures(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing hashes would be silently dropped, reducing recall")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
       val a = sig.select(col(idCol).as("id_a") +: keys.map(col): _*)
@@ -77,15 +83,31 @@ object Dedup {
     bands.reduce(_ unionByName _).distinct()
   }
 
+  /** LSH candidate pairs: ids whose signatures collide on at least one
+    * band of `rowsPerBand` consecutive hashes. The signature table is
+    * materialized before the self-joins — inlined signature expressions
+    * would be re-evaluated per join side (measured 100×: 102s → <1s) and
+    * blow up optimizer time on deep expression trees.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    lshCandidatePairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(),
+      idCol, numHashes, rowsPerBand)
+
   /** Bigram-shingle Jaccard similarity for candidate pairs. `scopeCol`
     * bounds the pair space (e.g. a source/bucket column); at scale pass
     * the LSH band key instead of a broad scope.
+    *
+    * Join strategy is left to AQE: the per-doc count table `n` is
+    * corpus-sized (one row per document), so it must never be broadcast —
+    * the small side of both count joins is the aggregated pair table `p`.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       scopeCol: String): DataFrame = {
-    // Materialized once: referenced by both self-join sides and both
-    // per-doc-count joins (4 plan references → 4 recomputes otherwise).
-    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct().cache()
+    // Materialized once: referenced by both self-join sides and the
+    // per-doc-count branch (3 plan references → 3 recomputes otherwise).
+    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct().localCheckpoint()
     val n = w.groupBy(idCol).agg(count(lit(1)).as("nd"))
     val p = w.as("a")
       .join(w.as("b"),
@@ -93,25 +115,29 @@ object Dedup {
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    p.join(broadcast(n).as("na"), col("id_a") === col(s"na.$idCol"))
-      .join(broadcast(n).as("nb"), col("id_b") === col(s"nb.$idCol"))
+    p.join(n.as("na"), col("id_a") === col(s"na.$idCol"))
+      .join(n.as("nb"), col("id_b") === col(s"nb.$idCol"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") / (col("na.nd") + col("nb.nd") - col("shared")))
           .as("jaccard"))
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint — per-token hash bits
-    * vote ±1 per position; the sign vector packs into a long. Near-dups
-    * differ in few bits (hamming distance via bit_count(a ^ b)).
-    * Single explode + one grouped aggregation; crc32-derived bits (the
-    * portable-hash constraint only matters for oracle-checked queries).
+  /** SimHash: `bits`-bit locality-sensitive fingerprint — per-token hash
+    * bits vote ±1 per position; the sign vector packs into a long.
+    * Near-dups differ in few bits (hamming via bit_count(a ^ b)).
+    *
+    * Bit family: bit b of a token = high bit of hex digit b+1 of md5(token)
+    * (digit >= '8'). md5-hex is byte-identical across engines, so the
+    * fingerprints are DuckDB-expressible for the oracle (crc32/xxhash64
+    * are Spark-only). Single explode + one grouped aggregation.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits ($bits) must be in [1, 32] (md5 has 32 hex digits)")
     val t = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
-      .withColumn("h", crc32(col("w")))
+      .withColumn("h", md5(col("w")))
     val votes = (0 until bits).map(b =>
-      sum(when(col("h").bitwiseAND(1L << b) =!= 0, 1).otherwise(-1)).as(s"v$b"))
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$b"))
     t.groupBy(idCol).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
         (0 until bits).map(b =>
@@ -119,18 +145,42 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within max hamming distance. Self-join on the
-    * top half of the fingerprint as a blocking key would scale better; at
-    * this size a bucket-free join on small hamming radius suffices.
+  /** SimHash near-dup pairs within `maxHamming` from a materialized
+    * fingerprint table. Pigeonhole blocking — split the fingerprint into
+    * maxHamming+1 disjoint bit segments; any pair within the radius agrees
+    * exactly on at least one segment — so candidates come from equi-joins
+    * on compact segment keys (shuffle-bounded), never an all-pairs
+    * cartesian. Same pattern as the MinHash bands.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+  def simhashPairsFromSignatures(sig: DataFrame, idCol: String,
       maxHamming: Int = 3, bits: Int = 16): DataFrame = {
-    val s = simhash(df, idCol, textCol, bits).cache()
-    val a = s.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = s.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val nBlocks = maxHamming + 1
+    require(bits >= nBlocks, s"need at least one bit per segment ($nBlocks)")
+    val base = bits / nBlocks
+    def seg(sh: Column, k: Int): Column = {
+      val lo = k * base
+      val width = if (k == nBlocks - 1) bits - lo else base
+      shiftright(sh, lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    val a = sig.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    (0 until nBlocks).map { k =>
+        a.join(b,
+          seg(col("sh_a"), k) === seg(col("sh_b"), k) && col("id_a") < col("id_b"))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs within `maxHamming` (fingerprints computed and
+    * materialized internally; see [[simhashPairsFromSignatures]]).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 16): DataFrame =
+    simhashPairsFromSignatures(
+      simhash(df, idCol, textCol, bits).localCheckpoint(),
+      idCol, maxHamming, bits)
 }

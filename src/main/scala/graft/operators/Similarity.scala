@@ -39,18 +39,29 @@ object Similarity {
   def withLshBuckets(df: DataFrame, vecCol: String, planes: Int = 4): DataFrame =
     df.withColumn("bucket", Vectors.lshBucket(Vectors.toDouble(col(vecCol)), planes))
 
-  /** LSH-bucketed ANN: score only vectors sharing the query's bucket.
-    * Approximate — recall depends on `planes` (fewer planes → bigger
-    * buckets → higher recall, more work).
+  /** LSH-bucketed ANN with multi-probe: score vectors in every bucket
+    * whose key is within hamming distance `probeHamming` of the query's
+    * bucket (a near-neighbor that flips one marginal hyperplane sign lands
+    * one bit away — probing those buckets is the standard recall fix that
+    * keeps the bucketed plan). probeHamming=1 scores planes+1 of the
+    * 2^planes buckets; 0 is single-bucket. The probe-key table stays tiny
+    * (one row per probed bucket), so the join is a broadcast against a
+    * map-side bucketed scan — no corpus shuffle, the 100 TB path.
     */
   def topKLsh(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int = 10, planes: Int = 4): DataFrame = {
+      queryId: Long, k: Int = 10, planes: Int = 4,
+      probeHamming: Int = 1): DataFrame = {
     val bucketed = withLshBuckets(df, vecCol, planes)
     val qv = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"), col("bucket").as("__qb"))
+    val masks = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val probes = qv.select(col("__qv"),
+      explode(array(masks.map(m => col("__qb").bitwiseXOR(lit(m.toLong))): _*))
+        .as("__pb"))
     val v = col(vecCol)
     bucketed.filter(col(idCol) =!= queryId)
-      .join(broadcast(qv), col("bucket") === col("__qb"))
+      .join(broadcast(probes), col("bucket") === col("__pb"))
       .select(col(idCol),
         (Vectors.dot(v, col("__qv")) / (Vectors.norm(v) * Vectors.norm(col("__qv"))))
           .as("score"))

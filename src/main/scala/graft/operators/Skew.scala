@@ -33,10 +33,12 @@ object Skew {
 
   /** Salted distinct-count: exact, two-phase. Phase 1 dedups (key, value)
     * within salt partitions; phase 2 dedups across salts then counts.
+    * NULL values are ignored, matching SQL `COUNT(DISTINCT value)`.
     */
   def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16): DataFrame =
     df.select(col(key), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
       .dropDuplicates(key, valueCol, "__salt") // partial dedup, salt-local
       .dropDuplicates(key, valueCol)

@@ -55,17 +55,25 @@ object TweetSearch {
 
   /** Pagination (T6/§2.5): slice page `page` (1-based) of an ordered
     * result. The reference slices a collected list driver-side
-    * (app.py:200-201); for engine-side pagination use a row_number window.
+    * (app.py:200-201). Engine-side: sort + OFFSET + LIMIT — Spark plans
+    * this as a distributed top-(offset+limit) (TakeOrderedAndProject with
+    * offset), so only `pageNum * pageSize` rows ever reach one task. A
+    * global row_number window here would move the WHOLE result to a single
+    * task — the round-1 scale-killer, regression-locked in PlanSpec.
     */
-  def page(ordered: DataFrame, pageNum: Int, pageSize: Int = PageSize): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(
-      col("retweet_count").desc, col("favorite_count").desc, col("id_str"))
+  def page(ordered: DataFrame, pageNum: Int, pageSize: Int = PageSize): DataFrame =
     ordered
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn").between((pageNum - 1) * pageSize + 1, pageNum * pageSize))
-      .drop("rn")
-  }
+      .orderBy(col("retweet_count").desc, col("favorite_count").desc, col("id_str"))
+      .offset((pageNum - 1) * pageSize)
+      .limit(pageSize)
+
+  /** T5: display cap — render at most `cap` retweets per tweet (the
+    * reference slices `retweets[:30]` at render time, app.py:245-247).
+    * Null retweet arrays (originals with no retweets) stay null.
+    */
+  def withDisplayCap(tweets: DataFrame, cap: Int = 30): DataFrame =
+    tweets.withColumn("retweets",
+      when(col("retweets").isNotNull, slice(col("retweets"), 1, cap)))
 
   /** T4 sidebar: top-5 tweets by favorites (app.py:170-171). */
   def topTweetsByFavorites(tweets: DataFrame, k: Int = 5): DataFrame =

@@ -293,9 +293,16 @@ object Catalog {
         .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id")),
 
-    // §2.5: pagination via row_number window (app.py:200-201).
+    // §2.5: pagination (app.py:200-201). Two-phase: a distributed top-20
+    // (TakeOrderedAndProject — only pageEnd rows reach one task) bounds the
+    // input, THEN a row_number window ranks the ≤20 survivors. A global
+    // window over the unbounded table would move every row to a single
+    // task — the round-1 scale-killer (regression-locked in PlanSpec).
     Q("w1_pagination",
       (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
         .select(col("o_orderkey"), col("o_totalprice"),
           row_number().over(
             Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
@@ -550,15 +557,31 @@ object Catalog {
         .orderBy("id_a", "id_b"),
       Some("WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents), w AS (SELECT DISTINCT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM t), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM w a JOIN w b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na.nd + nb.nd - shared) AS jaccard FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b ORDER BY id_a, id_b")))
 
-  /** Rows-only checks (no SQL-expressible oracle — driver records a
-    * weaker rows>0 check): SimHash fingerprints and LSH-bucketed ANN.
+  /** SimHash fingerprints + segment-blocked near-dup pairs. md5-derived
+    * bits (high bit of hex digit b+1) make both DuckDB-expressible; the
+    * oracle's pair check is the semantic all-pairs form, so a hash-match
+    * also proves the pigeonhole blocking loses no pair.
     */
-  private val dedupNoOracle = Seq(
+  private val simhashQs = Seq(
     Q("dedup_simhash",
       (s, d) => graft.operators.Dedup
         .simhash(Tables.documents(s, d), "doc_id", "text", 16)
         .orderBy("doc_id"),
-      None),
+      Some(s"${simhashSql(16)} ORDER BY doc_id")),
+    // 24 bits / radius 1: the synthetic docs share a small vocabulary, so
+    // fingerprints cluster — wider fingerprints + tight radius keep the
+    // pair set near-dup-sized (279k at sf0.1) instead of degenerate
+    // (3.5M at 16 bits / radius 3).
+    Q("dedup_simhash_pairs",
+      (s, d) => graft.operators.Dedup
+        .simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 1, bits = 24)
+        .orderBy("id_a", "id_b"),
+      Some(s"WITH sig AS (${simhashSql(24)}) SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id) WHERE hamming <= 1 ORDER BY id_a, id_b")))
+
+  /** Rows-only checks (no SQL-expressible oracle — driver records a weaker
+    * rows>0 check); recall vs exact ground truth asserted in SimilaritySpec.
+    */
+  private val dedupNoOracle = Seq(
     Q("sim_lsh_ann",
       (s, d) => graft.operators.Similarity
         .topKLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 10, planes = 2),
@@ -570,6 +593,17 @@ object Catalog {
         graft.operators.Ivf.search(emb, "vec_id", "embedding", centroids, 0L, k = 10, nprobe = 2)
       },
       None))
+
+  /** SimHash fingerprint SQL: votes per bit from md5 hex digits, packed
+    * into one BIGINT — the exact twin of [[graft.operators.Dedup.simhash]].
+    */
+  private def simhashSql(bits: Int): String = {
+    val votes = (0 until bits).map(b =>
+      s"SUM(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val pack = (0 until bits).map(b =>
+      s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM (SELECT doc_id, $votes FROM (SELECT doc_id, md5(w) AS h FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)) GROUP BY doc_id)"
+  }
 
   /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
     * transform over 1-based element_at — verified aligned).
@@ -687,7 +721,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ dedupNoOracle ++ vectors ++ streaming
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ streaming
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -31,12 +31,41 @@ class FunctionsSpec extends SparkSpec {
     assert(m === Map(1L -> "en", 2L -> "und"))
   }
 
-  test("wordTokenize splits words and punctuation NLTK-ishly") {
+  test("wordTokenize matches NLTK word_tokenize on fixture sentences") {
     import spark.implicits._
-    val df = Seq((1L, "Hello, world! don't")).toDF("id", "text")
-      .select(Text.wordTokenize($"text").as("t"))
-    assert(df.collect().head.getSeq[String](0) ===
-      Seq("Hello", ",", "world", "!", "don", "'", "t"))
+    // Expected outputs are real nltk.word_tokenize results (reference
+    // cache.py:16,216 tokenizes lowercased text; mixed case included here
+    // to pin case preservation).
+    val fixtures = Seq(
+      ("Hello, world!", Seq("Hello", ",", "world", "!")),
+      ("don't", Seq("do", "n't")),
+      ("i can't believe it's done.", Seq("i", "ca", "n't", "believe", "it", "'s", "done", ".")),
+      ("we've seen they'll win; you're next!", Seq("we", "'ve", "seen", "they", "'ll", "win", ";", "you", "'re", "next", "!")),
+      ("she'd go", Seq("she", "'d", "go")),
+      ("i'm here", Seq("i", "'m", "here")),
+      ("won't shan't ain't", Seq("wo", "n't", "sha", "n't", "ai", "n't")),
+      ("the users' files", Seq("the", "users", "'", "files")),
+      // URL tokens diverge (NLTK keeps '//t.co/x' whole) — documented in
+      // Text.wordTokenize; hashtags/mentions split the same way.
+      ("stay home #StaySafe @user", Seq("stay", "home", "#", "StaySafe", "@", "user")))
+    for ((text, expected) <- fixtures) {
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(Text.wordTokenize($"text").as("t"))
+        .collect().head.getSeq[String](0)
+      assert(got === expected, s"input: $text")
+    }
+  }
+
+  test("StopWords is NLTK's english list: 179 words, contractions included") {
+    assert(Text.StopWords.size === 179)
+    assert(Text.StopWords.take(4) === Seq("i", "me", "my", "myself"))
+    assert(Text.StopWords.contains("don't"))
+    assert(Text.StopWords.contains("wouldn't"))
+    assert(Text.StopWords.contains("should've"))
+    assert(!Text.StopWords.contains("house"))
+    // SQL twin escapes apostrophes and keeps cardinality
+    assert(Text.StopWordsSql.contains("'don''t'"))
+    assert(Text.StopWordsSql.split(",").length === 179)
   }
 
   test("bpeish token count splits alpha and digit runs") {

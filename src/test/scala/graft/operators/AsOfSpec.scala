@@ -25,4 +25,18 @@ class AsOfSpec extends SparkSpec {
       3L -> None,      // no right row at or before 50
       4L -> Some("x")))
   }
+
+  test("duplicate (key, ts) right rows resolve deterministically to the greatest value") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 100L)).toDF("id", "k", "ts")
+    val right = Seq( // three right rows tied at ts=90 — winner must be fixed
+      ("k1", 90L, "b"), ("k1", 90L, "c"), ("k1", 90L, "a"))
+      .toDF("k", "ts", "v")
+    // repartition shuffles the physical row order; result must not change
+    for (parts <- Seq(1, 3, 7)) {
+      val got = AsOf.asofJoin(left, right.repartition(parts), "k", "ts", "v")
+        .collect().map(_.getString(3))
+      assert(got === Array("c"), s"parts=$parts")
+    }
+  }
 }

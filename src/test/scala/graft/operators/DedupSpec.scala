@@ -61,4 +61,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("segment-blocked simhashPairs equals the all-pairs reference (pigeonhole loses nothing)") {
+    val sig = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("lshCandidatePairs rejects band configs that would drop hashes") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 5, rowsPerBand = 2)
+    }
+    assert(e.getMessage.contains("multiple of rowsPerBand"))
+  }
 }

@@ -72,6 +72,24 @@ class SearchSpec extends SparkSpec {
     assert((p1 ++ p2 ++ p3).toSeq === all.toSeq)
   }
 
+  test("T5 display cap slices retweets to at most 30 and keeps null arrays null") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", Some(Seq.tabulate(40)(i => s"rt$i"))),
+      ("2", Some(Seq("a"))),
+      ("3", Option.empty[Seq[String]]))
+      .toDF("id_str", "retweets")
+    val got = TweetSearch.withDisplayCap(df, cap = 30)
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.size))
+      .toMap
+    assert(got === Map("1" -> Some(30), "2" -> Some(1), "3" -> None))
+    // first 30 retained in order, not an arbitrary subset
+    val first = TweetSearch.withDisplayCap(df, cap = 30)
+      .filter($"id_str" === "1").collect().head.getSeq[String](1)
+    assert(first === Seq.tabulate(30)(i => s"rt$i"))
+  }
+
   test("topTweetsByFavorites returns the favorite-count top-k") {
     val got = TweetSearch.topTweetsByFavorites(tweets, 2)
       .select("id_str").collect().map(_.getString(0))

@@ -39,6 +39,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.sortBy(x => brute.indexOf(x)) === lsh)
   }
 
+  test("ANN recall vs exact ground truth on real embeddings (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val brute = Similarity.topKBruteForce(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.size === 10)
+    // catalog configs: sim_lsh_ann (planes=2, multi-probe h≤1) and
+    // sim_ivf_ann (k=8, iters=2, nprobe=2). Measured recall is 9/10 and
+    // 10/10; thresholds leave margin but would catch a bucketing or
+    // probe regression (single-bucket LSH scored 4/10).
+    val lsh = Similarity.topKLsh(emb, "vec_id", "embedding", 0L, 10, planes = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((lsh & brute).size >= 7, s"LSH recall ${(lsh & brute).size}/10")
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val ivf = Ivf.search(emb, "vec_id", "embedding", cents, 0L, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((ivf & brute).size >= 8, s"IVF recall ${(ivf & brute).size}/10")
+  }
+
   test("bucketing is stable: same vector → same bucket") {
     val b = Similarity.withLshBuckets(vecs.union(vecs), "embedding", 4)
       .groupBy("vec_id").agg(org.apache.spark.sql.functions.countDistinct("bucket").as("nb"))

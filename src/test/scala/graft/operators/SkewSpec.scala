@@ -34,6 +34,23 @@ class SkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("saltedDistinctCount ignores NULLs like COUNT(DISTINCT)") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (1L, Some(1.0)), (1L, Some(2.0)), (1L, None), (1L, None),
+      (2L, None)) // key 2 has only nulls → 0 distinct
+      .toDF("k", "v")
+    val direct = withNulls.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedDistinctCount(withNulls, "k", "v", salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nulls don't count toward the distinct total (SQL semantics)...
+    assert(salted(1L) === 2L && direct(1L) === 2L)
+    // ...and a key whose values are ALL null has no rows left to group —
+    // it yields no output row (vs COUNT(DISTINCT)'s 0 row). Documented gap.
+    assert(direct(2L) === 0L && !salted.contains(2L))
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     val small = (0 to 49).map(k => (k.toLong, s"dim$k")).toDF("k", "name")

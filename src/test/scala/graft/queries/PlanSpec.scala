@@ -38,6 +38,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("w1: pagination window input is bounded by a distributed top-k first") {
+    val p = plan("w1_pagination")
+    // top-20 fuses into TakeOrderedAndProject; the single-partition window
+    // then ranks ≤20 rows, never the whole table (round-1 scale-killer).
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("TweetSearch.page plans as distributed top-(offset+limit), no global window") {
+    import graft.TestFixtures
+    import spark.implicits._
+    val tweets = TestFixtures.tweets.toDF()
+    val p = graft.operators.TweetSearch.page(tweets, 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup_simhash_pairs: candidates come from equi-joins, never a cartesian") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_ngram_jaccard: no forced broadcast of the corpus-sized count table") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), opt)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
