@@ -80,6 +80,12 @@ final class Engine(
 
   def checkpointCache(path: String): Unit = cache.checkpoint(spark, path)
 
+  /** Restart warm-up ≈ `load_cache_from_mongodb` (cache.py:62-67):
+    * reload the serialized cache so previously-answered queries are hits
+    * with no recomputation. Returns the number of live entries.
+    */
+  def restoreCache(path: String): Int = cache.restore(spark, path)
+
   /** SQL surface: the curated tables as temp views, so every engine query
     * is also expressible as `engine.sql("SELECT ... FROM tweets ...")`.
     */

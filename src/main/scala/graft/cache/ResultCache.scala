@@ -65,26 +65,66 @@ final class ResultCache(
 
   def size: Int = synchronized(entries.size)
 
-  /** Checkpoint cache *state* (keys + timestamps) to parquet — enough to
-    * warm-rank entries on restart. The reference serializes full result
-    * payloads into one Mongo doc per write (cache.py:125); payloads here
-    * are cheap to recompute and schema-heterogeneous, so we persist the
-    * metadata only.
+  /** Checkpoint full cache state — keys, timestamps, AND payloads — to
+    * parquet. Rows are JSON-serialized per entry (entries are
+    * schema-heterogeneous, so each carries its own schema DDL), mirroring
+    * the reference's serialization of result payloads into one Mongo doc
+    * per write (cache.py:125, FIXTURES.md §4 `result: JSON-serialized
+    * rows`). Cached results are ≤maxSize entries of ≤~50 rows, so the
+    * per-entry local jobs are trivially cheap — this is driver-side cache
+    * state, not a data path.
     */
   def checkpoint(spark: SparkSession, path: String): Unit = {
-    val snap = synchronized(entries.toSeq.map { case (k, e) =>
-      (k, e.timestampMs, e.rows.size.toLong)
-    })
+    val snap = synchronized(entries.toSeq)
+    val recs = snap.map { case (k, e) =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(e.schemaDDL)
+      val payload: Seq[String] =
+        if (e.rows.isEmpty) Seq.empty
+        else spark.createDataFrame(
+          java.util.Arrays.asList(e.rows: _*), schema).toJSON.collect().toSeq
+      (k, e.timestampMs, e.rows.size.toLong, e.schemaDDL, payload)
+    }
     import spark.implicits._
-    snap.toDF("key", "timestamp_ms", "n_rows")
+    recs.toDF("key", "timestamp_ms", "n_rows", "schema_ddl", "payload")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Keys from a checkpoint, LRU-order (oldest first) — the restart
-    * warm-up list (reference reloads its serialized cache at startup,
-    * cache.py:62-67; payloads here are recomputed by re-running the
-    * queries for these keys, not deserialized).
+  /** Restore cache state from a checkpoint: repopulates entries (payloads
+    * deserialized via each entry's own schema) in LRU order, so a restart
+    * serves hits WITHOUT recomputation — the reference's
+    * `load_cache_from_mongodb` behavior (cache.py:62-67). JSON round-trip
+    * semantics (ISO timestamps, no distinction between missing and null)
+    * match the reference's JSON-serialized Mongo payloads.
     */
+  def restore(spark: SparkSession, path: String): Int = {
+    import spark.implicits._
+    val recs = spark.read.parquet(path)
+      .orderBy("timestamp_ms")
+      .collect()
+    val rebuilt = recs.map { r =>
+      val k = r.getAs[String]("key")
+      val ts = r.getAs[Long]("timestamp_ms")
+      val ddl = r.getAs[String]("schema_ddl")
+      val payload = r.getAs[scala.collection.Seq[String]]("payload")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val rows: Seq[Row] =
+        if (payload.isEmpty) Seq.empty
+        else spark.read.schema(schema)
+          .json(spark.createDataset(payload.toSeq)).collect().toSeq
+      (k, Entry(rows, ddl, ts))
+    }
+    synchronized {
+      rebuilt.foreach { case (k, e) =>
+        if (!entries.contains(k)) {
+          if (entries.size >= maxSize) entries.headOption.foreach(h => entries.remove(h._1))
+          entries.put(k, e)
+        }
+      }
+      entries.size
+    }
+  }
+
+  /** Keys from a checkpoint, LRU-order (oldest first). */
   def checkpointedKeys(spark: SparkSession, path: String): Seq[String] =
     spark.read.parquet(path)
       .orderBy("timestamp_ms")

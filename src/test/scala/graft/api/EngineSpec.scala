@@ -5,14 +5,16 @@ import graft.{SparkSpec, TestFixtures}
 /** Engine facade: tables + cache wiring (≈ TwitterSearchApp surface). */
 class EngineSpec extends SparkSpec {
 
-  private lazy val engine: Engine = {
+  private lazy val paths: (String, String) = {
     import spark.implicits._
     val tPath = tmpDir("engtweets")
     val uPath = tmpDir("engusers")
     TestFixtures.tweets.toDF().write.mode("overwrite").parquet(tPath)
     TestFixtures.users.toDF().write.mode("overwrite").parquet(uPath)
-    new Engine(spark, tPath, uPath, cacheSize = 8)
+    (tPath, uPath)
   }
+
+  private lazy val engine: Engine = new Engine(spark, paths._1, paths._2, cacheSize = 8)
 
   test("searchTweets returns enriched rows and memoizes") {
     val r1 = engine.searchTweets(keyword = Some("house"))
@@ -42,6 +44,19 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() >= 1)
     val keys = engine.cache.checkpointedKeys(spark, p)
     assert(keys.nonEmpty && keys.exists(_.contains("kw=casa")))
+  }
+
+  test("cache restore after restart serves search hits without recompute") {
+    val p = tmpDir("engrestore") + "/state"
+    val r1 = engine.searchTweets(keyword = Some("house"))
+    engine.checkpointCache(p)
+    // "restarted" engine over the same tables, fresh empty cache
+    val engine2 = new Engine(spark, paths._1, paths._2, cacheSize = 8)
+    assert(engine2.restoreCache(p) >= 1)
+    val misses = engine2.cache.misses.get()
+    val r2 = engine2.searchTweets(keyword = Some("house"))
+    assert(engine2.cache.misses.get() === misses, "restored cache must serve the hit")
+    assert(r2.map(_.getAs[String]("id_str")).sorted === r1.map(_.getAs[String]("id_str")).sorted)
   }
 
   test("sql surface exposes the curated tables as views") {

@@ -55,4 +55,41 @@ class ResultCacheSpec extends SparkSpec {
     val state = spark.read.parquet(path).collect()
     assert(state.length === 1 && state.head.getAs[Long]("n_rows") === 5L)
   }
+
+  test("restore rebuilds payloads: restart serves hits without recompute") {
+    import org.apache.spark.sql.functions._
+    val cache = new ResultCache(maxSize = 4)
+    // heterogeneous schemas across entries, incl. an empty result
+    cache.put("t", Seq("k" -> "1"), df(5))
+    cache.put("u", Seq("q" -> "x"),
+      df(3).select(col("x"), concat(lit("v"), col("x")).as("s")))
+    cache.put("t", Seq("k" -> "empty"), df(3).filter(col("x") > 99))
+    val path = tmpDir("cacherestore") + "/state"
+    cache.checkpoint(spark, path)
+
+    val fresh = new ResultCache(maxSize = 4) // "restarted process"
+    assert(fresh.restore(spark, path) === 3)
+    var computes = 0
+    val rows = fresh.getOrElse("u", Seq("q" -> "x")) { computes += 1; df(1) }
+    assert(computes === 0, "restored entry must serve without recompute")
+    assert(rows.map(r => (r.getAs[Int]("x"), r.getAs[String]("s"))).sorted
+      === Seq((1, "v1"), (2, "v2"), (3, "v3")))
+    assert(fresh.get("t", Seq("k" -> "1")).get.map(_.getInt(0)).sorted === Seq(1, 2, 3, 4, 5))
+    assert(fresh.get("t", Seq("k" -> "empty")).get.isEmpty)
+    assert(fresh.hits.get() === 3 && fresh.misses.get() === 0)
+  }
+
+  test("restore respects capacity and keeps the newest entries") {
+    val cache = new ResultCache(maxSize = 4)
+    var now = 1000L
+    val stamped = new ResultCache(maxSize = 4, clock = () => { now += 1000; now })
+    (1 to 4).foreach(i => stamped.put("t", Seq("k" -> i.toString), df(i)))
+    val path = tmpDir("cachecap") + "/state"
+    stamped.checkpoint(spark, path)
+    val small = new ResultCache(maxSize = 2)
+    assert(small.restore(spark, path) === 2)
+    // entries restored oldest-first into an LRU map → the 2 newest survive
+    assert(small.get("t", Seq("k" -> "3")).isDefined)
+    assert(small.get("t", Seq("k" -> "4")).isDefined)
+  }
 }
