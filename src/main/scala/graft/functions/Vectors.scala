@@ -40,6 +40,30 @@ object Vectors {
   /** Cosine similarity of two array<double> columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** max(|x|) over the vector — the scalar-quantization scale basis.
+    * abs/max are exact (no rounding), so this is order-independent and
+    * bit-identical cross-engine.
+    */
+  def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 scalar quantization: q_i = floor(x_i * (127/max|x|)
+    * + 0.5), q_i ∈ [-127, 127]. A fixed per-element IEEE expression tree
+    * (widen, divide once, multiply, add, floor) — deterministic and
+    * cross-engine exact, unlike a round() whose half-even rule differs
+    * between engines. 4× memory reduction for ANN candidate scans.
+    */
+  def quantizeInt8(v: Column, mx: Column): Column =
+    transform(v, x => floor(x.cast("double") * (lit(127.0) / mx) + lit(0.5)).cast("long"))
+
+  /** Max reconstruction error of the int8 round-trip, in micro-units:
+    * max_i |q_i * (max|x|/127) - x_i| * 1e6, floored to an exact integer.
+    * The quality gate for quantized ANN (error ≤ scale/2 by construction).
+    */
+  def quantErrorMicros(v: Column, q: Column, mx: Column): Column =
+    floor(array_max(zip_with(q, v, (qi, xi) =>
+      abs(qi.cast("double") * (mx / lit(127.0)) - xi.cast("double")))) * 1e6 + lit(0.5))
+      .cast("long")
+
   /** Sign-bit LSH bucket over `planes` pseudo-random hyperplanes.
     *
     * Hyperplane components are ±1, derived from a fixed-seed hash of

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a candidate-pair edge list —
+  * the clustering step of a dedup pipeline (LSH/SimHash pairs → duplicate
+  * clusters → one canonical doc per cluster).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+  * Each round is two shuffle-bounded DataFrame jobs on compact (id, id)
+  * edges; the edge graph contracts toward star graphs rooted at each
+  * component's minimum id in O(log n) rounds REGARDLESS of graph
+  * diameter — unlike naive min-label propagation, which needs
+  * O(diameter) rounds and dies on chain-shaped duplicate clusters
+  * (document A ~ B ~ C ~ … is exactly how near-dup chains look).
+  *
+  * Scale notes (100 TB):
+  *  - no driver-side graph state: the only driver values are the
+  *    per-round convergence checksum (2 longs);
+  *  - each round's output is `localCheckpoint`ed to cut lineage (on a
+  *    real cluster swap for `checkpoint` with a reliable dir — star
+  *    contraction is iterative, lineage grows per round);
+  *  - skew: the root of a huge component accumulates its members'
+  *    edges; large-star emits (v, min) keyed by v — fan-in is bounded
+  *    by each node's degree, not component size, which is the point of
+  *    the two-phase scheme.
+  */
+object Components {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    // neighborhoods of u over symmetrized edges; emit (v, min(N⁺(u)))
+    // for neighbors v > u
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // point edges large→small; emit (v, min(N(u))) for all v in N(u),
+    // plus (u, min(N(u)))
+    val dir = e.select(greatest("u", "v").as("u"), least("u", "v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Component labels for an undirected edge list: one row per node that
+    * appears in `edges`, labeled with the minimum node id reachable from
+    * it. Nodes absent from `edges` are absent here — see [[clusters]] for
+    * the all-vertices form.
+    */
+  def componentLabels(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // convergence = identical edge set; (count, xor-of-hashes) is an
+      // order-free, overflow-free exact checksum for distinct edge sets
+      // (up to hash collision)
+      val Array(prevChk, nextChk) = Seq(e, next).map(d =>
+        d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+          .collect().head).toArray
+      converged = prevChk == nextChk
+      e = next
+      i += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // terminal star graphs: every non-root has exactly one edge to its
+    // root; roots label themselves
+    val roots = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+      .select(col("v").as("u"), col("v"))
+    e.union(roots).select(col("u").as("id"), col("v").as("component"))
+  }
+
+  /** Every vertex labeled with its duplicate-cluster id (= min id in its
+    * connected component over `pairs`); singletons label themselves.
+    * This is the "assign cluster ids" stage between candidate-pair
+    * generation (LSH / SimHash blocking) and canonical-doc selection.
+    */
+  def clusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val labels = componentLabels(pairs, aCol, bCol, maxIter)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
+    vertices.select(col(idCol))
+      .join(labels, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_component"), col(idCol)).as("cluster_id"))
+  }
+}

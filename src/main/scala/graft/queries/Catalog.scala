@@ -662,6 +662,109 @@ object Catalog {
       Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10")))
 
   // --------------------------------------------------------------------
+  // Dedup clustering + sampling + quantization (training-pipeline stages)
+  // --------------------------------------------------------------------
+
+  /** LSH band-join pair SQL over [[minhashSql]] signatures (shared by the
+    * pair query and the clustering oracle).
+    */
+  private lazy val lshPairsSql: String =
+    "SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id " +
+      "UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)"
+
+  // The clustering oracles are the semantic fixpoint definition
+  // (recursive CTE: cluster id = min doc_id reachable); Spark runs
+  // large-star/small-star ([[graft.operators.Components]]) — a hash-match
+  // proves the contraction reaches the same fixpoint.
+  private val pipeline = Seq(
+    Q("dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Components.clusters(
+          docs,
+          "doc_id",
+          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
+          "id_a", "id_b")
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a) " +
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id")),
+
+    // Canonical-doc selection: one row per duplicate cluster with its
+    // size — the keep-list/drop-report stage after clustering.
+    Q("dedup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Components.clusters(
+          docs,
+          "doc_id",
+          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
+          "id_a", "id_b")
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +
+        "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY cluster_id ORDER BY cluster_id")),
+
+    // Deterministic Bernoulli sample: md5-prefix threshold (reproducible
+    // across runs/engines/partitionings, unlike rand()-based sample()).
+    Q("sample_bernoulli",
+      (s, d) => graft.operators.Sampling
+        .bernoulli(Tables.documents(s, d), "doc_id", 0.25)
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' ORDER BY doc_id")),
+
+    // Exact-k per-stratum sample by hash order.
+    Q("sample_stratified",
+      (s, d) => graft.operators.Sampling
+        .stratified(Tables.events(s, d), "event_type", "event_id", 50)
+        .select("event_id", "event_type").orderBy("event_type", "event_id"),
+      Some("SELECT event_id, event_type FROM (SELECT event_id, event_type, row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events) WHERE rn <= 50 ORDER BY event_type, event_id")),
+
+    // Domain-mixture sample: per-source keep rates with a default.
+    Q("sample_mixture",
+      (s, d) => graft.operators.Sampling
+        .mixture(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "(CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80000000' WHEN source = 'src2' THEN '40000000' ELSE '1999999a' END) ORDER BY doc_id")),
+
+    // Symmetric int8 scalar quantization of embeddings (4× ANN memory
+    // cut). Fixed per-element IEEE tree — exact cross-engine.
+    Q("emb_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("mx", Vectors.maxAbs(col("embedding")))
+        e.select(col("vec_id"),
+          Vectors.quantizeInt8(col("embedding"), col("mx")).as("q"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding] AS q " +
+        "FROM (SELECT vec_id, embedding, list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx FROM embeddings) ORDER BY vec_id")),
+
+    // Round-trip reconstruction error of the quantization, in exact
+    // integer micro-units — the quantized-ANN quality gate.
+    Q("emb_quant_error",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("mx", Vectors.maxAbs(col("embedding")))
+          .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("mx")))
+        e.select(col("vec_id"),
+          Vectors.quantErrorMicros(col("embedding"), col("q"), col("mx")).as("err_micros"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id, CAST(floor(list_max([abs(CAST(q[i] AS DOUBLE) * (mx / 127.0) - CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, len(embedding))]) * 1000000 + 0.5) AS BIGINT) AS err_micros " +
+        "FROM (SELECT vec_id, embedding, mx, [CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding] AS q " +
+        "FROM (SELECT vec_id, embedding, list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx FROM embeddings)) ORDER BY vec_id")))
+
+  // --------------------------------------------------------------------
   // Streaming batch-equivalent (SURVEY §2.9)
   // --------------------------------------------------------------------
 
@@ -721,7 +824,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ streaming
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ pipeline ++ streaming
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

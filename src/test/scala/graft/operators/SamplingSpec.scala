@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic hash-based sampling. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+
+  test("bernoulli is deterministic and partitioning-invariant") {
+    val a = Sampling.bernoulli(docs, "id", 0.3).select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.bernoulli(docs.repartition(13), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("bernoulli rate ordering: lower-rate sample is a subset (nested samples)") {
+    val s10 = Sampling.bernoulli(docs, "id", 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.bernoulli(docs, "id", 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s50))
+    // rates land near expectation (md5 uniformity; 3σ ≈ 0.03 at n=2000)
+    assert(math.abs(s50.size / 2000.0 - 0.5) < 0.05)
+  }
+
+  test("bernoulli edge rates: 1.0 keeps every row, 0.0 keeps none") {
+    assert(Sampling.bernoulli(docs, "id", 1.0).count() === 2000)
+    assert(Sampling.bernoulli(docs, "id", 0.0).count() === 0)
+  }
+
+  test("stratified takes exactly k per stratum, deterministically") {
+    val out = Sampling.stratified(docs, "src", "id", 7)
+    val perSrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc === Map("src0" -> 7L, "src1" -> 7L, "src2" -> 7L, "src3" -> 7L))
+    val again = Sampling.stratified(docs.repartition(7), "src", "id", 7)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      === again.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("stratified with k larger than the stratum keeps the whole stratum") {
+    val out = Sampling.stratified(docs.filter(col("id") <= 10), "src", "id", 100)
+    assert(out.count() === 10)
+  }
+
+  test("mixture applies per-source rates with default") {
+    val out = Sampling.mixture(docs, "src", "id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 500)          // keep all
+    assert(!bySrc.contains("src1"))        // drop all
+    assert(bySrc("src2") > 175 && bySrc("src2") < 325) // ≈ half of 500
+    // mixture ∩ source == bernoulli at that source's rate (same key-hash)
+    val mixSrc2 = out.filter(col("src") === "src2").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val bern = Sampling.bernoulli(docs.filter(col("src") === "src2"), "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mixSrc2 === bern)
+  }
+
+  test("rateToHex boundary encoding") {
+    assert(Sampling.rateToHex(0.0) === "00000000")
+    assert(Sampling.rateToHex(0.25) === "40000000")
+    assert(Sampling.rateToHex(0.5) === "80000000")
+    assert(Sampling.rateToHex(1.0) === "g")
+  }
+}

@@ -51,7 +51,18 @@ def compare(name, spark_df, oracle_df):
             else:
                 avs = av.astype(object).where(~av.isna(), None)
                 bvs = bv.astype(object).where(~bv.isna(), None)
-                neq = [i for i, (x, y) in enumerate(zip(avs, bvs)) if x != y]
+
+                def cell(x):
+                    # normalize numpy arrays / lists to nested tuples so
+                    # != is a scalar (array cells: emb_quantize etc.)
+                    if hasattr(x, "tolist") and not isinstance(x, (str, bytes)):
+                        x = x.tolist()
+                    if isinstance(x, (list, tuple)):
+                        return tuple(cell(i) for i in x)
+                    return x
+
+                neq = [i for i, (x, y) in enumerate(zip(avs, bvs))
+                       if cell(x) != cell(y)]
                 if neq:
                     i = neq[0]
                     problems.append(
