@@ -798,6 +798,37 @@ object Catalog {
       },
       Some("SELECT CAST(count(*) AS BIGINT) AS n_users FROM (SELECT user_id, min(CASE WHEN event_type = 'view' THEN date_trunc('microseconds', ts) END) AS tv, min(CASE WHEN event_type = 'click' THEN date_trunc('microseconds', ts) END) AS tc, min(CASE WHEN event_type = 'purchase' THEN date_trunc('microseconds', ts) END) AS tp FROM events GROUP BY user_id) WHERE tv < tc AND tc < tp")),
 
+    // First-touch per (user, event_type): batch twin of
+    // EventStream.firstTouch (streaming: dropDuplicatesWithinWatermark —
+    // arrival order = event order in a watermark-correct stream).
+    Q("stream_first_touch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, event_id AS first_event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type")),
+
+    // Interval join: views paired with same-user purchases ≤30 min later —
+    // batch twin of EventStream.viewToPurchase (stream-stream join whose
+    // time bound lets Spark expire buffered state).
+    Q("stream_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // the literal streaming operator on batch inputs (withWatermark
+        // is a no-op on batch plans)
+        graft.streaming.EventStream.viewToPurchase(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), maxGapMinutes = 30)
+          .orderBy("view_id", "purchase_id")
+      },
+      Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id FROM events v JOIN events p ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE ORDER BY view_id, purchase_id")),
+
     // Gap-based sessionization, batch form: a >30-min silence starts a new
     // session (streaming twin: EventStream.sessionCounts session_window).
     // lag + running-sum-of-flags — second-granularity gap arithmetic is

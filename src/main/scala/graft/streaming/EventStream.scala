@@ -78,6 +78,46 @@ object EventStream {
       .toDF("user_id", "n_events")
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key arriving
+    * within the watermark (at-least-once sources re-send; state is one
+    * entry per key seen inside the watermark horizon, then expired —
+    * bounded, unlike bare dropDuplicates whose state grows forever).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("event_id"), watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** First-touch per (user, event_type): the earliest event wins. The
+    * streaming form is [[dedupWithinWatermark]] on (user_id, event_type)
+    * — arrival order = event order inside a watermark-correct stream;
+    * the batch twin (`stream_first_touch` in the catalog) is the
+    * rank-1-by-time window.
+    */
+  def firstTouch(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    dedupWithinWatermark(events, Seq("user_id", "event_type"), watermark)
+
+  /** Stream-stream interval join: each view pairs with the same user's
+    * purchases within `maxGapMinutes` AFTER it. Both sides watermarked —
+    * the time-bound join condition lets Spark expire buffered state for
+    * rows past the horizon (an unbounded-state join otherwise).
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+      maxGapMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("view_id"), col("purchase_id"))
+  }
+
   /** Sink: parquet append with checkpointing, AvailableNow trigger (drain
     * whatever has arrived, then stop — the batch-friendly trigger).
     */

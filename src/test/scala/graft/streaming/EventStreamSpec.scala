@@ -70,6 +70,81 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses re-deliveries across micro-batches") {
+    val dir = tmpDir("evdedup")
+    def writeBatch(name: String, ids: Seq[Int]): Unit =
+      Files.write(Paths.get(dir, name), ids.map(i =>
+        s"""{"event_id": $i, "ts": "2024-01-01T00:${f"${i % 60}%02d"}:00Z", "user_id": ${i % 3}, "event_type": "view", "value": 1.0, "props": "{}"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    writeBatch("b0.json", Seq(1, 2, 3, 2)) // in-batch duplicate
+    val q = EventStream.dedupWithinWatermark(EventStream.readJsonStream(spark, dir))
+      .select("event_id")
+      .writeStream.format("memory").queryName("evdedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.json", Seq(3, 4, 1)) // cross-batch re-deliveries
+      q.processAllAvailable()
+      val got = spark.table("evdedup").collect().map(_.getLong(0)).sorted
+      assert(got === Seq(1L, 2L, 3L, 4L)) // each id exactly once
+    } finally q.stop()
+  }
+
+  test("streaming first-touch equals the batch rank-1-by-time twin") {
+    // fixture in event-time order: arrival order = event order (the
+    // watermark-correct-stream assumption firstTouch documents)
+    val dir = tmpDir("evfirsttouch")
+    val lines = (0 until 60).map { i =>
+      val ts = f"2024-01-01T00:${i % 60}%02d:00Z" // monotone in i
+      val et = Seq("view", "click")(i % 2)
+      s"""{"event_id": $i, "ts": "$ts", "user_id": ${i % 4}, "event_type": "$et", "value": 1.0, "props": "{}"}"""
+    }
+    Files.write(Paths.get(dir, "b0.json"), lines.mkString("\n").getBytes("UTF-8"))
+    val stream = EventStream.firstTouch(EventStream.readJsonStream(spark, dir))
+      .select("user_id", "event_type", "event_id")
+    val q = stream.writeStream.format("memory").queryName("evfirst")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evfirst").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val want = spark.read.schema(EventStream.eventSchema).json(dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs views with later purchases") {
+    val vDir = tmpDir("evjoinv")
+    val pDir = tmpDir("evjoinp")
+    def line(id: Int, min: Int, uid: Int, et: String): String =
+      s"""{"event_id": $id, "ts": "2024-01-01T00:${f"$min%02d"}:00Z", "user_id": $uid, "event_type": "$et", "value": 1.0, "props": "{}"}"""
+    Files.write(Paths.get(vDir, "v.json"), Seq(
+      line(1, 0, 7, "view"),    // purchase at +10 → pair
+      line(2, 5, 8, "view"),    // purchase at +40 → outside 30 min
+      line(3, 20, 9, "view")).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(pDir, "p.json"), Seq(
+      line(100, 10, 7, "purchase"),
+      line(101, 45, 8, "purchase"),
+      line(102, 25, 9, "purchase")).mkString("\n").getBytes("UTF-8"))
+    val joined = EventStream.viewToPurchase(
+      EventStream.readJsonStream(spark, vDir),
+      EventStream.readJsonStream(spark, pDir), maxGapMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("evjoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got === Seq((1L, 100L), (3L, 102L)))
+    } finally q.stop()
+  }
+
   test("parquet sink drains available data with AvailableNow") {
     val out = tmpDir("evout")
     val ckpt = tmpDir("evckpt")
