@@ -351,6 +351,52 @@ object Catalog {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
 
+    // CUBE: all grouping combinations in one pass (rollup's superset);
+    // NULL group keys ordered NULLS FIRST on both engines.
+    Q("a12_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+
+    // Running total per group (cumulative window frame) — exact integer
+    // cents, ROWS UNBOUNDED PRECEDING on a total order.
+    Q("a13_running_sum",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice")))
+            .over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+            .as("run_cents"))
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("SELECT o_custkey, o_orderkey, CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    // lag(): seconds since the user's previous event (NULL for the
+    // first) — the inter-arrival-time building block.
+    Q("a14_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+              .as("delta_s"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("SELECT user_id, event_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s FROM events ORDER BY user_id, event_id")),
+
+    // ntile(): quartile assignment per nation — partitioned window (a
+    // global ntile would single-task the table; per-key quartiles keep
+    // the window distributed).
+    Q("a15_ntile",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(4).over(Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey")))
+            .cast("long").as("quartile"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile FROM customer ORDER BY c_custkey")),
+
     // Set ops beyond UNION: INTERSECT and EXCEPT (distinct semantics).
     Q("u2_intersect",
       (s, d) => {
