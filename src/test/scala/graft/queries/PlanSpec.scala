@@ -67,6 +67,40 @@ class PlanSpec extends SparkSpec {
     assert(!opt.contains("strategy=broadcast"), opt)
   }
 
+  test("sample_bernoulli: map-only plan — the sample is a scan-stage filter, no exchange") {
+    val p = plan("sample_bernoulli")
+    // the md5-threshold predicate evaluates inside the scan's codegen
+    // stage; the only allowed exchange is the output sort's
+    assert(p.contains("Filter"), p)
+    assert(!p.split("Sort").head.contains("Exchange"),
+      s"exchange before the sampling filter:\n$p")
+  }
+
+  test("emb_quantize: no shuffle — quantization is a pure projection") {
+    val df = SparkEntry.queries("emb_quantize")(spark, sf)
+    val noSort = df.queryExecution.executedPlan.toString
+    // project+scan below the output sort; nothing between them shuffles
+    assert(!noSort.split("Sort").head.contains("Exchange"), noSort)
+  }
+
+  test("sample_stratified: one hash exchange on the stratum key, bounded window") {
+    val p = plan("sample_stratified")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
+  test("stream_interval_join: range-condition join, never a cartesian") {
+    val p = plan("stream_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a15_ntile: window is partitioned (no single-task global window)") {
+    val p = plan("a15_ntile")
+    assert(p.contains("hashpartitioning(c_nationkey"), p)
+    assert(!p.contains("SinglePartition, Window"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
