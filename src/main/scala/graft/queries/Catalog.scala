@@ -231,6 +231,20 @@ object Catalog {
       },
       Some("SELECT event_id, strftime(vts, '%Y-%m-%d %H:%M:%S') AS prior_view FROM (SELECT p.event_id, v.vts FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, date_trunc('microseconds', ts) AS ts, date_trunc('microseconds', ts) AS vts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND v.ts <= p.ts) ORDER BY event_id")),
 
+    // Full outer join: keep both unmatched sides (customers with no
+    // orders AND order-side orphans) — the reconciliation join shape.
+    Q("j7_full_outer",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        Tables.customer(s, d)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders FROM customer FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey ORDER BY custkey")),
+
     // J4: name→key→rows chain lookup (app.py:269-301).
     Q("j4_chain_lookup",
       (s, d) => Tables.orders(s, d)
@@ -553,6 +567,25 @@ object Catalog {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")),
+
+    // Token-count histogram over the corpus (bucket = floor(tokens/10)) —
+    // the length-distribution diagnostic a curation pipeline reports.
+    Q("text_len_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(floor(size(split(col("text"), " ")) / lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // posexplode: token stream with positions (the lateral-view /
+    // flatten-with-ordinality shape).
+    Q("c17_explode_pos",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+        .orderBy("doc_id", "pos"),
+      Some("SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i) ORDER BY doc_id, pos")),
 
     // Beyond-reference: multimodal plumbing — opaque payload treated as
     // bytes + typed metadata derived without decoding.
