@@ -95,4 +95,16 @@ object Text {
   /** BPE-ish token count: alpha runs and digit runs count separately. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  /** PII/URL scrubbing: mask URLs then long digit runs (ids, phone
+    * numbers) with placeholder tokens — the redaction pass a corpus takes
+    * before training. Order matters: URL masking first so its digits
+    * aren't half-replaced. Patterns are RE2-simple so Java and DuckDB
+    * regex engines agree.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://[^ ]+", "<URL>"),
+      "[0-9]{4,}", "<NUM>")
+
 }

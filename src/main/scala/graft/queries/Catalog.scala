@@ -568,6 +568,35 @@ object Catalog {
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")),
 
+    // PII/URL scrubbing: mask URLs then long digit runs — the redaction
+    // pass before training.
+    Q("text_scrub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.scrub(col("text")).as("scrubbed"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'), '[0-9]{4,}', '<NUM>', 'g') AS scrubbed FROM documents ORDER BY doc_id")),
+
+    // Repeated-bigram ratio (Gopher-style repetition filter signal):
+    // 1 − distinct/total bigrams via the codegen-safe shingle rows (a
+    // per-row HOF over split() would fall into the CollapseProject
+    // interpreted-lambda trap). Exact integer counts, one division.
+    Q("text_rep_ngram",
+      (s, d) => graft.operators.Dedup
+        .shingleRows(Tables.documents(s, d), "doc_id", "text")
+        .groupBy("doc_id")
+        .agg((lit(1.0) - countDistinct(col("sh")).cast("double") / count(lit(1)))
+          .as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, 1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*) AS rep_ratio FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) WHERE len(ws) >= 2) GROUP BY doc_id ORDER BY doc_id")),
+
+    // Context-window chunking: 50-token windows, stride 40 (10-token
+    // overlap) — map-side posexplode+slice, no shuffle.
+    Q("text_chunks",
+      (s, d) => graft.operators.Chunk
+        .chunkTokens(Tables.documents(s, d), "doc_id", "text", size = 50, stride = 40)
+        .orderBy("doc_id", "chunk_id"),
+      Some("SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), LATERAL unnest(generate_series(0, CAST(floor((len(ws)-1)/40) AS BIGINT))) AS t(i) ORDER BY doc_id, chunk_id")),
+
     // Token-count histogram over the corpus (bucket = floor(tokens/10)) —
     // the length-distribution diagnostic a curation pipeline reports.
     Q("text_len_histogram",

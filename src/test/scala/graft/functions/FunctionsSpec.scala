@@ -85,6 +85,20 @@ class FunctionsSpec extends SparkSpec {
     assert(toks === Seq("fox", "42", "dogs"))
   }
 
+  test("scrub masks URLs before digit runs, leaves short numbers alone") {
+    import spark.implicits._
+    val out = Seq(
+      (1L, "see https://example.com/p?id=123456 now"),
+      (2L, "call 5551234567 or room 42"),
+      (3L, "clean text stays"))
+      .toDF("id", "text")
+      .select($"id", Text.scrub($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "see <URL> now") // URL masked whole, digits not re-masked
+    assert(out(2L) === "call <NUM> or room 42")
+    assert(out(3L) === "clean text stays")
+  }
+
   test("dot / norm / cosine compute correct doubles") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
