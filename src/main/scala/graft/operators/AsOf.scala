@@ -26,7 +26,20 @@ object AsOf {
     * prior right row exists — left-join semantics).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
-      key: String, ts: String, valueCol: String): DataFrame = {
+      key: String, ts: String, valueCol: String): DataFrame =
+    asofImpl(left, right, key, ts, valueCol, forward = false)
+
+  /** Forward variant: `valueCol` from the EARLIEST `right` row with
+    * `right.ts >= left.ts` (nearest following; null when none). Same
+    * one-shuffle union-window plan, time order reversed. Right rows tied
+    * on (key, ts): the smallest value wins (fixed, documented rule).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCol: String): DataFrame =
+    asofImpl(left, right, key, ts, valueCol, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCol: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns
     val taggedLeft = left
       .withColumn("__side", lit(1))
@@ -36,10 +49,17 @@ object AsOf {
       .withColumn("__side", lit(0))
       .withColumnRenamed(valueCol, "__v")
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    // Final __v key: deterministic winner among right rows tied on
-    // (key, ts) — last() in frame order picks the greatest value.
+    // Frame order: time toward the current row (ascending for prior,
+    // descending for following); right (__side 0) sorts before left at
+    // equal ts so an exactly-simultaneous right row is visible. The
+    // final __v key makes the winner among tied right rows deterministic
+    // — last() in frame order picks the greatest (backward) / smallest
+    // (forward) value.
+    val ord =
+      if (forward) Seq(col(ts).desc, col("__side"), col("__v").desc)
+      else Seq(col(ts), col("__side"), col("__v"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col("__v"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))

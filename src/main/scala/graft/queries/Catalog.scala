@@ -245,6 +245,22 @@ object Catalog {
       },
       Some("SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders FROM customer FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey ORDER BY custkey")),
 
+    // Forward as-of: each purchase's NEXT view (nearest following).
+    // Oracle: min-over-filtered left join — the semantic definition.
+    Q("j8_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("ts").as("next_view_ts"))
+        graft.operators.AsOf.asofJoinForward(purchases, views, "user_id", "ts", "next_view_ts")
+          .select(col("event_id"),
+            date_format(col("next_view_ts"), "yyyy-MM-dd HH:mm:ss").as("next_view"))
+          .orderBy("event_id")
+      },
+      Some("SELECT p.event_id, strftime(date_trunc('microseconds', min(v.ts)), '%Y-%m-%d %H:%M:%S') AS next_view FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON v.user_id = p.user_id AND v.ts >= p.ts GROUP BY p.event_id ORDER BY p.event_id")),
+
     // J4: name→key→rows chain lookup (app.py:269-301).
     Q("j4_chain_lookup",
       (s, d) => Tables.orders(s, d)
