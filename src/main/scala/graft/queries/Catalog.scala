@@ -903,6 +903,16 @@ object Catalog {
       Some("SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
         "(CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80000000' WHEN source = 'src2' THEN '40000000' ELSE '1999999a' END) ORDER BY doc_id")),
 
+    // Deterministic shard assignment: per-shard row counts (the training
+    // shard-balance report; assignment is engine-portable md5, not
+    // Spark-specific murmur hash).
+    Q("shard_assign",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(graft.operators.Shards.shardId(col("doc_id"), 8).as("shard"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shard"),
+      Some("SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1")),
+
     // Symmetric int8 scalar quantization of embeddings (4× ANN memory
     // cut). Fixed per-element IEEE tree — exact cross-engine.
     Q("emb_quantize",
