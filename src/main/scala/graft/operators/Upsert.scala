@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Upsert (MERGE) as a plan: updates win by key, unmatched base rows
+  * survive, brand-new keys insert — the incremental-refresh shape Spark
+  * SQL lacks without a table format underneath (Delta/Iceberg MERGE
+  * INTO compiles to exactly this join).
+  *
+  * One shuffle on the key. The result is a snapshot DataFrame — write it
+  * back with any sink (parquet overwrite, [[Shards.writeShards]], …).
+  */
+object Upsert {
+
+  /** `base` merged with `updates` on `key`: update rows replace matching
+    * base rows wholesale (reference semantics of a keyed dict upsert —
+    * the ingest path's last-writer-wins, TweetIngest.scala), others pass
+    * through. Schemas must match.
+    */
+  def apply(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    // explicit aliases: `updates` is routinely derived from `base`
+    // (incremental refresh), which makes unqualified self-join column
+    // references ambiguous
+    val b = base.alias("__b")
+    val u = updates.withColumn("__upd", lit(1)).alias("__u")
+    val cols = base.columns.filterNot(_ == key)
+    b.join(u, col(s"__b.$key") === col(s"__u.$key"), "full_outer")
+      .select(
+        coalesce(col(s"__u.$key"), col(s"__b.$key")).as(key) +:
+          cols.map(c =>
+            when(col("__u.__upd").isNotNull, col(s"__u.$c"))
+              .otherwise(col(s"__b.$c")).as(c)): _*)
+  }
+}

@@ -903,6 +903,23 @@ object Catalog {
       Some("SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
         "(CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80000000' WHEN source = 'src2' THEN '40000000' ELSE '1999999a' END) ORDER BY doc_id")),
 
+    // Upsert/MERGE as a plan: keyed updates replace, new keys insert,
+    // the rest passes through (what MERGE INTO compiles to on a table
+    // format). Updates = doubled balances for custkey ≤ 100 plus
+    // synthetic new keys; oracle is the CASE/UNION semantic twin.
+    Q("k5_upsert",
+      (s, d) => {
+        val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val modified = base.filter(col("c_custkey") <= 100)
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+        val inserted = base.filter(col("c_custkey") <= 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+        graft.operators.Upsert(base, modified.unionByName(inserted), "c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM (SELECT c_custkey, c_name, CASE WHEN c_custkey <= 100 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal FROM customer UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 5) ORDER BY c_custkey")),
+
     // Deterministic shard assignment: per-shard row counts (the training
     // shard-balance report; assignment is engine-portable md5, not
     // Spark-specific murmur hash).

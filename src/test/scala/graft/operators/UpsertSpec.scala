@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** MERGE-as-a-plan semantics. */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("updates replace by key, unmatched base survives, new keys insert") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99), (4L, "d", 40)).toDF("k", "name", "v")
+    val got = Upsert(base, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got === Array(
+      (1L, "a", 10),   // untouched
+      (2L, "B", 99),   // replaced wholesale
+      (3L, "c", 30),   // untouched
+      (4L, "d", 40)))  // inserted
+  }
+
+  test("upsert is idempotent: applying the same updates twice is a no-op") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99)).toDF("k", "name", "v")
+    val once = Upsert(base, updates, "k")
+    val twice = Upsert(once, updates, "k")
+    assert(once.orderBy("k").collect() === twice.orderBy("k").collect())
+  }
+
+  test("schema mismatch is rejected") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val bad = Seq((1L, 5)).toDF("k", "v")
+    intercept[IllegalArgumentException](Upsert(base, bad, "k"))
+  }
+
+  test("null-valued update columns still replace (whole-row semantics)") {
+    val base = Seq((1L, Some("a"))).toDF("k", "name")
+    val updates = Seq((1L, Option.empty[String])).toDF("k", "name")
+    val got = Upsert(base, updates, "k").collect().head
+    assert(got.isNullAt(1))
+  }
+}
