@@ -183,4 +183,24 @@ object Dedup {
     simhashPairsFromSignatures(
       simhash(df, idCol, textCol, bits).localCheckpoint(),
       idCol, maxHamming, bits)
+
+  /** Decontamination: corpus docs sharing ≥ `minShared` distinct
+    * word-bigram shingles with the benchmark set (eval-set leakage
+    * check — contaminated docs must be dropped before training).
+    *
+    * Scale shape: the benchmark shingle set is small (eval suites are
+    * thousands of docs) — Spark broadcasts it; the corpus side streams
+    * through a broadcast semi-ish join keyed on compact shingle strings,
+    * then a bounded per-doc count. Never pairs docs with docs.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 1): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol).distinct()
+    val benchSh = shingleRows(benchmark, idCol, textCol)
+      .select("sh").distinct()
+    corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -840,6 +840,20 @@ object Catalog {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id " +
       "UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)"
 
+  // Eval-set decontamination: corpus docs (doc_id ≥ 10) sharing ≥3
+  // distinct bigram shingles with the stand-in benchmark (doc_id < 10).
+  private val decontam = Seq(
+    Q("dedup_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.contaminated(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text", minShared = 3)
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")))
+
   // The clustering oracles are the semantic fixpoint definition
   // (recursive CTE: cluster id = min doc_id reachable); Spark runs
   // large-star/small-star ([[graft.operators.Components]]) — a hash-match
@@ -1049,7 +1063,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ pipeline ++ streaming
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ pipeline ++ streaming
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -80,4 +80,17 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("multiple of rowsPerBand"))
   }
+
+  test("contaminated flags only corpus docs sharing enough shingles with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "look the quick brown fox appears here"), // shares: "the quick", "quick brown", "brown fox"
+      (2L, "completely different words entirely now"),
+      (3L, "quick brown things")) // shares only "quick brown"
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminated(corpus, bench, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(1L -> 3L)) // doc 3 below threshold, doc 2 clean
+  }
 }
