@@ -19,13 +19,16 @@ object Upsert {
     * through. Schemas must match.
     */
   def apply(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
-    require(base.columns.sameElements(updates.columns),
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     // explicit aliases: `updates` is routinely derived from `base`
     // (incremental refresh), which makes unqualified self-join column
-    // references ambiguous
+    // references ambiguous. Column order is aligned to `base` (the
+    // result itself leads with the key, so chained upserts must not
+    // depend on order).
     val b = base.alias("__b")
-    val u = updates.withColumn("__upd", lit(1)).alias("__u")
+    val u = updates.select(base.columns.map(col): _*)
+      .withColumn("__upd", lit(1)).alias("__u")
     val cols = base.columns.filterNot(_ == key)
     b.join(u, col(s"__b.$key") === col(s"__u.$key"), "full_outer")
       .select(

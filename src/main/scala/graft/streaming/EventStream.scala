@@ -128,4 +128,31 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+
+  /** CDC-style upsert sink: each micro-batch MERGEs into a keyed parquet
+    * snapshot via [[graft.operators.Upsert]] (foreachBatch — the pattern
+    * for maintaining a keyed table from a change stream without a table
+    * format). Within a batch, the latest row per key wins (by `ts`);
+    * snapshot writes are atomic-enough for tests via overwrite-then-read
+    * — production would sit Delta/Iceberg under the same plan.
+    */
+  def upsertSink(df: DataFrame, key: String, snapshotDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint() // cut lineage before the snapshot overwrite
+        val snapshot =
+          try spark.read.parquet(snapshotDir)
+          catch { case _: Exception => latest.limit(0) }
+        val merged = graft.operators.Upsert(snapshot.localCheckpoint(), latest, key)
+        merged.write.mode("overwrite").parquet(snapshotDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
 }

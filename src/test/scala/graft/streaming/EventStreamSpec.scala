@@ -145,6 +145,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink maintains a keyed snapshot across micro-batches (CDC apply)") {
+    val dir = tmpDir("evupsrc")
+    val snap = tmpDir("evupsnap") + "/state"
+    val ckpt1 = tmpDir("evupckpt1")
+    val ckpt2 = tmpDir("evupckpt2")
+    def line(id: Int, uid: Int, min: Int, v: Double): String =
+      s"""{"event_id": $id, "ts": "2024-01-01T00:${f"$min%02d"}:00Z", "user_id": $uid, "event_type": "state", "value": $v, "props": "{}"}"""
+    def drain(ckpt: String): Unit = {
+      val q = EventStream.upsertSink(
+        EventStream.readJsonStream(spark, dir)
+          .select("event_id", "ts", "user_id", "value"),
+        "user_id", snap, ckpt).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    Files.write(Paths.get(dir, "b0.json"),
+      Seq(line(1, 7, 1, 1.0), line(2, 8, 2, 2.0), line(3, 7, 3, 3.0))
+        .mkString("\n").getBytes("UTF-8"))
+    drain(ckpt1) // in-batch: user 7's later row (id 3) wins
+    val s1 = spark.read.parquet(snap).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(s1 === Map(7L -> 3.0, 8L -> 2.0))
+    Files.write(Paths.get(dir, "b1.json"),
+      Seq(line(4, 8, 10, 9.0), line(5, 9, 11, 5.0))
+        .mkString("\n").getBytes("UTF-8"))
+    drain(ckpt2) // cross-batch: 8 updated, 9 inserted, 7 untouched
+    val s2 = spark.read.parquet(snap).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(s2 === Map(7L -> 3.0, 8L -> 9.0, 9L -> 5.0))
+  }
+
   test("parquet sink drains available data with AvailableNow") {
     val out = tmpDir("evout")
     val ckpt = tmpDir("evckpt")
