@@ -16,21 +16,28 @@ import org.apache.spark.sql.types._
   * primitive loop inside whole-stage codegen: no allocation, no lambda
   * dispatch, values widened to double exactly like the HOF form. For
   * equal-length arrays with non-null elements, results are bit-identical
-  * to the HOF form (sequential left-to-right summation). Divergences, by
-  * design: mismatched lengths sum over min(length) — truncation that
-  * Vectors.lshBucket relies on (4096-dim plane literals vs shorter
-  * vectors) — where the HOF form yields NULL; null elements are undefined
-  * here (primitive read) vs NULL there.
+  * to the HOF form (sequential left-to-right summation).
   *
-  * Array elements are assumed non-null (embedding vectors); a null array
-  * yields null (NullIntolerant).
+  * Two edge-case modes:
+  *  - `strict = false` (default, the Vectors.dot surface): mismatched
+  *    lengths sum over min(length) — truncation that Vectors.lshBucket
+  *    relies on (4096-dim plane literals vs shorter vectors); null
+  *    elements are undefined (primitive read).
+  *  - `strict = true` (the [[graft.plans.RewriteHofDotProduct]] target):
+  *    exact HOF semantics — mismatched lengths or any null element
+  *    yield NULL — so the optimizer rewrite is sound for every input.
+  *
+  * A null array yields null in both modes (NullIntolerant).
   */
-case class DotProduct(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression,
+    strict: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
   override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = strict || super.nullable
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -51,12 +58,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (strict && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -74,14 +83,31 @@ case class DotProduct(left: Expression, right: Expression)
         case FloatType => s"(double) $arr.getFloat($i)"
         case _         => s"$arr.getDouble($i)"
       }
-      s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      if (strict) {
+        // nullable = true in strict mode, so ev.isNull is a real variable
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(
