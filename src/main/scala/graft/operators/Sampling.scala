@@ -51,6 +51,29 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
 
+  /** Leakage-free train/val/test split: the split is a function of the
+    * GROUP id (e.g. the duplicate-cluster id from
+    * [[Components.clusters]]), so near-duplicate documents land in the
+    * SAME split — splitting by document id leaks paraphrases of training
+    * docs into the test set. `fractions` must sum to 1; assignment is the
+    * usual md5 threshold on cumulative boundaries (deterministic,
+    * engine-portable, no shuffle beyond whatever produced the group
+    * column).
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val prefix = hashPrefix(col(groupCol))
+    // last split is the else-branch (threshold 1.0 exactly)
+    val split = fractions.init.zip(cum.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), cumRate)) =>
+        when(prefix < lit(rateToHex(cumRate)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Domain-mixture sample: per-source keep rates (e.g. downsample web
     * crawl, keep all of wikipedia) with a default for unlisted sources.
     * The rate lookup is a literal CASE expression — no join, no

@@ -893,6 +893,29 @@ object Catalog {
         "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) " +
         "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY cluster_id ORDER BY cluster_id")),
 
+    // Leakage-free split: train/val/test assigned by DUPLICATE-CLUSTER
+    // id, so near-dup docs never straddle splits (splitting by doc id
+    // leaks paraphrases of training docs into test).
+    Q("split_assign",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labeled = graft.operators.Components.clusters(
+          docs,
+          "doc_id",
+          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
+          "id_a", "id_b")
+        graft.operators.Sampling
+          .splitByGroup(labeled, "cluster_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +
+        "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n FROM (SELECT CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM lab) GROUP BY split ORDER BY split")),
+
     // Deterministic Bernoulli sample: md5-prefix threshold (reproducible
     // across runs/engines/partitionings, unlike rand()-based sample()).
     Q("sample_bernoulli",

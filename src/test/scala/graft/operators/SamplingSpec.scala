@@ -61,6 +61,30 @@ class SamplingSpec extends SparkSpec {
     assert(mixSrc2 === bern)
   }
 
+  test("splitByGroup: near-dup cluster members never straddle splits") {
+    import spark.implicits._
+    // 200 docs in 100 two-doc clusters (cluster id = even anchor)
+    val labeled = (1L to 200L).map(i => (i, i - (i % 2))).toDF("id", "cluster_id")
+    val split = Sampling.splitByGroup(labeled, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // both members of every cluster share a split — zero leakage
+    val straddlers = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlers === 0)
+    // all three splits materialize and roughly match fractions
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 120) // ≈160 of 200
+  }
+
+  test("splitByGroup rejects fractions that don't sum to 1") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("id", "cluster_id")
+    intercept[IllegalArgumentException](
+      Sampling.splitByGroup(df, "cluster_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("rateToHex boundary encoding") {
     assert(Sampling.rateToHex(0.0) === "00000000")
     assert(Sampling.rateToHex(0.25) === "40000000")
