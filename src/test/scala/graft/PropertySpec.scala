@@ -80,6 +80,63 @@ class PropertySpec extends SparkSpec {
     assert(sparkCents === jvmCents)
   }
 
+  test("chunking with stride == size losslessly reconstructs every document") {
+    import spark.implicits._
+    val words = Gen.listOfN(97, Gen.oneOf("a", "bb", "ccc", "dddd", "x1"))
+    (1 to 3).foreach { seed =>
+      val ws = sample(words, seed + 40)
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val rebuilt = graft.operators.Chunk
+        .chunkTokens(df, "doc_id", "text", size = 10, stride = 10)
+        .orderBy("chunk_id").collect().map(_.getString(2))
+        .mkString(" ")
+      assert(rebuilt === ws.mkString(" "), s"seed=$seed")
+    }
+  }
+
+  test("sampling monotonicity: for any rates r1 <= r2, sample(r1) ⊆ sample(r2)") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val rates = Gen.listOfN(4, Gen.chooseNum(0.0, 1.0))
+    (1 to 3).foreach { seed =>
+      val rs = sample(rates, seed + 50).sorted
+      val sets = rs.map(r => graft.operators.Sampling.bernoulli(df, "id", r)
+        .collect().map(_.getLong(0)).toSet)
+      sets.sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo.subsetOf(hi), s"seed=$seed rates=$rs")
+        case _ =>
+      }
+    }
+  }
+
+  test("splitByGroup partitions: every row exactly one split, function of group only") {
+    import spark.implicits._
+    val rows = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0L, 40L)))
+    (1 to 3).foreach { seed =>
+      val df = sample(rows, seed + 60).toDF("id", "grp")
+      val s = graft.operators.Sampling.splitByGroup(df, "grp",
+        Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      assert(s.count() === df.count(), s"seed=$seed")
+      val multi = s.groupBy("grp").agg(countDistinct("split").as("k"))
+        .filter(col("k") > 1).count()
+      assert(multi === 0, s"seed=$seed")
+    }
+  }
+
+  test("upsert algebra: upsert(b, u) has keys(b) ∪ keys(u); u rows win") {
+    import spark.implicits._
+    val rows = Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(-99L, 99L)))
+    (1 to 3).foreach { seed =>
+      val b = sample(rows, seed + 70).distinctBy(_._1).toDF("k", "v")
+      val u = sample(rows, seed + 170).distinctBy(_._1).toDF("k", "v")
+      val merged = graft.operators.Upsert(b, u, "k").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bm = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val um = u.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged === bm ++ um, s"seed=$seed")
+    }
+  }
+
   test("minhash signature is a pure function of the token multiset order") {
     import spark.implicits._
     val words = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
