@@ -603,6 +603,36 @@ object Catalog {
         .orderBy("doc_id"),
       Some("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")),
 
+    // Composite quality gate: the keep/drop decision with the FIRST
+    // failing rule as the reason (Gopher-style rule stack). All signals
+    // are exact integers or single divisions of identical ints, so even
+    // exact-boundary comparisons agree cross-engine.
+    Q("text_quality_gate",
+      (s, d) => {
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        val punct = size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(0))).cast("long")
+        val swRatio = Text.stopwordHits(col("text")).cast("double") / toks
+        val cpt = length(col("text")).cast("double") / toks
+        val reason =
+          when(toks < 5, "too_short")
+            .when(toks > 1000, "too_long")
+            .when(swRatio < 0.05, "low_stopword")
+            .when(punct.cast("double") / length(col("text")) > 0.3, "punct_heavy")
+            .when(cpt > 12.0, "long_tokens")
+            .otherwise("keep")
+        Tables.documents(s, d)
+          .select(col("doc_id"), (reason === "keep").as("keep"), reason.as("reason"))
+          .orderBy("doc_id")
+      },
+      Some(s"SELECT doc_id, reason = 'keep' AS keep, reason FROM (SELECT doc_id, CASE " +
+        "WHEN len(string_split(lower(text), ' ')) < 5 THEN 'too_short' " +
+        "WHEN len(string_split(lower(text), ' ')) > 1000 THEN 'too_long' " +
+        s"WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) < 0.05 THEN 'low_stopword' " +
+        "WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / strlen(text) > 0.3 THEN 'punct_heavy' " +
+        "WHEN CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0 THEN 'long_tokens' " +
+        "ELSE 'keep' END AS reason FROM documents) ORDER BY doc_id")),
+
     // PII/URL scrubbing: mask URLs then long digit runs — the redaction
     // pass before training.
     Q("text_scrub",
