@@ -56,6 +56,13 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Ivf.search(emb, "vec_id", "embedding", cents, 0L, k = 10, nprobe = 2)
       .collect().map(_.getLong(0)).toSet
     assert((ivf & brute).size >= 8, s"IVF recall ${(ivf & brute).size}/10")
+    // IVF-SQ8: quantized first pass + full-precision rescoring must not
+    // lose recall vs the probed full-precision search (the pool is 4×k,
+    // so int8 ranking noise inside the pool is rescored away)
+    val sq8 = Ivf.searchQuantized(emb, "vec_id", "embedding", cents, 0L, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((sq8 & ivf).size >= 9, s"SQ8 vs IVF overlap ${(sq8 & ivf).size}/10")
+    assert((sq8 & brute).size >= 8, s"SQ8 recall ${(sq8 & brute).size}/10")
   }
 
   test("bucketing is stable: same vector → same bucket") {
