@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple of rowsPerBand"))
   }
 
+  test("incremental dedup: persisted signatures + a new batch equal a full recompute") {
+    import spark.implicits._
+    // day 1: signature table computed once and persisted (the cluster
+    // path — signatures are written, not recomputed per query)
+    val day1 = docs
+    val sigPath = tmpDir("incsig") + "/sigs"
+    Dedup.minhashSignatures(day1, "doc_id", "text", 4)
+      .write.mode("overwrite").parquet(sigPath)
+    // day 2: a new batch arrives; only ITS signatures are computed,
+    // then unioned with the stored table
+    val day2 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, docs.filter($"doc_id" === 1L).select("text").collect().head.getString(0)))
+      .toDF("doc_id", "text")
+    val incSig = spark.read.parquet(sigPath)
+      .unionByName(Dedup.minhashSignatures(day2, "doc_id", "text", 4))
+    val incremental = Dedup.lshCandidatePairsFromSignatures(incSig, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: recompute everything from scratch
+    val full = Dedup.lshCandidatePairs(
+      day1.select("doc_id", "text").unionByName(day2), "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental === full)
+    assert(incremental.contains((1L, 101L))) // the day-2 duplicate is caught
+  }
+
   test("contaminated flags only corpus docs sharing enough shingles with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")

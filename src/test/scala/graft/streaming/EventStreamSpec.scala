@@ -145,6 +145,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events that arrive after the horizon (append-mode agg)") {
+    val dir = tmpDir("evlate")
+    def line(id: Int, hhmm: String): String =
+      s"""{"event_id": $id, "ts": "2024-01-01T$hhmm:00Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}"""
+    // batch 0: events up to 06:00 → watermark advances to 04:00 (2h wm);
+    // windows before 04:00 close and emit
+    Files.write(Paths.get(dir, "b0.json"),
+      Seq(line(1, "00:30"), line(2, "01:30"), line(3, "06:00"))
+        .mkString("\n").getBytes("UTF-8"))
+    val agg = EventStream.windowedAgg(
+      EventStream.readJsonStream(spark, dir), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("evlate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 1: a straggler for the long-closed 00:00 window — must be
+      // dropped, not re-opened (bounded state depends on it)
+      Files.write(Paths.get(dir, "b1.json"),
+        Seq(line(4, "00:45")).mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val counts = spark.table("evlate")
+        .collect()
+        .map(r => r.getTimestamp(0).toString.substring(11, 16) -> r.getLong(2)).toMap
+      assert(counts.get("00:00") === Some(1L), s"late row must not re-open 00:00: $counts")
+      assert(counts.get("01:00") === Some(1L), counts.toString)
+    } finally q.stop()
+  }
+
   test("upsert sink maintains a keyed snapshot across micro-batches (CDC apply)") {
     val dir = tmpDir("evupsrc")
     val snap = tmpDir("evupsnap") + "/state"
