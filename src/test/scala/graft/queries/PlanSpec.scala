@@ -101,6 +101,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition, Window"), p)
   }
 
+  test("k5_upsert: full-outer merge is a hash/merge join, never a nested loop") {
+    val p = plan("k5_upsert")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_decontaminate: the benchmark shingle set is the broadcast side") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_quality_gate: map-only rule stack (no exchange before the sort)") {
+    val p = plan("text_quality_gate")
+    assert(!p.split("Sort").head.contains("Exchange"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
