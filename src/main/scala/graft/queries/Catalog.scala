@@ -381,6 +381,27 @@ object Catalog {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
 
+    // ANSI null-handling scalars: NULLIF / COALESCE round trip.
+    Q("c18_null_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT!"))
+            .as("prio"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio FROM orders ORDER BY o_orderkey")),
+
+    // Date-part extraction + grouped counts. Spark dayofweek is 1-based
+    // Sunday=1; DuckDB dow is 0-based Sunday=0 — normalized to DuckDB's.
+    Q("c19_date_parts",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m", "dow"),
+      Some("SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(dayofweek(o_orderdate) AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+
     // CUBE: all grouping combinations in one pass (rollup's superset);
     // NULL group keys ordered NULLS FIRST on both engines.
     Q("a12_cube",
