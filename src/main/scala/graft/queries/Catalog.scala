@@ -436,6 +436,31 @@ object Catalog {
       },
       Some("SELECT user_id, event_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s FROM events ORDER BY user_id, event_id")),
 
+    // RANGE window frame: peers-by-value, not rows — count of same-
+    // customer orders within $1000 below the current price (frame
+    // membership by value comparison: deterministic under ties, unlike a
+    // ROWS frame on a non-total order).
+    Q("a17_range_frame",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+              .rangeBetween(-1000L, 0L))
+            .as("n_close"))
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("SELECT o_custkey, o_orderkey, CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    // first_value over a total per-group order — the "anchor row"
+    // analytic (each event tagged with its user's first event).
+    Q("a18_first_value",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          first_value(col("event_id")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+            .as("first_ev"))
+        .orderBy("user_id", "event_id"),
+      Some("SELECT user_id, event_id, first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ev FROM events ORDER BY user_id, event_id")),
+
     // ntile(): quartile assignment per nation — partitioned window (a
     // global ntile would single-task the table; per-key quartiles keep
     // the window distributed).
