@@ -76,16 +76,19 @@ object Components {
     // round's checksum is reused, not recomputed.
     def checksum(d: DataFrame) =
       d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect().head
+    // lazy localCheckpoint: the checksum action doubles as the
+    // materialization pass (eager checkpointing would run an extra job
+    // per round just to persist)
     var e = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var chk = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nextChk = checksum(next)
       converged = chk == nextChk
       chk = nextChk
