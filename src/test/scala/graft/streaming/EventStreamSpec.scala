@@ -203,6 +203,34 @@ class EventStreamSpec extends SparkSpec {
     assert(s2 === Map(7L -> 3.0, 8L -> 9.0, 9L -> 5.0))
   }
 
+  test("stateless curation ops run unchanged on a stream (scrub + quality + sample)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("evcurate")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.write(Paths.get(dir, "docs.json"), Seq(
+      """{"doc_id": 1, "text": "see https://x.test/a?id=999999 the quick brown fox and the lazy dog again"}""",
+      """{"doc_id": 2, "text": "ok"}""",
+      """{"doc_id": 3, "text": "a document with enough words that the stopword gate is happy here"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    // the exact batch operators, applied to a readStream: scrub → token
+    // gate → deterministic sample — all stateless column expressions
+    val stream = spark.readStream.schema(docSchema).json(dir)
+      .withColumn("text", graft.functions.Text.scrub(col("text")))
+      .filter(size(split(lower(col("text")), " ")) >= 5)
+    val sampled = graft.operators.Sampling.bernoulli(stream, "doc_id", 1.0)
+    val q = sampled.writeStream.format("memory").queryName("evcurate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("evcurate").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 3L)) // doc 2 fails the length gate
+      assert(rows(1L).contains("<URL>") && !rows(1L).contains("999999"))
+    } finally q.stop()
+  }
+
   test("parquet sink drains available data with AvailableNow") {
     val out = tmpDir("evout")
     val ckpt = tmpDir("evckpt")
