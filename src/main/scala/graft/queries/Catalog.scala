@@ -36,6 +36,14 @@ object Catalog {
   /** floor(x*100 + 0.5) — exact cross-engine integer cents. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
 
+  /** One ANSI string, run verbatim by BOTH Spark SQL and the DuckDB
+    * oracle (s7_sql_exists).
+    */
+  private val SqlExists: String =
+    "SELECT c_custkey FROM customer c WHERE EXISTS " +
+      "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
+      "ORDER BY c_custkey"
+
   // --------------------------------------------------------------------
   // Scans / sources / sinks (SURVEY §2.1)
   // --------------------------------------------------------------------
@@ -435,6 +443,26 @@ object Catalog {
           .orderBy("user_id", "event_id")
       },
       Some("SELECT user_id, event_id, date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS delta_s FROM events ORDER BY user_id, event_id")),
+
+    // Grouped string aggregation (listagg): deterministic via DISTINCT +
+    // explicit intra-group ORDER BY on both engines.
+    Q("a19_string_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Correlated EXISTS through the SQL front end — the Spark query IS
+    // the oracle string (same ANSI text both engines), exercising
+    // Catalyst's subquery decorrelation into a semi-join.
+    Q("s7_sql_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlExists)
+      },
+      Some(SqlExists)),
 
     // RANGE window frame: peers-by-value, not rows — count of same-
     // customer orders within $1000 below the current price (frame
