@@ -15,7 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Dispatches `events` to its ns-timestamp-safe loader — a raw read of
+    * events.parquet throws PARQUET_TYPE_ILLEGAL unless some earlier query
+    * happened to set the legacy-nanos conf (a latent ordering bug
+    * otherwise).
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
@@ -32,7 +40,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(spark, dir, "events")
+    val df = raw(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
     else df

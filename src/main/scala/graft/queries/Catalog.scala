@@ -85,14 +85,20 @@ object Catalog {
       (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt")),
       Some("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")),
 
-    // S6: catalog listing (list_collection_names, c24/c25) — rows-only.
+    // S6: catalog listing (list_collection_names, c24/c25). Oracle = the
+    // static registered-name list: SHOW TABLES must surface exactly the
+    // views just registered.
     Q("s6_catalog_listing",
       (s, d) => {
         Tables.names.foreach(n =>
           Tables(s, d, n).createOrReplaceTempView(s"graft_$n"))
-        s.sql("SHOW TABLES").orderBy("tableName")
+        s.sql("SHOW TABLES")
+          .filter(col("tableName").startsWith("graft_"))
+          .select("tableName").orderBy("tableName")
       },
-      None))
+      Some("SELECT tableName FROM (VALUES " +
+        Tables.names.map(n => s"('graft_$n')").sorted.mkString(", ") +
+        ") AS t(tableName) ORDER BY tableName")))
 
   // --------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
