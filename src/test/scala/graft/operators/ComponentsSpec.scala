@@ -47,6 +47,17 @@ class ComponentsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("labels are partitioning-invariant (shuffle order cannot change the fixpoint)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 4L), (4L, 5L))
+    val expected = labelsOf(edges)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Components.componentLabels(
+        edges.toDF("a", "b").repartition(parts), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("agrees with a driver-side union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
