@@ -31,19 +31,39 @@ object Multimodal {
     df.withColumn("payload", to_binary(col(textCol), lit("utf-8")))
 
   /** Metadata extraction WITHOUT decoding: byte length + checksum are
-    * codec-free; width/height come from the (stubbed) header sniff.
+    * codec-free; width/height come from a REAL PNG IHDR header parse
+    * (pure byte arithmetic — no imaging library needed) with the
+    * deterministic stub as the fallback for other formats.
     */
   def describePayload(df: DataFrame): DataFrame =
     df.withColumn("media_meta", struct(
-      lit("image/fake").as("media_type"),
+      when(isPng(col("payload")), "image/png")
+        .otherwise("application/octet-stream").as("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      stubWidth(col("payload")).as("width"),
-      stubHeight(col("payload")).as("height"),
+      coalesce(pngWidth(col("payload")), stubWidth(col("payload"))).as("width"),
+      coalesce(pngHeight(col("payload")), stubHeight(col("payload"))).as("height"),
       md5(col("payload")).as("checksum")))
 
-  /** STUB codec: deterministic fake dimensions from payload size. A real
-    * deployment replaces these two expressions with a header parse (PNG
-    * IHDR / JPEG SOF) — same column contract.
+  /** PNG header sniff — real, library-free: the 8-byte signature, then
+    * IHDR's big-endian width at bytes 17-20 and height at 21-24
+    * (signature 8 + chunk length 4 + "IHDR" 4). Pure column expressions:
+    * substring on binary + hex + base-16 conv, codegen end-to-end.
+    */
+  def isPng(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+
+  def pngWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isPng(payload) && octet_length(payload) >= 24,
+      conv(hex(substring(payload, 17, 4)), 16, 10).cast("int"))
+
+  def pngHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isPng(payload) && octet_length(payload) >= 24,
+      conv(hex(substring(payload, 21, 4)), 16, 10).cast("int"))
+
+  /** STUB fallback for non-PNG payloads: deterministic fake dimensions
+    * from payload size. A real deployment extends the header sniff per
+    * format (JPEG SOF walks variable-length segments — that one needs the
+    * mapPartitions boundary below, not a fixed-offset expression).
     */
   private def stubWidth(payload: org.apache.spark.sql.Column) =
     (octet_length(payload) % 640 + 1).cast("int")

@@ -16,7 +16,27 @@ class MultimodalSpec extends SparkSpec {
     val r = d.filter(d("doc_id") === 1L).select("media_meta.*").collect().head
     assert(r.getAs[Long]("n_bytes") === 11L)
     assert(r.getAs[String]("checksum").length === 32)
+    assert(r.getAs[String]("media_type") === "application/octet-stream")
     assert(r.getAs[Int]("width") === 12 && r.getAs[Int]("height") === 12)
+  }
+
+  test("PNG payloads get REAL dimensions from the IHDR header, no library") {
+    import spark.implicits._
+    // minimal PNG prefix: signature + IHDR length + type + 256×128 dims
+    val png: Array[Byte] = (
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ // signature
+        Seq(0x00, 0x00, 0x00, 0x0D) ++                        // IHDR length
+        "IHDR".getBytes("US-ASCII").map(_.toInt) ++
+        Seq(0x00, 0x00, 0x01, 0x00) ++                        // width 256
+        Seq(0x00, 0x00, 0x00, 0x80)                           // height 128
+      ).map(_.toByte).toArray
+    val notPng = "just bytes".getBytes("UTF-8")
+    val d = Multimodal.describePayload(
+      Seq((1L, png), (2L, notPng)).toDF("doc_id", "payload"))
+      .select($"doc_id", $"media_meta.media_type", $"media_meta.width", $"media_meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(d(1L) === (("image/png", 256, 128)))
+    assert(d(2L)._1 === "application/octet-stream") // stub fallback
   }
 
   test("feature extraction runs per-partition and is deterministic") {
