@@ -38,10 +38,13 @@ object Multimodal {
   def describePayload(df: DataFrame): DataFrame =
     df.withColumn("media_meta", struct(
       when(isPng(col("payload")), "image/png")
+        .when(isGif(col("payload")), "image/gif")
         .otherwise("application/octet-stream").as("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      coalesce(pngWidth(col("payload")), stubWidth(col("payload"))).as("width"),
-      coalesce(pngHeight(col("payload")), stubHeight(col("payload"))).as("height"),
+      coalesce(pngWidth(col("payload")), gifWidth(col("payload")),
+        stubWidth(col("payload"))).as("width"),
+      coalesce(pngHeight(col("payload")), gifHeight(col("payload")),
+        stubHeight(col("payload"))).as("height"),
       md5(col("payload")).as("checksum")))
 
   /** PNG header sniff — real, library-free: the 8-byte signature, then
@@ -59,6 +62,23 @@ object Multimodal {
   def pngHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(isPng(payload) && octet_length(payload) >= 24,
       conv(hex(substring(payload, 21, 4)), 16, 10).cast("int"))
+
+  /** GIF header sniff — also real and library-free: "GIF87a"/"GIF89a"
+    * signature, then LITTLE-endian u16 width at bytes 7-8 and height at
+    * 9-10 (assembled per byte; conv reads big-endian hex).
+    */
+  def isGif(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+
+  private def leU16(payload: org.apache.spark.sql.Column, pos: Int) =
+    (conv(hex(substring(payload, pos, 1)), 16, 10).cast("int") +
+      conv(hex(substring(payload, pos + 1, 1)), 16, 10).cast("int") * 256)
+
+  def gifWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isGif(payload) && octet_length(payload) >= 10, leU16(payload, 7))
+
+  def gifHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isGif(payload) && octet_length(payload) >= 10, leU16(payload, 9))
 
   /** STUB fallback for non-PNG payloads: deterministic fake dimensions
     * from payload size. A real deployment extends the header sniff per

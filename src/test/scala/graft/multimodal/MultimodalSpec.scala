@@ -39,6 +39,17 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2L)._1 === "application/octet-stream") // stub fallback
   }
 
+  test("GIF payloads parse little-endian dimensions from the header") {
+    import spark.implicits._
+    // GIF89a logical-screen 320×200: 0x0140 LE = 40 01, 0x00C8 LE = C8 00
+    val gif: Array[Byte] = ("GIF89a".getBytes("US-ASCII").map(_.toInt) ++
+      Seq(0x40, 0x01, 0xC8, 0x00)).map(_.toByte).toArray
+    val d = Multimodal.describePayload(Seq((1L, gif)).toDF("doc_id", "payload"))
+      .select($"media_meta.media_type", $"media_meta.width", $"media_meta.height")
+      .collect().head
+    assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/gif", 320, 200)))
+  }
+
   test("feature extraction runs per-partition and is deterministic") {
     val f1 = Multimodal.extractFeatures(Multimodal.withPayload(docs))
       .select("doc_id", "features").collect()
