@@ -90,6 +90,53 @@ object Multimodal {
   private def stubHeight(payload: org.apache.spark.sql.Column) =
     (octet_length(payload) % 480 + 1).cast("int")
 
+  /** REAL JPEG dimension parse — segment walk to the SOF marker (JPEG
+    * dims sit at a variable offset, so this lives at the mapPartitions
+    * boundary, not in a fixed-offset expression). Returns (width,
+    * height); None for non-JPEG / truncated payloads. Library-free.
+    */
+  def jpegDimensions(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (payload == null || payload.length < 4 ||
+      u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < payload.length) {
+      if (u8(i) != 0xff) return None // desynced — not a JPEG stream
+      val marker = u8(i + 1)
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else if ((marker >= 0xc0 && marker <= 0xcf)
+          && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // SOFn: [len u16][precision u8][height u16][width u16]
+        if (i + 8 >= payload.length) return None
+        return Some((u16(i + 7), u16(i + 5)))
+      } else {
+        if (i + 3 >= payload.length) return None
+        i += 2 + u16(i + 2)
+      }
+    }
+    None
+  }
+
+  /** Adds real JPEG dimensions per partition (`jpeg_width`/`jpeg_height`,
+    * null for non-JPEG): the same iterator boundary [[extractFeatures]]
+    * uses — one pass, constant memory.
+    */
+  def withJpegDimensions(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("jpeg_width", IntegerType),
+      StructField("jpeg_height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val dims = jpegDimensions(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(dims.map(_._1).orNull, dims.map(_._2).orNull))
+      }
+    }(enc)
+  }
+
   /** Per-partition decode / feature-extract boundary. Batch shape: one
     * iterator pass, constant memory, no driver collect. The feature
     * vector here is a STUB (first-16-bytes histogram); a real pipeline

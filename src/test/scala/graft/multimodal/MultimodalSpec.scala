@@ -50,6 +50,28 @@ class MultimodalSpec extends SparkSpec {
     assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/gif", 320, 200)))
   }
 
+  test("JPEG payloads parse dimensions via the SOF segment walk") {
+    import spark.implicits._
+    // SOI, APP0 (16 bytes), SOF0 with 480×640: a realistic marker layout
+    val jpeg: Array[Byte] = (
+      Seq(0xFF, 0xD8) ++                              // SOI
+        Seq(0xFF, 0xE0, 0x00, 0x10) ++ Seq.fill(14)(0x00) ++ // APP0 len 16
+        Seq(0xFF, 0xC0, 0x00, 0x11, 0x08,             // SOF0 len 17, prec 8
+          0x01, 0xE0,                                 // height 480
+          0x02, 0x80,                                 // width 640
+          0x03) ++ Seq.fill(10)(0x00)
+      ).map(_.toByte).toArray
+    assert(Multimodal.jpegDimensions(jpeg) === Some((640, 480)))
+    assert(Multimodal.jpegDimensions("not a jpeg".getBytes) === None)
+    assert(Multimodal.jpegDimensions(Array[Byte](0xFF.toByte, 0xD8.toByte)) === None)
+    val d = Multimodal.withJpegDimensions(
+      Seq((1L, jpeg), (2L, "plain".getBytes)).toDF("doc_id", "payload"))
+      .select($"doc_id", $"jpeg_width", $"jpeg_height").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(d(1L) === ((Some(640), Some(480))))
+    assert(d(2L) === ((None, None)))
+  }
+
   test("feature extraction runs per-partition and is deterministic") {
     val f1 = Multimodal.extractFeatures(Multimodal.withPayload(docs))
       .select("doc_id", "features").collect()
