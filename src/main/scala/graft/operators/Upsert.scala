@@ -37,4 +37,24 @@ object Upsert {
             when(col("__u.__upd").isNotNull, col(s"__u.$c"))
               .otherwise(col(s"__b.$c")).as(c)): _*)
   }
+
+  /** Full CDC apply: `changes` carries a boolean tombstone column —
+    * tombstoned keys are REMOVED from the snapshot (whether or not the
+    * same batch also carried an upsert for them: delete wins, the
+    * conventional CDC compaction rule), the rest upsert as in [[apply]].
+    * Deleting an absent key is a no-op.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      deleteCol: String): DataFrame = {
+    require(changes.columns.contains(deleteCol),
+      s"changes must carry the tombstone column $deleteCol")
+    val upserts = changes
+      .filter(!coalesce(col(deleteCol), lit(false)))
+      .drop(deleteCol)
+    val tombstones = changes
+      .filter(coalesce(col(deleteCol), lit(false)))
+      .select(col(key).as("__del_key")).distinct()
+    apply(base, upserts, key)
+      .join(tombstones, col(key) === col("__del_key"), "left_anti")
+  }
 }

@@ -32,6 +32,20 @@ class UpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException](Upsert(base, bad, "k"))
   }
 
+  test("applyChanges: tombstones delete, delete wins over same-batch upsert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val changes = Seq(
+      (2L, "B", false),  // update
+      (3L, "dead", true), // delete existing
+      (3L, "zombie", false), // same-batch upsert for a deleted key → delete wins
+      (4L, "d", false),  // insert
+      (9L, "ghost", true)) // delete absent key → no-op
+      .toDF("k", "name", "is_delete")
+    val got = Upsert.applyChanges(base, changes, "k", "is_delete")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Array((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
   test("null-valued update columns still replace (whole-row semantics)") {
     val base = Seq((1L, Some("a"))).toDF("k", "name")
     val updates = Seq((1L, Option.empty[String])).toDF("k", "name")
