@@ -39,12 +39,13 @@ object Multimodal {
     df.withColumn("media_meta", struct(
       when(isPng(col("payload")), "image/png")
         .when(isGif(col("payload")), "image/gif")
+        .when(isBmp(col("payload")), "image/bmp")
         .otherwise("application/octet-stream").as("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       coalesce(pngWidth(col("payload")), gifWidth(col("payload")),
-        stubWidth(col("payload"))).as("width"),
+        bmpWidth(col("payload")), stubWidth(col("payload"))).as("width"),
       coalesce(pngHeight(col("payload")), gifHeight(col("payload")),
-        stubHeight(col("payload"))).as("height"),
+        bmpHeight(col("payload")), stubHeight(col("payload"))).as("height"),
       md5(col("payload")).as("checksum")))
 
   /** PNG header sniff — real, library-free: the 8-byte signature, then
@@ -79,6 +80,23 @@ object Multimodal {
 
   def gifHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(isGif(payload) && octet_length(payload) >= 10, leU16(payload, 9))
+
+  /** BMP header sniff: "BM" signature, BITMAPINFOHEADER little-endian
+    * i32 width at byte 19 and height at 23 (1-based).
+    */
+  def isBmp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(payload, 1, 2).cast("string") === "BM"
+
+  private def leU32(payload: org.apache.spark.sql.Column, pos: Int) =
+    (0 until 4).map(i =>
+      conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("int") * (1 << (8 * i)))
+      .reduce(_ + _)
+
+  def bmpWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isBmp(payload) && octet_length(payload) >= 26, leU32(payload, 19))
+
+  def bmpHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isBmp(payload) && octet_length(payload) >= 26, leU32(payload, 23))
 
   /** STUB fallback for non-PNG payloads: deterministic fake dimensions
     * from payload size. A real deployment extends the header sniff per

@@ -50,6 +50,19 @@ class MultimodalSpec extends SparkSpec {
     assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/gif", 320, 200)))
   }
 
+  test("BMP payloads parse little-endian i32 dimensions") {
+    import spark.implicits._
+    // "BM" + 12 filler bytes + 4-byte header-size + width 1024 LE + height 768 LE
+    val bmp: Array[Byte] = ("BM".getBytes("US-ASCII").map(_.toInt) ++
+      Seq.fill(12)(0x00) ++ Seq(0x28, 0x00, 0x00, 0x00) ++
+      Seq(0x00, 0x04, 0x00, 0x00) ++ Seq(0x00, 0x03, 0x00, 0x00))
+      .map(_.toByte).toArray
+    val d = Multimodal.describePayload(Seq((1L, bmp)).toDF("doc_id", "payload"))
+      .select($"media_meta.media_type", $"media_meta.width", $"media_meta.height")
+      .collect().head
+    assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/bmp", 1024, 768)))
+  }
+
   test("JPEG payloads parse dimensions via the SOF segment walk") {
     import spark.implicits._
     // SOI, APP0 (16 bytes), SOF0 with 480×640: a realistic marker layout
