@@ -742,6 +742,45 @@ object Catalog {
         .orderBy("doc_id", "chunk_id"),
       Some("SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), LATERAL unnest(generate_series(0, CAST(floor((len(ws)-1)/40) AS BIGINT))) AS t(i) ORDER BY doc_id, chunk_id")),
 
+    // Vocabulary construction: contiguous token ids by frequency rank.
+    // Two-phase like w1: TakeOrderedAndProject bounds the top-200 BEFORE
+    // the id-assigning window ranks ≤200 rows (never the whole vocab).
+    Q("text_vocab",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(200)
+        counts
+          .select(col("word"), col("cnt"),
+            row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+              .cast("long").as("token_id"))
+          .orderBy("token_id")
+      },
+      Some("SELECT word, cnt, rn AS token_id FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (ORDER BY count(*) DESC, word) AS rn FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) WHERE rn <= 200 ORDER BY token_id")),
+
+    // Skip-gram co-occurrence (window ±2): pairs come from lead() over
+    // (doc, pos) — one shuffle, NO position self-join. Pairs normalized
+    // (least, greatest) so (a,b) and (b,a) accumulate together.
+    Q("text_cooccur",
+      (s, d) => {
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(byDoc))
+          .withColumn("w2", lead("w", 2).over(byDoc))
+        tok.select(col("w").as("a"), col("w1").as("b"))
+          .unionByName(tok.select(col("w").as("a"), col("w2").as("b")))
+          .filter(col("b").isNotNull && col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("wa"), greatest(col("a"), col("b")).as("wb"))
+          .groupBy("wa", "wb").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("wa"), col("wb"))
+          .limit(100)
+      },
+      Some("SELECT wa, wb, cnt FROM (SELECT least(a, b) AS wa, greatest(a, b) AS wb, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT ws[i] AS a, ws[i+k] AS b FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i), LATERAL unnest([1, 2]) AS g(k) WHERE i + k <= len(ws)) WHERE a <> b GROUP BY 1, 2) ORDER BY cnt DESC, wa, wb LIMIT 100")),
+
     // Token-count histogram over the corpus (bucket = floor(tokens/10)) —
     // the length-distribution diagnostic a curation pipeline reports.
     Q("text_len_histogram",
