@@ -1003,6 +1003,29 @@ object Catalog {
       },
       Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")))
 
+  // Edit-distance verification of LSH candidates — the classic
+  // candidate→verify dedup pattern: pairwise Levenshtein runs ONLY on
+  // the banded candidates (exact integer cross-engine), never all-pairs.
+  private val editVerify = Seq(
+    Q("dedup_edit_verify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup
+          .lshCandidatePairs(docs, "doc_id", "text", 4, 2)
+        val t = docs.select(col("doc_id"), col("text"))
+        pairs
+          .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+          .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") <= 20)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql) " +
+        "SELECT id_a, id_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
+        "FROM pairs JOIN documents a ON a.doc_id = id_a JOIN documents b ON b.doc_id = id_b " +
+        "WHERE levenshtein(a.text, b.text) <= 20 ORDER BY id_a, id_b")))
+
   // The clustering oracles are the semantic fixpoint definition
   // (recursive CTE: cluster id = min doc_id reachable); Spark runs
   // large-star/small-star ([[graft.operators.Components]]) — a hash-match
@@ -1235,7 +1258,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ pipeline ++ streaming
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ editVerify ++ pipeline ++ streaming
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
