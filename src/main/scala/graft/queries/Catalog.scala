@@ -760,6 +760,17 @@ object Catalog {
       },
       Some("SELECT word, cnt, rn AS token_id FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (ORDER BY count(*) DESC, word) AS rn FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) WHERE rn <= 200 ORDER BY token_id")),
 
+    // Document frequency (how many docs contain each word — the IDF
+    // numerator, distinct from text_vocab's collection frequency).
+    Q("text_df",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(100),
+      Some("SELECT word, df FROM (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) ORDER BY df DESC, word LIMIT 100")),
+
     // Skip-gram co-occurrence (window ±2): pairs come from lead() over
     // (doc, pos) — one shuffle, NO position self-join. Pairs normalized
     // (least, greatest) so (a,b) and (b,a) accumulate together.
