@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from stdout. sbt's default
+// forked-output strategy routes it through the logger with an "[info] "
+// prefix (unparseable JSON — rounds 1 and 2 both recorded parsed:null);
+// StdoutOutput inherits the real stdout instead. showSuccess drops the
+// trailing "[success] Total time" line so the JSON is the final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

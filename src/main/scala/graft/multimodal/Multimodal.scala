@@ -56,13 +56,21 @@ object Multimodal {
   def isPng(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
 
+  /** Big-endian u32 read, assembled in LONG space: a crafted header with
+    * the top bit set would make a direct cast("int") throw under ANSI
+    * mode (killing the whole query for one bad payload). Out-of-spec
+    * values (PNG caps dims at 2^31-1) come back NULL, not an error.
+    */
+  private def beU32Int(payload: org.apache.spark.sql.Column, pos: Int) = {
+    val v = conv(hex(substring(payload, pos, 4)), 16, 10).cast("long")
+    when(v <= Int.MaxValue, v.cast("int"))
+  }
+
   def pngWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(isPng(payload) && octet_length(payload) >= 24,
-      conv(hex(substring(payload, 17, 4)), 16, 10).cast("int"))
+    when(isPng(payload) && octet_length(payload) >= 24, beU32Int(payload, 17))
 
   def pngHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(isPng(payload) && octet_length(payload) >= 24,
-      conv(hex(substring(payload, 21, 4)), 16, 10).cast("int"))
+    when(isPng(payload) && octet_length(payload) >= 24, beU32Int(payload, 21))
 
   /** GIF header sniff — also real and library-free: "GIF87a"/"GIF89a"
     * signature, then LITTLE-endian u16 width at bytes 7-8 and height at
@@ -87,10 +95,18 @@ object Multimodal {
   def isBmp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(payload, 1, 2).cast("string") === "BM"
 
-  private def leU32(payload: org.apache.spark.sql.Column, pos: Int) =
-    (0 until 4).map(i =>
-      conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("int") * (1 << (8 * i)))
+  /** Little-endian SIGNED i32 read (BMP dims are i32; a top-down BMP has
+    * a NEGATIVE height, i.e. byte 4 ≥ 0x80). Assembled in LONG space —
+    * byte3 * (1<<24) in Int arithmetic overflows for byte3 ≥ 0x80, which
+    * under Spark 4's default ANSI mode throws instead of wrapping — then
+    * mapped to the signed value explicitly before the narrowing cast.
+    */
+  private def leU32(payload: org.apache.spark.sql.Column, pos: Int) = {
+    val u = (0 until 4).map(i =>
+      conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("long") * (1L << (8 * i)))
       .reduce(_ + _)
+    when(u >= (1L << 31), u - (1L << 32)).otherwise(u).cast("int")
+  }
 
   def bmpWidth(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(isBmp(payload) && octet_length(payload) >= 26, leU32(payload, 19))

@@ -26,10 +26,13 @@ object Sampling {
     */
   private[graft] def rateToHex(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
-    // rate 1.0 must keep EVERY row: "g" sorts above any hex digit, so
-    // `prefix < "g"` is identically true (a 2^32 threshold would drop
-    // keys hashing to ffffffff).
-    if (rate == 1.0) "g" else f"${math.round(rate * (1L << 32))}%08x"
+    // Any rounded threshold ≥ 2^32 must keep EVERY row: "g" sorts above
+    // any hex digit, so `prefix < "g"` is identically true. This covers
+    // rate == 1.0 AND computed rates in [1 - 2^-33, 1.0) — those round
+    // to 0x100000000, which %08x would format as the 9-char "100000000",
+    // silently keeping only '0'-prefixed hashes (~6% of rows).
+    val rounded = math.round(rate * (1L << 32))
+    if (rounded >= (1L << 32)) "g" else f"$rounded%08x"
   }
 
   private def hashPrefix(keyCol: Column): Column =

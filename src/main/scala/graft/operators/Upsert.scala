@@ -17,6 +17,14 @@ object Upsert {
     * base rows wholesale (reference semantics of a keyed dict upsert —
     * the ingest path's last-writer-wins, TweetIngest.scala), others pass
     * through. Schemas must match.
+    *
+    * PRECONDITION: `key` must be UNIQUE within `base` and within
+    * `updates`. A dict upsert has one slot per key; a relational
+    * full-outer join does not — duplicate keys on either side fan out
+    * into duplicated output rows silently. Callers with a multi-version
+    * update feed must collapse it first: [[latestByKey]] (explicit
+    * version order — what upsertSink does with its ts column), never an
+    * arbitrary dropDuplicates (nondeterministic winner).
     */
   def apply(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
@@ -36,6 +44,22 @@ object Upsert {
           cols.map(c =>
             when(col("__u.__upd").isNotNull, col(s"__u.$c"))
               .otherwise(col(s"__b.$c")).as(c)): _*)
+  }
+
+  /** Collapse a multi-version update feed to one row per key: the row
+    * with the greatest `orderCol` wins, ties broken by the remaining
+    * columns so the winner is deterministic (a bare dropDuplicates picks
+    * whichever partition arrives first). Run this before [[apply]] when
+    * the feed can carry several versions of a key.
+    */
+  def latestByKey(updates: DataFrame, key: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tieBreak = updates.columns.filterNot(c => c == key || c == orderCol)
+      .map(col).toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(orderCol).desc +: tieBreak.map(_.desc)): _*)
+    updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Full CDC apply: `changes` carries a boolean tombstone column —

@@ -666,7 +666,9 @@ object Catalog {
           (length(col("text")).cast("double") / toks).as("chars_per_token"))
           .orderBy("doc_id")
       },
-      Some(s"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / strlen(text) AS punct_ratio, CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
+      // DuckDB length() = CHARACTERS, matching Spark length(); strlen
+      // counts BYTES and would diverge on any non-ASCII document.
+      Some(s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
 
     // Beyond-reference: BPE-ish token counting (alpha runs + digit runs).
     Q("text_tokens",
@@ -709,8 +711,8 @@ object Catalog {
         "WHEN len(string_split(lower(text), ' ')) < 5 THEN 'too_short' " +
         "WHEN len(string_split(lower(text), ' ')) > 1000 THEN 'too_long' " +
         s"WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) < 0.05 THEN 'low_stopword' " +
-        "WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / strlen(text) > 0.3 THEN 'punct_heavy' " +
-        "WHEN CAST(strlen(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0 THEN 'long_tokens' " +
+        "WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) > 0.3 THEN 'punct_heavy' " +
+        "WHEN CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0 THEN 'long_tokens' " +
         "ELSE 'keep' END AS reason FROM documents) ORDER BY doc_id")),
 
     // PII/URL scrubbing: mask URLs then long digit runs — the redaction
@@ -1027,9 +1029,14 @@ object Catalog {
         pairs
           .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
           .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          // length gap is a lower bound on edit distance — prunes the
+          // O(threshold·len) DP entirely for most candidate pairs; the
+          // thresholded levenshtein bands the rest (returns -1 above 20,
+          // never filling the full O(len²) matrix).
+          .filter(abs(length(col("ta")) - length(col("tb"))) <= 20)
           .select(col("id_a"), col("id_b"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-          .filter(col("edit_dist") <= 20)
+            levenshtein(col("ta"), col("tb"), 20).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") >= 0)
           .orderBy("id_a", "id_b")
       },
       Some(s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql) " +
@@ -1156,11 +1163,15 @@ object Catalog {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .withColumn("mx", Vectors.maxAbs(col("embedding")))
+        // serialized to a string: the driver's comparator sorts result
+        // frames by every column, and raw array cells break that sort
+        // (round-2 CORRECTNESS recorded a comparator crash, not a
+        // mismatch — the values themselves hash-matched in the mimic).
         e.select(col("vec_id"),
-          Vectors.quantizeInt8(col("embedding"), col("mx")).as("q"))
+          array_join(Vectors.quantizeInt8(col("embedding"), col("mx")), ",").as("q"))
           .orderBy("vec_id")
       },
-      Some("SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding] AS q " +
+      Some("SELECT vec_id, array_to_string([CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding], ',') AS q " +
         "FROM (SELECT vec_id, embedding, list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx FROM embeddings) ORDER BY vec_id")),
 
     // Round-trip reconstruction error of the quantization, in exact

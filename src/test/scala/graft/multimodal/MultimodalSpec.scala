@@ -63,6 +63,20 @@ class MultimodalSpec extends SparkSpec {
     assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/bmp", 1024, 768)))
   }
 
+  test("top-down BMP (negative i32 height) survives ANSI mode") {
+    import spark.implicits._
+    // height -768 = 0xFFFFFD00 LE: byte3 = 0xFF — Int-space assembly of
+    // byte3 * (1<<24) would overflow and throw under ANSI mode
+    val bmp: Array[Byte] = ("BM".getBytes("US-ASCII").map(_.toInt) ++
+      Seq.fill(12)(0x00) ++ Seq(0x28, 0x00, 0x00, 0x00) ++
+      Seq(0x00, 0x04, 0x00, 0x00) ++ Seq(0x00, 0xFD, 0xFF, 0xFF))
+      .map(_.toByte).toArray
+    val d = Multimodal.describePayload(Seq((1L, bmp)).toDF("doc_id", "payload"))
+      .select($"media_meta.media_type", $"media_meta.width", $"media_meta.height")
+      .collect().head
+    assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/bmp", 1024, -768)))
+  }
+
   test("JPEG payloads parse dimensions via the SOF segment walk") {
     import spark.implicits._
     // SOI, APP0 (16 bytes), SOF0 with 480×640: a realistic marker layout

@@ -90,5 +90,10 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.rateToHex(0.25) === "40000000")
     assert(Sampling.rateToHex(0.5) === "80000000")
     assert(Sampling.rateToHex(1.0) === "g")
+    // rates that ROUND to 2^32 must also keep everything — %08x would
+    // format 0x100000000 as a 9-char string whose `<` compare silently
+    // keeps only '0'-prefixed hashes (~6% of rows)
+    assert(Sampling.rateToHex(1.0 - math.pow(2, -34)) === "g")
+    assert(Sampling.rateToHex(math.nextDown(1.0)) === "g")
   }
 }

@@ -52,4 +52,17 @@ class UpsertSpec extends SparkSpec {
     val got = Upsert(base, updates, "k").collect().head
     assert(got.isNullAt(1))
   }
+
+  test("latestByKey collapses a multi-version feed deterministically") {
+    val feed = Seq(
+      (1L, 10L, "v1"), (1L, 30L, "v3"), (1L, 20L, "v2"),
+      (2L, 5L, "x"), (2L, 5L, "y")) // tie on ts → later remaining cols win
+      .toDF("k", "ts", "name")
+    val got = Upsert.latestByKey(feed, "k", "ts")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got === Array((1L, "v3"), (2L, "y")))
+    // the full-outer fan-out the raw feed would cause is gone
+    val base = Seq((1L, 0L, "base")).toDF("k", "ts", "name")
+    assert(Upsert(base, Upsert.latestByKey(feed, "k", "ts"), "k").count() === 2)
+  }
 }
