@@ -64,10 +64,22 @@ object Vectors {
       abs(qi.cast("double") * (mx / lit(127.0)) - xi.cast("double")))) * 1e6 + lit(0.5))
       .cast("long")
 
+  /** ±1 hyperplane component for (plane, dim): +1 iff the top bit of
+    * md5("plane{p}_{i}") is 0 — i.e. the first hex digit is '0'..'7'.
+    * md5 (not a JVM hash) so an external engine can re-derive the exact
+    * plane from the same string: `substr(md5('plane'||p||'_'||i),1,1) <
+    * '8'` — which is what the sim_lsh_ann DuckDB oracle does.
+    */
+  private[graft] def planeSign(p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane${p}_$i".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
   /** Sign-bit LSH bucket over `planes` pseudo-random hyperplanes.
     *
-    * Hyperplane components are ±1, derived from a fixed-seed hash of
-    * (plane, dim) at plan-construction time and embedded as literal
+    * Hyperplane components are ±1, derived from [[planeSign]] (md5 —
+    * engine-portable) at plan-construction time and embedded as literal
     * arrays — deterministic, seedable, no stored model, and the
     * projection is the native codegen [[DotProduct]] (no interpreted
     * per-element work). `maxDim` caps the hyperplane length; vectors
@@ -76,10 +88,7 @@ object Vectors {
   def lshBucket(v: Column, planes: Int, maxDim: Int = 4096): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     val bits = (0 until planes).map { p =>
-      val comps = Array.tabulate(maxDim) { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i), 0x9747b28c)
-        if ((h & 1) == 0) 1.0 else -1.0
-      }
+      val comps = Array.tabulate(maxDim)(planeSign(p, _))
       val plane = typedlit(comps.toSeq)
       val proj = ColumnBridge.column(
         DotProduct(ColumnBridge.expression(v), ColumnBridge.expression(plane)))

@@ -44,8 +44,22 @@ object Ivf {
     df.withColumn("centroid_id", array_max(scored).getField("c"))
   }
 
+  /** Fixed-point scale for the centroid update: multiplying by a power
+    * of two is EXACT in IEEE doubles, so `floor(x * 2^24 + 0.5)` is a
+    * deterministic integer any engine reproduces bit-for-bit.
+    */
+  private[graft] val FixedScale = 1L << 24
+
   /** Lloyd's k-means: deterministic init (first k vectors by id), then
     * `iters` assign/average rounds. Returns the learned centroids.
+    *
+    * The update step is integer-exact: per-component sums run over
+    * 2^24-scaled fixed-point values (long), so the sum is independent of
+    * partitioning/merge order — a plain `avg` of doubles changes in the
+    * last ulp with the shuffle's arrival order, which makes the learned
+    * model (and any borderline assignment) nondeterministic run-to-run.
+    * The centroid component is then ONE double division of two exact
+    * integers: bit-identical everywhere, including the DuckDB oracle.
     */
   def train(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Array[Array[Double]] = {
@@ -58,12 +72,14 @@ object Ivf {
       val means = assigned
         .select(col("centroid_id"), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
-        .agg(avg("x").as("m"))
+        .agg(sum(floor(col("x") * FixedScale + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCid = means.groupBy(_.getInt(0))
       centroids = centroids.indices.map { cid =>
         byCid.get(cid) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          case Some(rows) => rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * FixedScale).toDouble)
           case None       => centroids(cid) // empty cell keeps its centroid
         }
       }.toArray
