@@ -1345,10 +1345,82 @@ object Catalog {
       Some("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), f AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")))
 
   // --------------------------------------------------------------------
+  // Training-pipeline assembly ops: packing, graph centrality, tf-idf
+  // --------------------------------------------------------------------
+
+  private val training = Seq(
+    // Concat-and-chunk sequence packing into 2048-token bins, 4 shards:
+    // per-bin fill report. Shard-local running sums — no global window.
+    Q("pack_sequences",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+        graft.operators.Pack.binStats(
+          graft.operators.Pack.packSequences(docs, "doc_id", "n_tokens", 2048L, 4),
+          "n_tokens")
+          .orderBy("shard", "bin")
+      },
+      Some("SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM " +
+        "(SELECT shard, doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin FROM " +
+        "(SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents)) " +
+        "GROUP BY shard, bin ORDER BY shard, bin")),
+
+    // Integer-exact PageRank over the symmetrized LSH duplicate graph
+    // (3 rounds, d=0.85, ppm units) — canonical-doc/boilerplate signal.
+    // Oracle = the same three rounds unrolled; all-integer arithmetic,
+    // so the two engines agree exactly.
+    Q("graph_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2)
+        val sym = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+          .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+        graft.operators.PageRank.ranks(docs, "doc_id", sym, "s", "t", iters = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        def round(prev: String, name: String): String =
+          s"$name AS (SELECT n.doc_id, CAST(150000 + (COALESCE(i.s, 0) * 85) // 100 AS BIGINT) AS pr FROM n LEFT JOIN " +
+            s"(SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS s FROM $prev p JOIN deg d ON p.doc_id = d.src JOIN e ON e.src = d.src GROUP BY e.dst) i USING (doc_id))"
+        s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+          "e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+          "n AS (SELECT doc_id FROM documents), " +
+          "p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n), " +
+          round("p0", "p1") + ", " + round("p1", "p2") + ", " + round("p2", "p3") + " " +
+          "SELECT doc_id, pr FROM p3 ORDER BY doc_id"
+      }),
+
+    // Tf-idf top-3 terms per document, idf as the exact rational N/df
+    // (no log — a transcendental differs in the last ulp across libm
+    // builds; the rational keeps the ranking and stays bit-portable).
+    Q("text_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val idf = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(idf, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "term", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), " +
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, CAST(tf * n AS DOUBLE) / df AS score FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM s) " +
+        "SELECT doc_id, term, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")))
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ editVerify ++ pipeline ++ streaming
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ editVerify ++ pipeline ++ streaming ++ training
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Concat-and-chunk sequence packing: hand-checked bin math, shard
+  * locality, and partitioning invariance (the 100 TB property: the
+  * assignment is a pure function of the rows, never of the layout).
+  */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bins follow the shard-local exclusive running sum") {
+    val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L))
+      .toDF("doc_id", "n_tokens")
+    // nShards = 1 → one shard, pure sequential packing at budget 1500:
+    // first-token offsets 0, 1000, 2000 → bins 0, 0, 1
+    val p = Pack.packSequences(docs, "doc_id", "n_tokens", 1500L, 1)
+      .orderBy("doc_id")
+      .select("bin", "bin_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(p === Array((0L, 0L), (0L, 1000L), (1L, 500L)))
+  }
+
+  test("binStats reports per-bin doc and token totals") {
+    val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L))
+      .toDF("doc_id", "n_tokens")
+    val stats = Pack.binStats(
+      Pack.packSequences(docs, "doc_id", "n_tokens", 1500L, 1), "n_tokens")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats === Array((0L, 2L, 2000L), (1L, 1L, 1000L)))
+  }
+
+  test("assignment is invariant under input partitioning") {
+    val docs = (1L to 200L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.packSequences(df, "doc_id", "n_tokens", 2048L, 4)
+        .select("doc_id", "shard", "bin", "bin_offset")
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs) === run(docs.repartition(13)))
+    // shards actually spread (md5 uniformity on 200 keys)
+    val nShards = Pack.packSequences(docs, "doc_id", "n_tokens", 2048L, 4)
+      .select(countDistinct(col("shard"))).collect().head.getLong(0)
+    assert(nShards === 4L)
+  }
+}
