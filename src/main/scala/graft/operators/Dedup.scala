@@ -203,4 +203,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** ASYMMETRIC containment decontamination: per corpus doc, the fraction
+    * of its distinct shingles that appear anywhere in the benchmark —
+    * |sh(doc) ∩ sh(bench)| / |sh(doc)|. Jaccard misses the case that
+    * matters most for eval integrity: a short benchmark item quoted
+    * whole inside a long document (tiny union-ratio, containment ≈ 1).
+    * The ratio is one division of two exact integers — deterministic on
+    * any engine. Same scale shape as [[contaminated]]: the benchmark
+    * shingle set broadcasts, the corpus never shuffles beyond its own
+    * per-doc aggregation.
+    */
+  def containment(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol).distinct()
+    val totals = corpusSh.groupBy(idCol).agg(count(lit(1)).as("n_total"))
+    val benchSh = shingleRows(benchmark, idCol, textCol)
+      .select("sh").distinct()
+    val shared = corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__shared"), lit(0L)).as("n_shared"),
+        col("n_total"),
+        (coalesce(col("__shared"), lit(0L)).cast("double") / col("n_total"))
+          .as("containment"))
+  }
 }

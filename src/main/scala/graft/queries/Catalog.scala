@@ -1084,6 +1084,39 @@ object Catalog {
       },
       Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")))
 
+  // Asymmetric containment ratio per corpus doc vs the benchmark shingle
+  // set — catches a short eval item quoted whole inside a long document
+  // (near-zero Jaccard, containment ≈ 1). Ratio = one division of two
+  // exact integers: cross-engine deterministic.
+  private val containmentQ = Seq(
+    Q("dedup_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.containment(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), " +
+        "b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM w WHERE doc_id >= 10 GROUP BY doc_id), " +
+        "shr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id) " +
+        "SELECT tot.doc_id, COALESCE(shr.n_shared, 0) AS n_shared, tot.n_total, CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / tot.n_total AS containment " +
+        "FROM tot LEFT JOIN shr USING (doc_id) ORDER BY doc_id")),
+
+    // Skew-resilient two-phase salted aggregation, verified against the
+    // plain GROUP BY it must equal (integer cents — exact under any
+    // partial/merge order, which is the whole point of salting).
+    Q("skew_salted_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("qty_cents", cents(col("l_quantity")))
+        graft.operators.Skew.saltedSumCount(li, "l_returnflag", "qty_cents")
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
+
   // Edit-distance verification of LSH candidates — the classic
   // candidate→verify dedup pattern: pairwise Levenshtein runs ONLY on
   // the banded candidates (exact integer cross-engine), never all-pairs.
@@ -1420,7 +1453,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ editVerify ++ pipeline ++ streaming ++ training
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ containmentQ ++ editVerify ++ pipeline ++ streaming ++ training
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -116,6 +116,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.split("Sort").head.contains("Exchange"), p)
   }
 
+  test("pack_sequences: packing window is shard-partitioned, never global") {
+    val p = plan("pack_sequences")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition, Window"), p)
+  }
+
+  test("graph_pagerank: every iteration joins on keys, never a cartesian") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("skew_salted_agg: both phases aggregate partially before exchanging") {
+    val p = plan("skew_salted_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("dedup_containment: benchmark shingles broadcast; corpus side never does") {
+    val p = plan("dedup_containment")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
