@@ -53,6 +53,22 @@ object Dedup {
       .select(keep :+ concat_ws(" ", col("w"), col("__nxt")).as("sh"): _*)
   }
 
+  /** Sliding n-token spans per document (generalizes [[shingleRows]]'s
+    * bigrams): one exchange on the doc id; the n-1 `lead` columns share
+    * a single window spec, so they come out of ONE Window pass.
+    */
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span length $n must be >= 2")
+    val tok = df.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val nexts = (1 until n).map(k => lead(col("w"), k).over(w).as(s"__w$k"))
+    tok.select(col(idCol) +: col("w") +: nexts: _*)
+      .filter((1 until n).map(k => col(s"__w$k").isNotNull).reduce(_ && _))
+      .select(col(idCol),
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"__w$k")): _*).as("gram"))
+  }
+
   /** MinHash signature table: `idCol`, h0..h{k-1} over word-bigram
     * shingles. Portable md5-based hash family (seed-prefixed).
     */

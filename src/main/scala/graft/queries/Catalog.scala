@@ -1117,6 +1117,71 @@ object Catalog {
       },
       Some("SELECT l_returnflag, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
 
+  // Span-level boilerplate detection: exact 8-token spans shared by ≥3
+  // distinct docs (template/boilerplate families that doc-level dedup
+  // leaves behind — the span report drives a scrub pass at scale).
+  private val spanQs = Seq(
+    Q("text_boilerplate",
+      (s, d) => graft.operators.Dedup
+        .ngramRows(Tables.documents(s, d), "doc_id", "text", 8)
+        .distinct()
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("gram")),
+      Some("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM w, LATERAL unnest(generate_series(1, len(ws)-7)) AS t(i)), " +
+        "d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY gram) " +
+        "SELECT gram, df FROM d WHERE df >= 3 ORDER BY df DESC, gram")),
+
+    // MinHash sketch-accuracy report: estimated Jaccard (matching
+    // signature quarters) next to the exact shingle Jaccard, per LSH
+    // candidate pair — the calibration check before trusting the sketch
+    // at a scale where exact Jaccard is unaffordable corpus-wide.
+    // jacc_millis = floor(j*1000 + 0.5) of a single exact division.
+    Q("dedup_minhash_est",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sig = graft.operators.Dedup
+          .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+        val pairs = graft.operators.Dedup
+          .lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+        val est = pairs
+          .join(sig.select(col("doc_id").as("id_a"),
+            col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"),
+            col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (0 until 4).map(i =>
+              when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+              .reduce(_ + _).as("est_quarters"))
+        val w = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
+          .distinct().localCheckpoint()
+        val n = w.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        val shared = w.as("sa")
+          .join(w.as("sb"), col("sa.sh") === col("sb.sh")
+            && col("sa.doc_id") < col("sb.doc_id"))
+          .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+        est
+          .join(shared, Seq("id_a", "id_b"), "left")
+          .join(n.select(col("doc_id").as("id_a"), col("nd").as("na")), "id_a")
+          .join(n.select(col("doc_id").as("id_b"), col("nd").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("est_quarters"),
+            floor(coalesce(col("shared"), lit(0L)).cast("double")
+              / (col("na") + col("nb") - coalesce(col("shared"), lit(0L))) * 1000 + 0.5)
+              .cast("long").as("jacc_millis"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), " +
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id), " +
+        "shr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "est AS (SELECT id_a, id_b, CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) AS BIGINT) AS est_quarters FROM pairs JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b) " +
+        "SELECT est.id_a, est.id_b, est.est_quarters, CAST(floor(CAST(COALESCE(shr.shared, 0) AS DOUBLE) / (na.nd + nb.nd - COALESCE(shr.shared, 0)) * 1000 + 0.5) AS BIGINT) AS jacc_millis " +
+        "FROM est LEFT JOIN shr ON est.id_a = shr.id_a AND est.id_b = shr.id_b " +
+        "JOIN n na ON na.doc_id = est.id_a JOIN n nb ON nb.doc_id = est.id_b " +
+        "ORDER BY est.id_a, est.id_b")))
+
   // Edit-distance verification of LSH candidates — the classic
   // candidate→verify dedup pattern: pairwise Levenshtein runs ONLY on
   // the banded candidates (exact integer cross-engine), never all-pairs.
@@ -1453,7 +1518,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ containmentQ ++ editVerify ++ pipeline ++ streaming ++ training
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ containmentQ ++ spanQs ++ editVerify ++ pipeline ++ streaming ++ training
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -119,4 +119,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged === Map(1L -> 3L)) // doc 3 below threshold, doc 2 clean
   }
+
+  test("containment scores a short benchmark item quoted inside a long doc ≈ 1") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a very long document embeds the quick brown fox somewhere inside its body"),
+      (2L, "completely different words entirely now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 12 distinct bigrams, 3 shared ("the quick","quick brown","brown fox")
+    assert(got(1L) === ((3L, 12L, 0.25)))
+    assert(got(2L) === ((0L, 4L, 0.0)))
+  }
+
+  test("ngramRows emits sliding n-token spans; short docs emit none") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val grams = Dedup.ngramRows(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(grams === Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e")))
+  }
 }
