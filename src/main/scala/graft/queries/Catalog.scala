@@ -1154,7 +1154,16 @@ object Catalog {
             (0 until 4).map(i =>
               when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
               .reduce(_ + _).as("est_quarters"))
+        // exact Jaccard only for docs that appear in a candidate pair:
+        // the shingle self-join must never run corpus-wide (co-shingle
+        // fan-out over ALL docs is the all-pairs trap at 100 TB; the
+        // candidate id set is orders of magnitude smaller). The oracle
+        // computes the unrestricted join — same values on candidate
+        // pairs, affordable at oracle scale.
+        val ids = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
         val w = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
+          .join(ids, Seq("doc_id"), "left_semi")
           .distinct().localCheckpoint()
         val n = w.groupBy("doc_id").agg(count(lit(1)).as("nd"))
         val shared = w.as("sa")
