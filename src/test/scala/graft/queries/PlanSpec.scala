@@ -138,6 +138,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("text_boilerplate: span generation is one doc-partitioned window, no cartesian") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_minhash_est: estimate and exact sides join on keys, never a cartesian") {
+    val p = plan("dedup_minhash_est")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
