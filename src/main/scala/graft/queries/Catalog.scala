@@ -1105,6 +1105,22 @@ object Catalog {
         "SELECT tot.doc_id, COALESCE(shr.n_shared, 0) AS n_shared, tot.n_total, CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / tot.n_total AS containment " +
         "FROM tot LEFT JOIN shr USING (doc_id) ORDER BY doc_id")),
 
+    // Skew-resilient salted join: the small side replicates per salt so
+    // a hot key's rows spread over `salts` tasks. Oracle is the plain
+    // join it must equal row-for-row.
+    Q("j9_salted_join",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        graft.operators.Skew.saltedJoin(orders, cust, "o_custkey", salts = 8)
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "c_name")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderpriority, c_name FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey")),
+
     // Skew-resilient two-phase salted aggregation, verified against the
     // plain GROUP BY it must equal (integer cents — exact under any
     // partial/merge order, which is the whole point of salting).
