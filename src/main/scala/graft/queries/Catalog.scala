@@ -1514,6 +1514,43 @@ object Catalog {
           "SELECT doc_id, pr FROM p3 ORDER BY doc_id"
       }),
 
+    // Robust outlier stats for quality monitoring: per-group median and
+    // median-absolute-deviation (the robust sigma — a 3.5·MAD clip is
+    // the standard winsorization rule). Spark `percentile` ≡ DuckDB
+    // `quantile_cont` (type-7 interpolation, proven in a10).
+    Q("a20_mad",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        li.join(med, "l_returnflag")
+          .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+          .groupBy("l_returnflag")
+          .agg(first(col("med")).as("med"), expr("percentile(ad, 0.5)").as("mad"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, any_value(med) AS med, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad " +
+        "FROM lineitem JOIN m USING (l_returnflag) GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Interleaved curriculum schedule: per-source hash rank, then the
+    // global order is the SORT KEY (rank, source, id) — sources
+    // round-robin without any materialized global index (a global
+    // row_number would be a single-task window; the schedule head here
+    // is a distributed TakeOrderedAndProject).
+    Q("curriculum_order",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .orderBy(col("rn"), col("source"), col("doc_id"))
+          .limit(50)
+      },
+      Some("SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
+        "FROM documents ORDER BY rn, source, doc_id LIMIT 50")),
+
     // Tf-idf top-3 terms per document, idf as the exact rational N/df
     // (no log — a transcendental differs in the last ulp across libm
     // builds; the rational keeps the ranking and stays bit-portable).
