@@ -99,6 +99,30 @@ object Dedup {
     bands.reduce(_ unionByName _).distinct()
   }
 
+  /** Star edges per LSH band: (id, min id in its band bucket), one row
+    * per non-minimal doc per band. Same CONNECTIVITY as the pairwise
+    * band graph — inside a bucket everything connects through the bucket
+    * minimum — but O(docs × bands) edges instead of O(Σ bucket²): a hot
+    * bucket of b docs emits b-1 star edges, not b(b-1)/2 pairs. This is
+    * the input to feed connected components at scale; use
+    * [[lshCandidatePairsFromSignatures]] only when the PAIRS themselves
+    * are the product (verification, similarity reports). Each band is
+    * one window pass over the signature table — no self-join at all.
+    */
+  def lshStarEdges(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      val w = Window.partitionBy(keys: _*)
+      sig.withColumn("__bm", min(col(idCol)).over(w))
+        .filter(col(idCol) =!= col("__bm"))
+        .select(col(idCol).as("id_a"), col("__bm").as("id_b"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+  }
+
   /** LSH candidate pairs: ids whose signatures collide on at least one
     * band of `rowsPerBand` consecutive hashes. The signature table is
     * materialized before the self-joins — inlined signature expressions

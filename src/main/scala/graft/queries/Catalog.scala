@@ -1239,17 +1239,25 @@ object Catalog {
   // (recursive CTE: cluster id = min doc_id reachable); Spark runs
   // large-star/small-star ([[graft.operators.Components]]) — a hash-match
   // proves the contraction reaches the same fixpoint.
+  //
+  // The Spark-side edge list is the per-band STAR graph (doc → band
+  // minimum, [[graft.operators.Dedup.lshStarEdges]]): identical
+  // connectivity to the pairwise band graph the oracle walks — within a
+  // bucket everything connects through the minimum — but linear, not
+  // quadratic, in bucket size (the 100 TB shape; a hot template bucket
+  // of 10^5 docs would otherwise emit 5·10^9 pairs).
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+    graft.operators.Components.clusters(
+      docs, "doc_id",
+      graft.operators.Dedup.lshStarEdges(sig, "doc_id", 4, 2),
+      "id_a", "id_b")
+  }
   private val pipeline = Seq(
     Q("dedup_clusters",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        graft.operators.Components.clusters(
-          docs,
-          "doc_id",
-          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
-          "id_a", "id_b")
-          .orderBy("doc_id")
-      },
+      (s, d) => dupClusters(s, d).orderBy("doc_id"),
       Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
         "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
         "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a) " +
@@ -1258,16 +1266,9 @@ object Catalog {
     // Canonical-doc selection: one row per duplicate cluster with its
     // size — the keep-list/drop-report stage after clustering.
     Q("dedup_canonical",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        graft.operators.Components.clusters(
-          docs,
-          "doc_id",
-          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
-          "id_a", "id_b")
-          .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-          .orderBy("cluster_id")
-      },
+      (s, d) => dupClusters(s, d)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id"),
       Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
         "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
         "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +
@@ -1278,19 +1279,11 @@ object Catalog {
     // id, so near-dup docs never straddle splits (splitting by doc id
     // leaks paraphrases of training docs into test).
     Q("split_assign",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val labeled = graft.operators.Components.clusters(
-          docs,
-          "doc_id",
-          graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2),
-          "id_a", "id_b")
-        graft.operators.Sampling
-          .splitByGroup(labeled, "cluster_id",
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-          .groupBy("split").agg(count(lit(1)).as("n"))
-          .orderBy("split")
-      },
+      (s, d) => graft.operators.Sampling
+        .splitByGroup(dupClusters(s, d), "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
       Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
         "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
         "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +

@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((0L, 4L, 0.0)))
   }
 
+  test("star edges give the same clusters as candidate pairs (linear vs quadratic)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Components.clusters(docs, "doc_id", edges, "id_a", "id_b")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaStars = labels(Dedup.lshStarEdges(sig, "doc_id", 4, 2))
+    val viaPairs = labels(Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2))
+    assert(viaStars === viaPairs)
+    // and the star edge list is no larger than the pair list
+    val nStars = Dedup.lshStarEdges(sig, "doc_id", 4, 2).count()
+    val nPairs = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2).count()
+    assert(nStars <= nPairs, s"stars=$nStars pairs=$nPairs")
+  }
+
   test("ngramRows emits sliding n-token spans; short docs emit none") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
