@@ -31,4 +31,15 @@ class CatalogSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
   }
+
+  test("every query has an oracle (the full-coverage invariant)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("catalog names are unique (a dup would silently shadow in the Map)") {
+    val names = Catalog.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog names: $dups")
+  }
 }
