@@ -1159,8 +1159,10 @@ object Catalog {
         val docs = Tables.documents(s, d)
         val sig = graft.operators.Dedup
           .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+        // pairs feed BOTH the estimate and the candidate-id set below —
+        // materialized once, or the band self-joins run twice
         val pairs = graft.operators.Dedup
-          .lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+          .lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2).localCheckpoint()
         val est = pairs
           .join(sig.select(col("doc_id").as("id_a"),
             col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3")), "id_a")
@@ -1170,22 +1172,21 @@ object Catalog {
             (0 until 4).map(i =>
               when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
               .reduce(_ + _).as("est_quarters"))
-        // exact Jaccard only for docs that appear in a candidate pair:
-        // the shingle self-join must never run corpus-wide (co-shingle
-        // fan-out over ALL docs is the all-pairs trap at 100 TB; the
-        // candidate id set is orders of magnitude smaller). The oracle
-        // computes the unrestricted join — same values on candidate
-        // pairs, affordable at oracle scale.
-        val ids = pairs.select(col("id_a").as("doc_id"))
-          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        // exact Jaccard is routed THROUGH the candidate pair list, never
+        // via a co-shingle self-join: a shingle shared by b docs fans a
+        // self-join out b² ways (quadratic in popularity — the hot-key
+        // trap), while the pair-routed join costs |pairs| × shingles-
+        // per-doc, linear in what the report actually covers. The per-doc
+        // totals are one linear partial-agg pass. The oracle computes the
+        // unrestricted join — same values on candidate pairs, affordable
+        // at oracle scale.
         val w = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
-          .join(ids, Seq("doc_id"), "left_semi")
           .distinct().localCheckpoint()
         val n = w.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-        val shared = w.as("sa")
-          .join(w.as("sb"), col("sa.sh") === col("sb.sh")
-            && col("sa.doc_id") < col("sb.doc_id"))
-          .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+        val shared = pairs
+          .join(w.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(w.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b")
           .agg(count(lit(1)).as("shared"))
         est
           .join(shared, Seq("id_a", "id_b"), "left")

@@ -20,12 +20,17 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val noop = args.length > 2 && args(2) == "noop"
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // noop = full-plan execution (count() lets Catalyst prune
+        // computed columns — Bench's measurement mode); count = rows too
+        val n = if (noop) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); -1L
+        } else fn(spark, sfDir).count()
         println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
       }
     }
