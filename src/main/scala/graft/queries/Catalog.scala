@@ -1034,6 +1034,76 @@ object Catalog {
       },
       Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10")))
 
+  /** Filtered vector search + hybrid retrieval — the two capability
+    * classes vector stores name as first-class features.
+    */
+  private val hybrid = Seq(
+    // Filtered ANN: metadata predicate + top-k cosine. The label filter
+    // is a scan-level pushed filter (locked in PlanSpec) — at 100 TB on
+    // a label-partitioned corpus it becomes partition pruning, so the
+    // vector scan only touches the filtered slice.
+    Q("sim_filtered_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        emb.filter(col("label") <= 3 && col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10).select("vec_id")
+      },
+      Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0 AND label <= 3), " +
+        "dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) " +
+        "SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10")),
+
+    // Hybrid retrieval via reciprocal-rank fusion: fuse the TOP-50
+    // candidate lists of a term-frequency text search and a cosine
+    // vector search (1/(60+rank) each, the standard RRF constant). The
+    // global windows rank ≤50 rows AFTER a distributed top-k — never the
+    // corpus (the single-task-window trap); fusing bounded candidate
+    // lists is also how hybrid search actually deploys.
+    Q("sim_hybrid_rrf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val tf = docs.select(col("doc_id"),
+            size(filter(split(lower(col("text")), " "), w => w === "spark"))
+              .cast("long").as("tf"))
+          .filter(col("tf") > 0)
+          .orderBy(col("tf").desc, col("doc_id")).limit(50)
+        val tRank = tf.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("tf").desc, col("doc_id")))
+            .cast("long").as("rt"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vs = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+        val vRank = vs.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rv"))
+        tRank.join(vRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10).select("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS rt FROM " +
+        "(SELECT doc_id, tf FROM (SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'spark')) AS BIGINT) AS tf FROM documents) WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 50)), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), " +
+        "dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id), " +
+        "v AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rv FROM " +
+        "(SELECT vec_id AS doc_id, dot / sqrt(nx) AS s FROM dd ORDER BY s DESC, vec_id LIMIT 50)) " +
+        "SELECT doc_id FROM (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, " +
+        "COALESCE(CAST(1 AS DOUBLE) / (60 + rt), 0) + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0) AS rrf " +
+        "FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id) ORDER BY rrf DESC, doc_id LIMIT 10")))
+
   /** Batch ANN: top-3 neighbors for each of 5 query vectors in ONE pass —
     * the query set broadcasts, the corpus is scanned once (never the
     * reverse). Ranking gaps verified ≥3e-4 at sf0.01, far above FP noise.
@@ -1574,7 +1644,7 @@ object Catalog {
 
   val all: Seq[Q] =
     scans ++ filters ++ joins ++ aggs ++ scalars ++ textual ++
-      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ batchAnn ++ decontam ++ containmentQ ++ spanQs ++ editVerify ++ pipeline ++ streaming ++ training
+      dedup ++ simhashQs ++ dedupNoOracle ++ vectors ++ hybrid ++ batchAnn ++ decontam ++ containmentQ ++ spanQs ++ editVerify ++ pipeline ++ streaming ++ training
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -150,6 +150,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sim_filtered_ann: the metadata predicate is pushed to the vector scan") {
+    val p = plan("sim_filtered_ann")
+    assert(p.contains("LessThanOrEqual(label,3)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
