@@ -64,6 +64,6 @@ object AsOf {
     unioned
       .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(valueCol): _*)
+      .select(leftCols.map(col).toSeq :+ col(valueCol): _*)
   }
 }

@@ -38,7 +38,7 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol)
     val vn2 = Vectors.dot(v, v)
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.zipWithIndex.toSeq.map { case (c, i) =>
       struct(negSqDist(v, vn2, c).as("s"), lit(i).as("c"))
     }: _*)
     df.withColumn("centroid_id", array_max(scored).getField("c"))

@@ -35,13 +35,13 @@ object Upsert {
     // result itself leads with the key, so chained upserts must not
     // depend on order).
     val b = base.alias("__b")
-    val u = updates.select(base.columns.map(col): _*)
+    val u = updates.select(base.columns.map(col).toSeq: _*)
       .withColumn("__upd", lit(1)).alias("__u")
     val cols = base.columns.filterNot(_ == key)
     b.join(u, col(s"__b.$key") === col(s"__u.$key"), "full_outer")
       .select(
         coalesce(col(s"__u.$key"), col(s"__b.$key")).as(key) +:
-          cols.map(c =>
+          cols.toSeq.map(c =>
             when(col("__u.__upd").isNotNull, col(s"__u.$c"))
               .otherwise(col(s"__b.$c")).as(c)): _*)
   }
