@@ -4,74 +4,96 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 
-/** End-to-end curation pipeline: the operators compose the way a real
-  * training-data job chains them — candidate pairs → duplicate clusters →
-  * canonical keep-list → quality/sample gates → context chunks → shards.
-  * Asserts cross-stage invariants, not just per-operator behavior.
+/** End-to-end curation pipeline: the individual operators compose into
+  * the full training-data flow a user of this engine would actually run —
+  * quality gate → near-dup clustering → canonical selection → eval-set
+  * decontamination → leakage-free split → sequence packing → shard
+  * assignment — with the invariants each handoff must preserve.
   */
 class PipelineSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("dedup → cluster → keep-list → sample → chunk → shard composes") {
+  test("gate → cluster → canonical → decontaminate → split → pack → shard composes") {
     val docs = Tables.documents(spark, sf)
-    val nDocs = docs.count()
+    val total = docs.count()
 
-    // 1. near-dup candidate pairs → duplicate clusters
-    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2)
-    val clusters = Components.clusters(docs, "doc_id", pairs, "id_a", "id_b")
+    // 1. quality gate: drop too-short docs (the first Gopher-style rule)
+    val gated = docs
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+      .filter(col("n_tokens") >= 5)
       .localCheckpoint()
-    assert(clusters.count() === nDocs, "every doc gets a cluster label")
 
-    // 2. canonical keep-list: one doc per cluster (the min id)
-    val keep = clusters.filter(col("doc_id") === col("cluster_id"))
-    val nKeep = keep.count()
-    assert(nKeep === clusters.select("cluster_id").distinct().count())
-    assert(nKeep <= nDocs)
+    // 2. near-dup clustering over LSH star edges (linear in bucket size)
+    val sig = Dedup.minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+    val labeled = Components.clusters(
+      gated, "doc_id", Dedup.lshStarEdges(sig, "doc_id", 4, 2), "id_a", "id_b")
+      .localCheckpoint()
 
-    // 3. kept docs → deterministic 50% sample
-    val kept = docs.join(keep.select("doc_id"), "doc_id")
-    val sampled = Sampling.bernoulli(kept, "doc_id", 0.5).localCheckpoint()
-    val nSampled = sampled.count()
-    assert(nSampled > 0 && nSampled < nKeep)
+    // each gated doc gets exactly one cluster label
+    assert(labeled.count() === gated.count())
 
-    // 4. chunks: every sampled doc emits ≥1 chunk; chunk tokens ≤ size
-    val chunks = Chunk.chunkTokens(sampled, "doc_id", "text", size = 40, stride = 30)
-    assert(chunks.select("doc_id").distinct().count() === nSampled)
-    val maxTokens = chunks
-      .select(size(split(col("chunk"), " ")).as("n"))
-      .agg(max("n")).collect().head.getInt(0)
-    assert(maxTokens <= 40)
+    // 3. canonical selection: keep the cluster minimum (its own label)
+    val kept = gated.join(
+      labeled.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val nClusters = labeled.select("cluster_id").distinct().count()
+    assert(kept.count() === nClusters) // exactly one doc per cluster
 
-    // 5. shards partition the chunks deterministically
-    val outPath = tmpDir("pipeshards") + "/shards"
-    Shards.writeShards(chunks, "doc_id", 4, outPath)
-    val back = spark.read.parquet(outPath)
-    assert(back.count() === chunks.count())
-    // a doc's chunks all land in the same shard (keyed by doc_id)
-    val multiShardDocs = back.groupBy("doc_id")
-      .agg(countDistinct("shard").as("ns"))
-      .filter(col("ns") > 1).count()
-    assert(multiShardDocs === 0)
-  }
-
-  test("decontamination composes with the keep-list") {
-    val docs = Tables.documents(spark, sf)
-    val bench = docs.filter(col("doc_id") < 5)
-    val corpus = docs.filter(col("doc_id") >= 5)
-    val flagged = Dedup.contaminated(corpus, bench, "doc_id", "text", minShared = 3)
+    // 4. decontamination: canonical docs sharing ≥3 shingles with the
+    // stand-in benchmark (doc_id < 10) are dropped
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = kept.filter(col("doc_id") >= 10)
+    val dirty = Dedup.contaminated(corpus, bench, "doc_id", "text", minShared = 3)
       .select("doc_id")
-    val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
-    assert(clean.count() + flagged.count() === corpus.count())
-    // flagged docs really do share ≥3 shingles — re-verify one against bench
-    val one = flagged.limit(1).collect()
-    if (one.nonEmpty) {
-      val id = one.head.getLong(0)
-      val docSh = Dedup.shingleRows(corpus.filter(col("doc_id") === id), "doc_id", "text")
-        .select("sh").distinct().collect().map(_.getString(0)).toSet
-      val benchSh = Dedup.shingleRows(bench, "doc_id", "text")
-        .select("sh").distinct().collect().map(_.getString(0)).toSet
-      assert(docSh.intersect(benchSh).size >= 3)
-    }
+    val clean = corpus.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint()
+    assert(clean.count() === corpus.count() - dirty.count())
+
+    // 5. leakage-free split keyed by CLUSTER id: near-dup docs of the
+    // same cluster can never straddle splits — verify on the original
+    // pair list (the property that matters for eval integrity)
+    val splitDf = Sampling.splitByGroup(
+      clean.join(labeled, "doc_id"), "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .localCheckpoint()
+    // the leakage property is checked on the PRE-dedup population (after
+    // canonical selection at most one endpoint of a pair survives, which
+    // would make the check vacuous): split by cluster id ⇒ both ends of
+    // every near-dup pair land in the same split
+    val auxSplit = Sampling.splitByGroup(labeled, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val pairs = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+    val straddling = pairs
+      .join(auxSplit.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(auxSplit.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    val pairCount = pairs
+      .join(auxSplit.select(col("doc_id").as("id_a")), "id_a").count()
+    assert(pairCount > 0L, "no pairs to check — the property would be vacuous")
+    assert(straddling === 0L, "near-dup pair straddles train/val/test")
+
+    // 6. sequence packing of the train split: bins are contiguous per
+    // shard and offsets stay inside the budget
+    val train = splitDf.filter(col("split") === "train")
+    val packed = Pack.packSequences(train, "doc_id", "n_tokens", 512L, 2)
+      .localCheckpoint()
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() === 0L)
+    val binGaps = packed.select("shard", "bin").distinct()
+      .groupBy("shard").agg(max("bin").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(binGaps === 0L, "bins are not contiguous 0..max within a shard")
+
+    // 7. shard assignment is total and deterministic
+    val sharded = packed.withColumn("out_shard", Shards.shardId(col("doc_id"), 4))
+    assert(sharded.filter(col("out_shard").isNull || col("out_shard") < 0 || col("out_shard") >= 4).count() === 0L)
+
+    // conservation: every original doc is accounted for exactly once
+    val dropped = total - clean.count()
+    assert(dropped ===
+      (total - gated.count())          // gate drops
+        + (gated.count() - nClusters)  // non-canonical dupes
+        + kept.filter(col("doc_id") < 10).count() // canonical benchmark rows
+        + dirty.count())               // contaminated
   }
 }
