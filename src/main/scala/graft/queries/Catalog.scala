@@ -1462,6 +1462,32 @@ object Catalog {
         .orderBy("window_start", "event_type"),
       Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Cohort retention: users grouped by first-seen week; how many are
+    // active k weeks later. Pure date/int arithmetic (week truncation is
+    // ISO Monday-start in both engines; offsets are integer day
+    // differences div 7) — deterministic, and the shape is two grouped
+    // aggregations plus one key join, shuffle-bounded at any scale.
+    Q("stream_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+        ev.join(cohort, "user_id")
+          .select(col("user_id"), col("cw"),
+            expr("datediff(w, cw) div 7").cast("long").as("week_offset"))
+          .distinct()
+          .groupBy("cw", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events), " +
+        "c AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, cw, date_diff('day', cw, w) // 7 AS k FROM e JOIN c USING (user_id)) " +
+        "SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, CAST(k AS BIGINT) AS week_offset, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY cw, k ORDER BY 1, 2")),
+
     // Event funnel: users whose first view precedes their first click
     // precedes their first purchase. Oracle truncates to microseconds to
     // match Spark's parquet timestamp precision before comparing.
