@@ -208,6 +208,27 @@ object Catalog {
         .select("c_custkey").orderBy("c_custkey"),
       Some("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
 
+    // Data-profiling report: one pass, one row — counts, distincts,
+    // ranges. The pre-training stats check; every signal is exact
+    // (cardinalities, integer cents, formatted timestamps), and the plan
+    // is a single map-side-partial aggregation at any scale.
+    Q("s8_profile_stats",
+      (s, d) => Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        min(cents(col("value"))).as("min_value_cents"),
+        max(cents(col("value"))).as("max_value_cents")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types, min(event_id) AS min_event_id, max(event_id) AS max_event_id, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts, " +
+        "CAST(min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS min_value_cents, " +
+        "CAST(max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS max_value_cents FROM events")),
+
     // Multi-join analytical query (TPC-H Q3 shape): selective dim filter →
     // two shuffle joins → grouped revenue → top-k. Exercises Catalyst join
     // planning (broadcast for customer, shuffle for orders⋈lineitem) and
