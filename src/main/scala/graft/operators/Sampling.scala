@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data curation.
@@ -42,17 +41,39 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashPrefix(col(keyCol)) < lit(rateToHex(rate)))
 
-  /** Exact-k per-stratum sample: the k rows with the smallest hash in
-    * each stratum (deterministic; ties impossible — the row key is the
-    * final sort key). One shuffle on the stratum key; per-stratum state
-    * is a bounded top-k, not the stratum's row set.
+  /** Exact-k per-stratum sample: the k rows with the smallest md5 hash in
+    * each stratum (deterministic; ties impossible in practice — distinct
+    * keys collide on full md5 only adversarially, and (hash, key) breaks
+    * even that).
+    *
+    * Scale shape: a bounded [[graft.functions.MinK]] aggregator — O(k)
+    * state per stratum, partial (map-side) aggregation before the one
+    * exchange on the stratum key — then a broadcast semi-join of the
+    * winner keys back onto the source rows. A
+    * `row_number().over(partitionBy(stratum))` window would instead
+    * externally sort the FULL stratum in a single task (with few strata —
+    * the realistic case — that task sorts terabytes at 100 TB scale).
+    *
+    * Preconditions: `keyCol` is unique within its stratum (it is the
+    * sampling key), and the winner set (|strata| × k rows) is small
+    * enough to broadcast — true whenever the sample itself is meant to be
+    * handled downstream as "the small sample"; drop the `broadcast` hint
+    * if you stratify into millions of cells.
     */
-  def stratified(df: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame =
-    df.withColumn("__rn",
-        row_number().over(Window.partitionBy(col(strataCol))
-          .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+  def stratified(df: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame = {
+    val minK = udaf(graft.functions.MinK(k))
+    val winners = df
+      .select(col(strataCol).as("__s"),
+        md5(col(keyCol).cast("string")).as("__h"),
+        col(keyCol).cast("string").as("__k"))
+      .groupBy("__s")
+      .agg(minK(col("__h"), col("__k")).as("__w"))
+      .select(col("__s"), explode(col("__w")).as("__x"))
+      .select(col("__s"), col("__x.k").as("__wk"))
+    df.join(broadcast(winners),
+      col(strataCol) === col("__s") && col(keyCol).cast("string") === col("__wk"),
+      "left_semi")
+  }
 
   /** Leakage-free train/val/test split: the split is a function of the
     * GROUP id (e.g. the duplicate-cluster id from

@@ -40,6 +40,20 @@ class SamplingSpec extends SparkSpec {
       === again.select("id").collect().map(_.getLong(0)).sorted)
   }
 
+  test("stratified equals the row_number reference selection (oracle semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    // the DuckDB oracle ranks with row_number() OVER (PARTITION BY stratum
+    // ORDER BY md5(key), key); the bounded MinK aggregator must select the
+    // exact same rows
+    val ref = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("src")
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("rn") <= 7).drop("rn")
+    val out = Sampling.stratified(docs, "src", "id", 7)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      === ref.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
   test("stratified with k larger than the stratum keeps the whole stratum") {
     val out = Sampling.stratified(docs.filter(col("id") <= 10), "src", "id", 100)
     assert(out.count() === 10)

@@ -83,10 +83,16 @@ class PlanSpec extends SparkSpec {
     assert(!noSort.split("Sort").head.contains("Exchange"), noSort)
   }
 
-  test("sample_stratified: one hash exchange on the stratum key, bounded window") {
+  test("sample_stratified: bounded per-stratum aggregation, no full-stratum window sort") {
     val p = plan("sample_stratified")
-    assert(p.contains("Window"), p)
-    assert(p.contains("hashpartitioning(event_type"), p)
+    // the winner set comes from a partially-aggregated bounded min-k
+    // (O(k) state), NOT a row_number window that externally sorts the
+    // whole stratum in one task (the 100 TB single-task trap)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_mink"), p)
+    // winner keys broadcast back onto the source rows
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
   test("stream_interval_join: range-condition join, never a cartesian") {
