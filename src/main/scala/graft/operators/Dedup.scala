@@ -135,6 +135,51 @@ object Dedup {
       minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(),
       idCol, numHashes, rowsPerBand)
 
+  /** Hub-capped LSH candidate pairs: per band bucket, only the `hubs`
+    * smallest ids pair with the rest of the bucket, so a hot bucket of b
+    * docs emits O(hubs·b) edges instead of the b(b-1)/2 of
+    * [[lshCandidatePairsFromSignatures]] — total edge volume is bounded
+    * by O(docs × bands × hubs). For buckets of size ≤ hubs the output is
+    * IDENTICAL to the unbounded pairwise join (every doc is a hub), so
+    * recall only degrades — gracefully, and only among non-hub pairs —
+    * inside genuinely hot buckets (template/boilerplate families), where
+    * members are already mutually reachable through the hubs.
+    *
+    * This is the edge generator to feed ITERATIVE graph jobs (PageRank)
+    * whose input must stay bounded per bucket but whose semantics need
+    * real multi-neighbor degrees — a middle point between the full
+    * pairwise join (pairs are the product) and [[lshStarEdges]] (pure
+    * connectivity, degree-1 stars).
+    *
+    * Hub selection is the bounded [[graft.functions.MinK]] aggregator on
+    * the zero-padded id string (numeric order for non-negative ids, and
+    * fixed-width so string order == numeric order) — O(hubs) state with
+    * map-side partial aggregation, never a full-bucket window sort.
+    * Precondition: ids are non-negative integers.
+    */
+  def lshCandidatePairsBounded(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int, hubs: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(hubs >= 1, s"hubs ($hubs) must be >= 1")
+    val minK = udaf(graft.functions.MinK(hubs))
+    val padded = lpad(col(idCol).cast("string"), 20, "0")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+      val hubRows = sig
+        .select(keys.map(col) :+ padded.as("__p"): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(minK(col("__p"), col("__p")).as("__w"))
+        .select(keys.map(col) :+ explode(col("__w")).as("__x"): _*)
+        .select(keys.map(col) :+ col("__x.k").cast("long").as("__hub"): _*)
+      hubRows.join(sig.select(keys.map(col) :+ col(idCol): _*), keys)
+        .filter(col("__hub") =!= col(idCol))
+        .select(least(col("__hub"), col(idCol)).as("id_a"),
+          greatest(col("__hub"), col(idCol)).as("id_b"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+  }
+
   /** Bigram-shingle Jaccard similarity for candidate pairs. `scopeCol`
     * bounds the pair space (e.g. a source/bucket column); at scale pass
     * the LSH band key instead of a broad scope.

@@ -1161,6 +1161,19 @@ object Catalog {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id " +
       "UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)"
 
+  /** Hub-capped band-join pair SQL (8 hubs per bucket) — the DuckDB twin
+    * of [[graft.operators.Dedup.lshCandidatePairsBounded]]: only the 8
+    * smallest ids of a bucket pair with the rest, bounding a hot bucket's
+    * edge emission at O(8·b).
+    */
+  private lazy val lshBoundedPairsSql: String = {
+    def band(k1: String, k2: String): String =
+      s"SELECT least(h.doc_id, s.doc_id) AS id_a, greatest(h.doc_id, s.doc_id) AS id_b " +
+        s"FROM (SELECT doc_id, $k1, $k2, row_number() OVER (PARTITION BY $k1, $k2 ORDER BY doc_id) AS rn FROM sig) h " +
+        s"JOIN sig s ON h.$k1 = s.$k1 AND h.$k2 = s.$k2 AND h.rn <= 8 AND h.doc_id <> s.doc_id"
+    s"SELECT DISTINCT id_a, id_b FROM (${band("h0", "h1")} UNION ALL ${band("h2", "h3")})"
+  }
+
   // Eval-set decontamination: corpus docs (doc_id ≥ 10) sharing ≥3
   // distinct bigram shingles with the stand-in benchmark (doc_id < 10).
   private val decontam = Seq(
@@ -1601,12 +1614,19 @@ object Catalog {
 
     // Integer-exact PageRank over the symmetrized LSH duplicate graph
     // (3 rounds, d=0.85, ppm units) — canonical-doc/boilerplate signal.
+    // Edge input is the HUB-CAPPED band join (8 hubs/bucket): a hot
+    // template bucket of b docs feeds O(8·b) edges into the iterative
+    // job, never the O(b²) of the full pairwise join — the unbounded
+    // variant upstream of a multi-round graph job is a scale-killer.
     // Oracle = the same three rounds unrolled; all-integer arithmetic,
     // so the two engines agree exactly.
     Q("graph_pagerank",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = graft.operators.Dedup.lshCandidatePairs(docs, "doc_id", "text", 4, 2)
+        val sig = graft.operators.Dedup
+          .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+        val pairs = graft.operators.Dedup
+          .lshCandidatePairsBounded(sig, "doc_id", 4, 2, hubs = 8)
         val sym = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
           .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
         graft.operators.PageRank.ranks(docs, "doc_id", sym, "s", "t", iters = 3)
@@ -1616,7 +1636,7 @@ object Catalog {
         def round(prev: String, name: String): String =
           s"$name AS (SELECT n.doc_id, CAST(150000 + (COALESCE(i.s, 0) * 85) // 100 AS BIGINT) AS pr FROM n LEFT JOIN " +
             s"(SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS s FROM $prev p JOIN deg d ON p.doc_id = d.src JOIN e ON e.src = d.src GROUP BY e.dst) i USING (doc_id))"
-        s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        s"WITH sig AS ($minhashSql), pairs AS ($lshBoundedPairsSql), " +
           "e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
           "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
           "n AS (SELECT doc_id FROM documents), " +

@@ -150,6 +150,34 @@ class DedupSpec extends SparkSpec {
     assert(nStars <= nPairs, s"stars=$nStars pairs=$nPairs")
   }
 
+  test("lshCandidatePairsBounded: hot bucket emits O(hubs·b) edges, not O(b²)") {
+    import spark.implicits._
+    // 60 identical docs — every band bucket holds all 60 (the template/
+    // boilerplate hot-bucket shape the cap exists for)
+    val hot = (1L to 60L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(hot, "doc_id", "text", 4).localCheckpoint()
+    val full = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2).count()
+    val bounded = Dedup.lshCandidatePairsBounded(sig, "doc_id", 4, 2, hubs = 8).count()
+    assert(full === 60L * 59 / 2, s"full=$full")          // O(b²): 1770
+    assert(bounded === 8L * 52 + 8L * 7 / 2, s"bounded=$bounded") // hubs×rest + hub-clique: 444
+    assert(bounded <= 60L * 2 * 8)                        // O(docs × bands × hubs)
+    // connectivity survives the cap: the min id is always a hub, so the
+    // bucket keeps a spanning star
+    val ids = Dedup.lshCandidatePairsBounded(sig, "doc_id", 4, 2, hubs = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ids === (2L to 60L).map(i => (1L, i)).toSet)
+  }
+
+  test("lshCandidatePairsBounded equals the unbounded join when buckets fit the cap") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+    val full = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bounded = Dedup.lshCandidatePairsBounded(sig, "doc_id", 4, 2, hubs = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === full)
+  }
+
   test("ngramRows emits sliding n-token spans; short docs emit none") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
