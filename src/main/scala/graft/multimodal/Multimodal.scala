@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
   *
   * Images / audio / video are opaque `binary` payloads plus a typed
   * metadata struct. The Spark-side plumbing — schema, partition-friendly
-  * batch shape, per-partition decode boundary — is real and tested; the
-  * actual codec step is a clearly-marked deterministic STUB (image/audio
-  * libraries are not in this container). At cluster scale the decode step
-  * is the same `mapPartitions` boundary with a real codec inside, sized so
-  * one partition's payloads fit in executor memory
-  * (`spark.sql.files.maxPartitionBytes` for the scan side).
+  * batch shape, per-partition decode boundary — is real and tested, and so
+  * is the uncompressed-format codec path: PNG/GIF/BMP/JPEG dimension
+  * parsing and a full 24-bit BMP pixel encoder/decoder
+  * ([[encodeBmp24]]/[[decodeBmp24]]), all library-free byte arithmetic.
+  * Compressed codecs (JPEG pixel data etc.) fall back to a deterministic
+  * byte histogram — those need real imaging libraries, absent from this
+  * container. At cluster scale the decode step is the same `mapPartitions`
+  * boundary with the full codec inside, sized so one partition's payloads
+  * fit in executor memory (`spark.sql.files.maxPartitionBytes` for the
+  * scan side).
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -171,18 +175,171 @@ object Multimodal {
     }(enc)
   }
 
+  /** A decoded 24-bit bitmap: `width`×`height` pixels in row-major order
+    * from the TOP-left (regardless of the file's bottom-up/top-down row
+    * storage), each packed `(r << 16) | (g << 8) | b`.
+    */
+  final case class BmpPixels(width: Int, height: Int, rgb: Array[Int])
+
+  /** REAL library-free 24-bit BMP writer (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BI_RGB): rows padded to 4-byte boundaries, pixels
+    * stored BGR, bottom-up unless `topDown` (negative height in the
+    * header). `pixel(x, y)` returns (r, g, b) for the pixel at column x,
+    * row y from the top. Used to synthesize deterministic fixtures that
+    * [[decodeBmp24]] must invert exactly.
+    */
+  def encodeBmp24(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int),
+      topDown: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims ${width}x$height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(pos: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def putLe16(pos: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, 54 + dataSize)            // file size
+    putLe32(10, 54)                      // pixel data offset
+    putLe32(14, 40)                      // info header size
+    putLe32(18, width)
+    putLe32(22, if (topDown) -height else height)
+    putLe16(26, 1)                       // planes
+    putLe16(28, 24)                      // bits per pixel
+    putLe32(30, 0)                       // BI_RGB (uncompressed)
+    putLe32(34, dataSize)
+    putLe32(38, 2835); putLe32(42, 2835) // 72 dpi
+    (0 until height).foreach { storedRow =>
+      val y = if (topDown) storedRow else height - 1 - storedRow
+      val base = 54 + storedRow * rowSize
+      (0 until width).foreach { x =>
+        val (r, g, b) = pixel(x, y)
+        out(base + 3 * x) = (b & 0xff).toByte
+        out(base + 3 * x + 1) = (g & 0xff).toByte
+        out(base + 3 * x + 2) = (r & 0xff).toByte
+      }
+    }
+    out
+  }
+
+  /** REAL library-free 24-bit BMP pixel decoder: validates the "BM"
+    * signature, reads the pixel-data offset from the file header and the
+    * i32 dimensions / 24-bpp / BI_RGB fields from BITMAPINFOHEADER,
+    * honors 4-byte row padding and both row orders (positive height =
+    * bottom-up, negative = top-down), and un-swizzles BGR → packed RGB.
+    * Returns None (never throws) for non-BMP, compressed, non-24-bpp, or
+    * truncated payloads.
+    */
+  def decodeBmp24(payload: Array[Byte]): Option[BmpPixels] = {
+    if (payload == null || payload.length < 54 ||
+      payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val offset = le32(10)
+    val infoSize = le32(14)
+    val width = le32(18)
+    val rawHeight = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (infoSize < 40 || bpp != 24 || compression != 0) return None
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    if (width < 1 || height < 1 || offset < 54) return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (payload.length.toLong < offset.toLong + rowSize.toLong * height) return None
+    val rgb = new Array[Int](width * height)
+    (0 until height).foreach { storedRow =>
+      val y = if (topDown) storedRow else height - 1 - storedRow
+      val base = offset + storedRow * rowSize
+      (0 until width).foreach { x =>
+        rgb(y * width + x) =
+          (u8(base + 3 * x + 2) << 16) | (u8(base + 3 * x + 1) << 8) | u8(base + 3 * x)
+      }
+    }
+    Some(BmpPixels(width, height, rgb))
+  }
+
+  /** Exact integer pixel statistics from DECODED pixels — the
+    * driver-verifiable face of the real codec: synthesize a deterministic
+    * 24-bit BMP per id (pixel (x,y) of doc i has
+    * r=(i+7x+13y)%256, g=(2i+11x+3y)%256, b=(3i+5x+17y)%256; odd ids
+    * stored top-down, even bottom-up), round-trip it through
+    * [[encodeBmp24]] → [[decodeBmp24]], and aggregate the decoded pixels:
+    * channel sums, a position-weighted luminance sum (catches row-order
+    * mistakes that orientation-invariant sums would miss), and an 8-bin
+    * luminance histogram. All integer arithmetic — an oracle can compute
+    * the same numbers from the closed-form pixel function without ever
+    * seeing a BMP byte.
+    *
+    * Scale shape: one mapPartitions pass, constant memory per row, no
+    * shuffle before the caller's aggregation/sort.
+    */
+  def syntheticBmpStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("w", "h", "n_px", "sum_r", "sum_g", "sum_b", "wluma").map(StructField(_, LongType)) ++:
+        (0 until 8).map(i => StructField(s"lb$i", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val payload = encodeBmp24(w, h,
+          (x, y) => (((id + 7 * x + 13 * y) % 256).toInt,
+            ((2 * id + 11 * x + 3 * y) % 256).toInt,
+            ((3 * id + 5 * x + 17 * y) % 256).toInt),
+          topDown = id % 2 == 1)
+        val img = decodeBmp24(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var wl = 0L
+        val bins = new Array[Long](8)
+        var i = 0
+        while (i < img.rgb.length) {
+          val p = img.rgb(i)
+          val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+          sr += pr; sg += pg; sb += pb
+          val luma = (pr * 299 + pg * 587 + pb * 114) / 1000
+          wl += i.toLong * luma // i = x + w*y in top-left row-major order
+          bins(luma / 32) += 1L
+          i += 1
+        }
+        Row.fromSeq(Seq(id, w.toLong, h.toLong, img.rgb.length.toLong, sr, sg, sb, wl)
+          ++ bins.toSeq)
+      }
+    }(enc)
+  }
+
   /** Per-partition decode / feature-extract boundary. Batch shape: one
-    * iterator pass, constant memory, no driver collect. The feature
-    * vector here is a STUB (first-16-bytes histogram); a real pipeline
-    * swaps `decodeOne` for the codec + model call.
+    * iterator pass, constant memory, no driver collect. BMP payloads get
+    * REAL pixel features from [[decodeBmp24]] — mean R/G/B plus a
+    * (dim-3)-bin luminance histogram; other formats fall back to a
+    * deterministic byte histogram (no library-free decoder exists for
+    * compressed codecs in this container — a real deployment swaps the
+    * fallback for the codec + model call at this same boundary).
     */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 4, s"dim ($dim) must fit mean RGB + at least one luma bin")
     val schema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType)))
     def decodeOne(payload: Array[Byte]): Array[Float] = {
-      // ??? real codec goes here — deterministic fake: byte histogram.
       val v = new Array[Float](dim)
-      if (payload != null) payload.foreach(b => v((b & 0xff) % dim) += 1f)
+      if (payload == null) return v
+      decodeBmp24(payload) match {
+        case Some(img) =>
+          val n = img.rgb.length
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.rgb.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            val luma = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+            v(3 + luma * (dim - 3) / 256) += 1f
+          }
+          v(0) = sr.toFloat / n; v(1) = sg.toFloat / n; v(2) = sb.toFloat / n
+        case None =>
+          payload.foreach(b => v((b & 0xff) % dim) += 1f)
+      }
       v
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)

@@ -842,7 +842,33 @@ object Catalog {
           octet_length(col("text")).cast("long").as("n_bytes"),
           (octet_length(col("text")).cast("long") % 640).as("fake_width"))
         .orderBy("doc_id"),
-      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, CAST(strlen(text) AS BIGINT) % 640 AS fake_width FROM documents ORDER BY doc_id")))
+      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, CAST(strlen(text) AS BIGINT) % 640 AS fake_width FROM documents ORDER BY doc_id")),
+
+    // REAL pixel decode: synthesize a deterministic 24-bit BMP per doc
+    // (pixel (x,y) of doc i: r=(i+7x+13y)%256 g=(2i+11x+3y)%256
+    // b=(3i+5x+17y)%256; odd ids stored top-down, even bottom-up),
+    // round-trip it through the library-free encoder+decoder, and
+    // aggregate the DECODED pixels: channel sums, a position-weighted
+    // luminance sum (catches row-order/orientation bugs that plain sums
+    // can't), and an 8-bin luminance histogram. The oracle computes the
+    // same integers from the closed-form pixel function — it never sees a
+    // BMP byte, so a hash match proves the decoder inverts the format.
+    Q("mm_pixel_stats",
+      (s, d) => graft.multimodal.Multimodal
+        .syntheticBmpStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
+        "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b FROM px), " +
+        "l AS (SELECT *, (r*299 + g*587 + b*114) // 1000 AS luma FROM c) " +
+        "SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, " +
+        "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma, " +
+        (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN luma // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS lb$i").mkString(", ") +
+        " FROM l GROUP BY doc_id ORDER BY doc_id")))
 
   // --------------------------------------------------------------------
   // Dedup family (beyond-reference north star)

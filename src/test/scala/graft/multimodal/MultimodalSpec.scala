@@ -99,6 +99,69 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2L) === ((None, None)))
   }
 
+  test("BMP 24-bit encode/decode round-trips pixels exactly (padding + both row orders)") {
+    // width 3 → row size 12 with 3 pad bytes: exercises padding; run both
+    // bottom-up and top-down storage against the same logical image
+    def pix(x: Int, y: Int): (Int, Int, Int) = (10 * x + y, 100 + x, 200 - 7 * y)
+    Seq(false, true).foreach { topDown =>
+      val bytes = Multimodal.encodeBmp24(3, 5, pix, topDown)
+      val img = Multimodal.decodeBmp24(bytes).get
+      assert(img.width === 3 && img.height === 5, s"topDown=$topDown")
+      for (y <- 0 until 5; x <- 0 until 3) {
+        val p = img.rgb(y * 3 + x)
+        val (r, g, b) = pix(x, y)
+        assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((r, g, b)),
+          s"pixel ($x,$y) topDown=$topDown")
+      }
+    }
+  }
+
+  test("decodeBmp24 rejects non-BMP, compressed, and truncated payloads") {
+    assert(Multimodal.decodeBmp24(null) === None)
+    assert(Multimodal.decodeBmp24("not a bitmap at all, just text bytes padded to 54+..."
+      .getBytes("UTF-8")) === None)
+    val good = Multimodal.encodeBmp24(4, 4, (_, _) => (1, 2, 3))
+    assert(Multimodal.decodeBmp24(good).isDefined)
+    assert(Multimodal.decodeBmp24(good.take(40)) === None)      // truncated header
+    assert(Multimodal.decodeBmp24(good.take(60)) === None)      // truncated pixels
+    val wrongBpp = good.clone(); wrongBpp(28) = 8               // 8-bpp palette
+    assert(Multimodal.decodeBmp24(wrongBpp) === None)
+    val compressed = good.clone(); compressed(30) = 1           // BI_RLE8
+    assert(Multimodal.decodeBmp24(compressed) === None)
+  }
+
+  test("extractFeatures computes REAL mean RGB from decoded BMP pixels") {
+    import spark.implicits._
+    // constant-color 4×2 image → means are exact
+    val bmp = Multimodal.encodeBmp24(4, 2, (_, _) => (50, 100, 150))
+    val f = Multimodal.extractFeatures(Seq((1L, bmp)).toDF("doc_id", "payload"))
+      .select("features").collect().head.getSeq[Float](0)
+    assert(f(0) === 50f && f(1) === 100f && f(2) === 150f)
+    // luma = (50*299 + 100*587 + 150*114)/1000 = 90 → bin 3+90*13/256 = 7
+    assert(f(3 + 90 * 13 / 256) === 8f)
+    assert(f.map(_.toDouble).sum === 50 + 100 + 150 + 8.0)
+  }
+
+  test("syntheticBmpStats matches a direct computation from the pixel formula") {
+    import spark.implicits._
+    val out = Multimodal.syntheticBmpStats(
+      Seq(2L, 3L).toDF("doc_id"), "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(2L, 3L).foreach { id =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        (((id + 7 * x + 13 * y) % 256, (2 * id + 11 * x + 3 * y) % 256,
+          (3 * id + 5 * x + 17 * y) % 256), x + w * y)
+      val r = out(id)
+      assert(r.getLong(1) === w && r.getLong(2) === h && r.getLong(3) === w * h)
+      assert(r.getLong(4) === px.map(_._1._1).sum)
+      assert(r.getLong(5) === px.map(_._1._2).sum)
+      assert(r.getLong(6) === px.map(_._1._3).sum)
+      assert(r.getLong(7) === px.map { case ((pr, pg, pb), i) =>
+        i * ((pr * 299 + pg * 587 + pb * 114) / 1000) }.sum)
+    }
+  }
+
   test("feature extraction runs per-partition and is deterministic") {
     val f1 = Multimodal.extractFeatures(Multimodal.withPayload(docs))
       .select("doc_id", "features").collect()
