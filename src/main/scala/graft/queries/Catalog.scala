@@ -1522,6 +1522,25 @@ object Catalog {
         .orderBy("window_start", "event_type"),
       Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // END-TO-END CDC sink: the change set (a bounded slice of events)
+    // actually flows through Structured Streaming — JSONL feed files,
+    // AvailableNow micro-batches (one file each), foreachBatch
+    // version-aware MERGE into a parquet snapshot — and the SNAPSHOT is
+    // what the oracle checks. The merge keeps the greatest-ts row per
+    // key regardless of batch order, so the batch oracle is one window
+    // over the change set. Slice is fixed-size (event_id < 1500) to keep
+    // the real streaming machinery cheap at any sf.
+    Q("stream_upsert_sink",
+      (s, d) => graft.streaming.EventStream
+        .drainUpsert(s, Tables.events(s, d).filter(col("event_id") < 1500),
+          "user_id", nFiles = 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, event_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events WHERE event_id < 1500) WHERE rn = 1 ORDER BY user_id")),
+
     // Cohort retention: users grouped by first-seen week; how many are
     // active k weeks later. Pure date/int arithmetic (week truncation is
     // ISO Monday-start in both engines; offsets are integer day

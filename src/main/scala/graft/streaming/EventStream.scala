@@ -130,10 +130,15 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
 
   /** CDC-style upsert sink: each micro-batch MERGEs into a keyed parquet
-    * snapshot via [[graft.operators.Upsert]] (foreachBatch — the pattern
-    * for maintaining a keyed table from a change stream without a table
-    * format). Within a batch, the latest row per key wins (by `ts`);
-    * snapshot writes are atomic-enough for tests via overwrite-then-read
+    * snapshot (foreachBatch — the pattern for maintaining a keyed table
+    * from a change stream without a table format). The merge is
+    * VERSION-AWARE: the greatest-`ts` row per key wins across the
+    * snapshot and the batch ([[graft.operators.Upsert.latestByKey]] over
+    * their union), so re-delivered or out-of-order batches converge to
+    * the same snapshot — the sink is idempotent and batch-order-
+    * independent, which a replace-wholesale merge is not (an older row
+    * arriving in a later batch would clobber a newer snapshot row).
+    * Snapshot writes are atomic-enough for tests via overwrite-then-read
     * — production would sit Delta/Iceberg under the same plan.
     */
   def upsertSink(df: DataFrame, key: String, snapshotDir: String,
@@ -141,18 +146,42 @@ object EventStream {
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col("ts").desc, col("event_id").desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-          .localCheckpoint() // cut lineage before the snapshot overwrite
+        val b = batch.localCheckpoint() // cut lineage before the snapshot overwrite
         val snapshot =
-          try spark.read.parquet(snapshotDir)
-          catch { case _: Exception => latest.limit(0) }
-        val merged = graft.operators.Upsert(snapshot.localCheckpoint(), latest, key)
+          try spark.read.parquet(snapshotDir).localCheckpoint()
+          catch { case _: Exception => b.limit(0) }
+        val merged = graft.operators.Upsert.latestByKey(
+          snapshot.unionByName(b.select(snapshot.columns.map(col).toSeq: _*)),
+          key, "ts")
         merged.write.mode("overwrite").parquet(snapshotDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+
+  /** End-to-end CDC drain (the driver-verifiable face of [[upsertSink]]):
+    * writes `changes` as JSONL into a fresh temp feed directory split
+    * across `nFiles` files, drains it through the sink with AvailableNow
+    * and one file per micro-batch, and returns the final snapshot. The
+    * version-aware merge makes the result independent of how the file
+    * source orders the batches: any split converges to the global
+    * greatest-`ts` row per key, which is exactly what a batch oracle can
+    * compute with one window over the change set.
+    */
+  def drainUpsert(spark: SparkSession, changes: DataFrame, key: String,
+      nFiles: Int = 3): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    val feed = base.resolve("feed").toString
+    val snap = base.resolve("snapshot").toString
+    val ckpt = base.resolve("ckpt").toString
+    // explicit micros format: the default JSON timestampFormat rounds to
+    // millis, which would re-rank events that differ only in micros
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    changes.repartition(nFiles).write.mode("overwrite")
+      .option("timestampFormat", tsFmt).json(feed)
+    val stream = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).option("timestampFormat", tsFmt).json(feed)
+    val q = upsertSink(stream, key, snap, ckpt).start()
+    try q.awaitTermination(300000) finally q.stop()
+    spark.read.parquet(snap)
+  }
 }

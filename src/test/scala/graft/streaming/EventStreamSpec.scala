@@ -201,6 +201,32 @@ class EventStreamSpec extends SparkSpec {
     val s2 = spark.read.parquet(snap).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
     assert(s2 === Map(7L -> 3.0, 8L -> 9.0, 9L -> 5.0))
+    // version-aware merge: an OLDER change for user 8 arriving in a later
+    // batch must NOT clobber the newer snapshot row (out-of-order /
+    // re-delivered batches converge to the greatest-ts row per key)
+    Files.write(Paths.get(dir, "b2.json"),
+      Seq(line(6, 8, 4, 99.0)).mkString("\n").getBytes("UTF-8"))
+    drain(tmpDir("evupckpt3"))
+    val s3 = spark.read.parquet(snap).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(s3 === Map(7L -> 3.0, 8L -> 9.0, 9L -> 5.0))
+  }
+
+  test("drainUpsert: the end-to-end CDC drain equals the one-window batch oracle") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val changes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00.000123"), 7L, 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00.000456"), 8L, 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00.000789"), 7L, 3.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:30.000001"), 9L, 4.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30.000002"), 8L, 5.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val snap = EventStream.drainUpsert(spark, changes, "user_id", nFiles = 3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // greatest-ts per user regardless of which file/batch carried it
+    assert(snap === Set((7L, 3L), (8L, 2L), (9L, 4L)))
   }
 
   test("stateless curation ops run unchanged on a stream (scrub + quality + sample)") {
