@@ -98,7 +98,49 @@ object Catalog {
       },
       Some("SELECT tableName FROM (VALUES " +
         Tables.names.map(n => s"('graft_$n')").sorted.mkString(", ") +
-        ") AS t(tableName) ORDER BY tableName")))
+        ") AS t(tableName) ORDER BY tableName")),
+
+    // Reference golden end-to-end: the FULL ingest + search spine (§3.1)
+    // over the synthetic raw capture — tolerant JSONL scan skipping
+    // deletes/garbage, duplicate-delivery dedup, retweet assembly onto
+    // canonical originals, the users branch across all four author
+    // positions, lang-partitioned parquet sinks, then the F1 "house"
+    // keyword search (the reference's 44-row golden check, cell 28) —
+    // reduced to one row of counts. The fixture's structure follows
+    // closed-form membership rules on the tweet index (GoldenFixture),
+    // so the oracle computes every count arithmetically from
+    // generate_series without parsing any JSON: a hash match checks the
+    // whole pipeline's semantics, not a re-run of it.
+    Q("ref_golden_search",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_golden_")
+        val rawPath = base.resolve("raw.jsonl").toString
+        graft.ingest.GoldenFixture.writeRaw(rawPath, 150)
+        val tweetsDir = base.resolve("tweets").toString
+        val usersDir = base.resolve("users").toString
+        graft.ingest.TweetIngest.run(s, rawPath, tweetsDir, usersDir)
+        val tweets = s.read.parquet(tweetsDir)
+        val users = s.read.parquet(usersDir)
+        val raw = graft.ingest.TweetIngest.readRaw(s, rawPath)
+        val tAgg = tweets.agg(
+          count(lit(1)).as("n_tweets"),
+          sum(when(graft.operators.Predicates.keywordMatch("house"), 1L)
+            .otherwise(0L)).as("n_house"),
+          coalesce(sum(size(col("retweets"))), lit(0)).cast("long")
+            .as("n_retweet_elems"))
+        val uAgg = users.agg(count(lit(1)).as("n_users"))
+        val rAgg = raw.agg(
+          (count(lit(1)) - countDistinct(col("id_str"))).as("n_dupes_removed"))
+        tAgg.crossJoin(uAgg).crossJoin(rAgg)
+      },
+      Some("WITH i AS (SELECT unnest(generate_series(0, 149)) AS i) " +
+        "SELECT CAST((SELECT count(*) FROM i) AS BIGINT) AS n_tweets, " +
+        "CAST((SELECT count(*) FROM i WHERE i % 7 = 0) AS BIGINT) AS n_house, " +
+        "CAST((SELECT count(*) FROM i WHERE i % 4 = 0) AS BIGINT) AS n_retweet_elems, " +
+        "CAST((SELECT count(DISTINCT 1000 + i % 50) FROM i) " +
+        "+ (SELECT count(*) FROM i WHERE i % 4 = 0) " +
+        "+ (SELECT count(DISTINCT 2000 + i % 10) FROM i WHERE i % 9 = 0) AS BIGINT) AS n_users, " +
+        "CAST((SELECT count(*) FROM i WHERE i % 5 = 0) AS BIGINT) AS n_dupes_removed")))
 
   // --------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
