@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - no driver-side graph state: the only driver values are the
   *    per-round convergence checksum (2 longs);
-  *  - each round's output is `localCheckpoint`ed to cut lineage (on a
-  *    real cluster swap for `checkpoint` with a reliable dir — star
-  *    contraction is iterative, lineage grows per round);
+  *  - each round's output is materialized to cut lineage (star
+  *    contraction is iterative, lineage grows per round):
+  *    `localCheckpoint` by default, or reliable `checkpoint` when a
+  *    `checkpointDir` is passed — the executor-loss-safe cluster mode;
   *  - skew: the root of a huge component accumulates its members'
   *    edges; large-star emits (v, min) keyed by v — fan-in is bounded
   *    by each node's degree, not component size, which is the point of
@@ -63,13 +64,30 @@ object Components {
       .distinct()
   }
 
+  /** Per-round materialization: `localCheckpoint` by default (fast, but
+    * blocks die with their executor), or RELIABLE `checkpoint` into
+    * `checkpointDir` when provided — the cluster-grade option: round
+    * outputs go to fault-tolerant storage (HDFS/object store), so an
+    * executor loss mid-iteration recomputes from the last round, not from
+    * the raw edge scan through an unbounded lineage. Lazy in both modes:
+    * the caller's next action doubles as the materialization pass.
+    */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+
   /** Component labels for an undirected edge list: one row per node that
     * appears in `edges`, labeled with the minimum node id reachable from
     * it. Nodes absent from `edges` are absent here — see [[clusters]] for
-    * the all-vertices form.
+    * the all-vertices form. Pass `checkpointDir` for reliable per-round
+    * checkpointing (see [[materialize]]).
     */
   def componentLabels(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     // convergence = identical edge set; (count, xor-of-hashes) is an
     // order-free, overflow-free exact checksum for distinct edge sets
     // (up to hash collision). One cheap agg job per round — the previous
@@ -79,16 +97,17 @@ object Components {
     // lazy localCheckpoint: the checksum action doubles as the
     // materialization pass (eager checkpointing would run an extra job
     // per round just to persist)
-    var e = edges
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-      .localCheckpoint(eager = false)
+    var e = materialize(
+      edges
+        .select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+        .distinct(),
+      checkpointDir)
     var chk = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = materialize(smallStar(largeStar(e)), checkpointDir)
       val nextChk = checksum(next)
       converged = chk == nextChk
       chk = nextChk
@@ -110,8 +129,9 @@ object Components {
     * generation (LSH / SimHash blocking) and canonical-doc selection.
     */
   def clusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val labels = componentLabels(pairs, aCol, bCol, maxIter)
+      aCol: String, bCol: String, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = componentLabels(pairs, aCol, bCol, maxIter, checkpointDir)
       .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
     vertices.select(col(idCol))
       .join(labels, col(idCol) === col("__cc_id"), "left")

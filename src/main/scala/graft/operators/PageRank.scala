@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each iteration is one join + one grouped sum, both keyed by
   * node id — shuffle-bounded, no driver-side graph state; per-iteration
-  * `localCheckpoint` cuts the growing lineage (swap for reliable
-  * `checkpoint` on a real cluster). Dangling mass (nodes with no
+  * materialization cuts the growing lineage (`localCheckpoint` by
+  * default, reliable `checkpoint` when `checkpointDir` is passed — the
+  * executor-loss-safe cluster mode). Dangling mass (nodes with no
   * out-edges) is dropped, not redistributed — fine for symmetrized
   * similarity graphs where every connected node has out-degree ≥ 1.
   */
@@ -32,14 +33,18 @@ object PageRank {
     */
   def ranks(nodes: DataFrame, nodeCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iters: Int = 3,
-      dampingPct: Int = 85, unit: Long = 1000000L): DataFrame = {
+      dampingPct: Int = 85, unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val n = nodes.select(col(nodeCol).as("id")).distinct()
-      .localCheckpoint(eager = false)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(eager = false)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+    def materialize(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+    val n = materialize(nodes.select(col(nodeCol).as("id")).distinct())
+    val e = materialize(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")))
     val base = unit * (100 - dampingPct) / 100
     var pr = n.withColumn("pr", lit(unit))
     (1 to iters).foreach { _ =>
@@ -49,10 +54,10 @@ object PageRank {
         .join(e, "src")
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      pr = n.join(inbound, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"coalesce(s, 0L) * $dampingPct div 100")).as("pr"))
-        .localCheckpoint(eager = false)
+      pr = materialize(
+        n.join(inbound, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"coalesce(s, 0L) * $dampingPct div 100")).as("pr")))
     }
     pr.select(col("id").as(nodeCol), col("pr"))
   }

@@ -14,14 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** CONTENT-DERIVED salt: `pmod(hash(every column), salts)`. A
+    * `monotonically_increasing_id()`-based salt varies when a lost
+    * partition is recomputed (the id depends on task/partition layout),
+    * so a retry could double-count a row into one partial and drop it
+    * from another mid-shuffle; hashing the row's content gives the same
+    * salt on every recomputation. Trade-off: byte-identical duplicate
+    * rows share a salt — a hot key whose rows are all IDENTICAL won't
+    * spread (include a distinguishing column upstream if that's your
+    * skew shape; for real data, value columns differ and spread fine).
+    */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(salts))
+
   /** Two-phase salted sum/count over `valueCol` grouped by `key`.
     * Equivalent to `groupBy(key).agg(sum(value), count(*))` (asserted in
     * SkewSpec), but no reducer sees more than ~1/salts of a hot key.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val partial = salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -51,8 +63,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val bigSalted = big.withColumn("__salt", contentSalt(big, salts))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")

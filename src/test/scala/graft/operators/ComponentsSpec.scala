@@ -58,6 +58,17 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode produces identical labels to localCheckpoint mode") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val local = Components.componentLabels(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Components.componentLabels(edges, "a", "b",
+      checkpointDir = Some(tmpDir("ccckpt")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+  }
+
   test("agrees with a driver-side union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
