@@ -74,22 +74,40 @@ object Text {
       .otherwise(lit("und"))
 
   /** NLTK-word_tokenize-compatible tokenizer for the common cases: word
-    * runs and single punctuation marks become tokens, and English clitic
-    * contractions split the Treebank way — "don't" → [do, n't], "can't" →
-    * [ca, n't], "it's" → [it, 's], "we've" → [we, 've] (reference
-    * `cache.py:16,216`; fixtures in FunctionsSpec assert real NLTK
-    * outputs). Remaining documented divergences from Punkt+Treebank:
-    * abbreviations ("U.S." splits at the periods) and directional quote
-    * conversion (NLTK rewrites " to `` / '').
+    * runs and single punctuation marks become tokens; English clitic
+    * contractions split the Treebank way — "don't" → [do, n't], "it's" →
+    * [it, 's]; letter-dot abbreviations stay whole mid-sentence ("the
+    * U.S. economy" → [the, U.S., economy]) with the Treebank final-period
+    * detachment at string end ("to the U.S." → [to, the, U.S, .]); and
+    * straight double quotes convert directionally the Treebank way
+    * (opening " → ``, closing " → '') (reference `cache.py:16,216`;
+    * fixtures in FunctionsSpec assert real NLTK outputs). Remaining
+    * documented divergence from Punkt+Treebank: Punkt's learned
+    * sentence-boundary model — single-dot abbreviations like "Mr." and
+    * sentence splits inside multi-sentence strings follow Punkt's corpus
+    * statistics, which a closed-form regex intentionally doesn't emulate
+    * (COVERAGE.md records this as the final tokenizer delta).
     */
   def wordTokenize(text: Column): Column = {
-    // Detach clitics first (space before n't / 's-family), then extract
-    // tokens with the clitic alternatives ahead of the generic word run.
+    // Treebank normalization pipeline, as column expressions:
+    // 1. directional quotes: " after start/space/open-bracket opens (``),
+    //    any other " closes ('')
+    val quoted = regexp_replace(
+      regexp_replace(text, "(^|[ \\(\\[{<])\"", "$1 `` "),
+      "\"", " '' ")
+    // 2. final-period detachment: a trailing abbreviation's last dot
+    //    becomes its own token at string end (U.S. → U.S + .)
+    val finalDot = regexp_replace(quoted,
+      "([A-Za-z]\\.[A-Za-z]+)\\.\\s*$", "$1 .")
+    // 3. detach clitics (space before n't / 's-family)
     val detached = regexp_replace(
-      regexp_replace(text, "(?i)(\\w)(n't)\\b", "$1 $2"),
+      regexp_replace(finalDot, "(?i)(\\w)(n't)\\b", "$1 $2"),
       "(?i)(\\w)('s|'re|'ve|'ll|'d|'m)\\b", "$1 $2")
+    // 4. extract: quote marks, clitics, and letter-dot abbreviations take
+    //    precedence over the generic word run / single punctuation
     regexp_extract_all(detached,
-      lit("(?i)n't|'(?:s|re|ve|ll|d|m)\\b|\\w+|[^\\w\\s]"), lit(0))
+      lit("(?i)``|''|n't|'(?:s|re|ve|ll|d|m)\\b|(?:[a-z]\\.){2,}[a-z]?|[a-z]\\.[a-z]+|\\w+|[^\\w\\s]"),
+      lit(0))
   }
 
   /** BPE-ish token count: alpha runs and digit runs count separately. */

@@ -47,7 +47,16 @@ class FunctionsSpec extends SparkSpec {
       ("the users' files", Seq("the", "users", "'", "files")),
       // URL tokens diverge (NLTK keeps '//t.co/x' whole) — documented in
       // Text.wordTokenize; hashtags/mentions split the same way.
-      ("stay home #StaySafe @user", Seq("stay", "home", "#", "StaySafe", "@", "user")))
+      ("stay home #StaySafe @user", Seq("stay", "home", "#", "StaySafe", "@", "user")),
+      // Treebank abbreviation cases: letter-dot sequences stay whole
+      // mid-sentence; the final period detaches at string end.
+      ("the U.S. economy is strong", Seq("the", "U.S.", "economy", "is", "strong")),
+      ("he moved to the U.S.", Seq("he", "moved", "to", "the", "U.S", ".")),
+      ("e.g. apples and pears", Seq("e.g.", "apples", "and", "pears")),
+      ("the U.S.A. wins", Seq("the", "U.S.A.", "wins")),
+      // Treebank directional quote conversion: opening " → ``, closing " → ''
+      ("He said \"hello\" to me", Seq("He", "said", "``", "hello", "''", "to", "me")),
+      ("\"Go now\" she said", Seq("``", "Go", "now", "''", "she", "said")))
     for ((text, expected) <- fixtures) {
       val got = Seq(Tuple1(text)).toDF("text")
         .select(Text.wordTokenize($"text").as("t"))
