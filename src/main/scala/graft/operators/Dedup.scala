@@ -298,6 +298,13 @@ object Dedup {
     * any engine. Same scale shape as [[contaminated]]: the benchmark
     * shingle set broadcasts, the corpus never shuffles beyond its own
     * per-doc aggregation.
+    *
+    * Corpus docs with fewer than 2 tokens produce no shingles (see
+    * [[shingleRows]]) and are therefore ABSENT from the report, not
+    * scored 0 — "unmeasurable" and "clean" are different states; left-join
+    * from the full doc set and treat NULL as unmeasurable if the
+    * distinction matters downstream. (The DuckDB oracle behaves
+    * identically, so the catalog twin stays aligned.)
     */
   def containment(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String): DataFrame = {

@@ -48,14 +48,26 @@ object Upsert {
 
   /** Collapse a multi-version update feed to one row per key: the row
     * with the greatest `orderCol` wins, ties broken by the remaining
-    * columns so the winner is deterministic (a bare dropDuplicates picks
-    * whichever partition arrives first). Run this before [[apply]] when
-    * the feed can carry several versions of a key.
+    * ORDERABLE columns so the winner is deterministic (a bare
+    * dropDuplicates picks whichever partition arrives first). Run this
+    * before [[apply]] when the feed can carry several versions of a key.
+    * Non-orderable columns (maps, structs containing them) are excluded
+    * from the tie-break rather than failing analysis; rows identical on
+    * every orderable column but differing in a map value would tie
+    * arbitrarily — carry an explicit version/sequence column if the feed
+    * can produce that.
     */
   def latestByKey(updates: DataFrame, key: String, orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tieBreak = updates.columns.filterNot(c => c == key || c == orderCol)
-      .map(col).toSeq
+    // tie-break only on ORDERABLE column types: a map (or a struct
+    // containing one) in the feed would fail the Window's orderBy
+    // analysis even when orderCol alone is decisive
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+    val tieBreak = updates.schema.fields
+      .filterNot(f => f.name == key || f.name == orderCol)
+      .filter(f => orderable(f.dataType))
+      .map(f => col(f.name)).toSeq
     val w = Window.partitionBy(col(key))
       .orderBy((col(orderCol).desc +: tieBreak.map(_.desc)): _*)
     updates.withColumn("__rn", row_number().over(w))

@@ -65,4 +65,16 @@ class UpsertSpec extends SparkSpec {
     val base = Seq((1L, 0L, "base")).toDF("k", "ts", "name")
     assert(Upsert(base, Upsert.latestByKey(feed, "k", "ts"), "k").count() === 2)
   }
+
+  test("latestByKey tolerates non-orderable columns (maps skip the tie-break)") {
+    // a map column in the feed must not fail the Window's orderBy
+    // analysis when orderCol alone is decisive
+    val feed = Seq(
+      (1L, 10L, Map("a" -> 1)), (1L, 30L, Map("b" -> 2)),
+      (2L, 5L, Map("c" -> 3)))
+      .toDF("k", "ts", "props")
+    val got = Upsert.latestByKey(feed, "k", "ts")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((1L, 30L), (2L, 5L)))
+  }
 }

@@ -37,6 +37,12 @@ class CatalogSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
+  test("query count matches docs (README / COVERAGE.md cite this number)") {
+    // Update README.md and COVERAGE.md when this changes — the docs cite
+    // this spec as the authoritative count so they can't silently drift.
+    assert(Catalog.all.size === 113, s"catalog has ${Catalog.all.size} queries")
+  }
+
   test("catalog names are unique (a dup would silently shadow in the Map)") {
     val names = Catalog.all.map(_.name)
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
