@@ -53,7 +53,7 @@ object Bench {
       }
     }
 
-    val passes = 3
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to passes; (name, fn) <- queries)
