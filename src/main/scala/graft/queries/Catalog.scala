@@ -1583,6 +1583,35 @@ object Catalog {
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events WHERE event_id < 1500) WHERE rn = 1 ORDER BY user_id")),
 
+    // END-TO-END streaming dedup + parquet append sink: the slice is fed
+    // TWICE (simulating at-least-once re-delivery) through
+    // dropDuplicatesWithinWatermark state and drained into the parquet
+    // sink with AvailableNow; survivors must equal the slice exactly.
+    // Covers the two remaining spec-only streaming ops in one drain.
+    Q("stream_dedup_drain",
+      (s, d) => {
+        val slice = Tables.events(s, d).filter(col("event_id") < 1500)
+        graft.streaming.EventStream
+          .drainDedup(s, slice.unionByName(slice), Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents " +
+        "FROM events WHERE event_id < 1500 ORDER BY event_id")),
+
+    // END-TO-END stateful counting: mapGroupsWithState accumulates
+    // per-user counts across 3 AvailableNow micro-batches into an
+    // update-mode memory sink; the final state must equal the batch
+    // groupBy count — cross-batch state correctness, driver-verified.
+    Q("stream_running_counts",
+      (s, d) => graft.streaming.EventStream
+        .drainRunningCounts(s,
+          Tables.events(s, d).filter(col("event_id") < 1500), nFiles = 3)
+        .orderBy("user_id"),
+      Some("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events " +
+        "WHERE event_id < 1500 GROUP BY user_id ORDER BY user_id")),
+
     // Cohort retention: users grouped by first-seen week; how many are
     // active k weeks later. Pure date/int arithmetic (week truncation is
     // ISO Monday-start in both engines; offsets are integer day

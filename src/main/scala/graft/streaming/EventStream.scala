@@ -170,18 +170,70 @@ object EventStream {
   def drainUpsert(spark: SparkSession, changes: DataFrame, key: String,
       nFiles: Int = 3): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
-    val feed = base.resolve("feed").toString
     val snap = base.resolve("snapshot").toString
-    val ckpt = base.resolve("ckpt").toString
-    // explicit micros format: the default JSON timestampFormat rounds to
-    // millis, which would re-rank events that differ only in micros
-    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    changes.repartition(nFiles).write.mode("overwrite")
-      .option("timestampFormat", tsFmt).json(feed)
-    val stream = spark.readStream.schema(changes.schema)
-      .option("maxFilesPerTrigger", 1).option("timestampFormat", tsFmt).json(feed)
-    val q = upsertSink(stream, key, snap, ckpt).start()
+    val stream = feedStream(spark, changes, base, nFiles)
+    val q = upsertSink(stream, key, snap, base.resolve("ckpt").toString).start()
     try q.awaitTermination(300000) finally q.stop()
     spark.read.parquet(snap)
+  }
+
+  /** Shared drain plumbing: materialize `rows` as `nFiles` JSONL feed
+    * files under `base` and open a file stream over them (one file per
+    * micro-batch). Explicit micros timestampFormat — the default rounds
+    * to millis, which would re-order events that differ only in micros.
+    */
+  private def feedStream(spark: SparkSession, rows: DataFrame,
+      base: java.nio.file.Path, nFiles: Int): DataFrame = {
+    val feed = base.resolve("feed").toString
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    rows.repartition(nFiles).write.mode("overwrite")
+      .option("timestampFormat", tsFmt).json(feed)
+    spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).option("timestampFormat", tsFmt).json(feed)
+  }
+
+  /** End-to-end streaming-dedup drain (the driver-verifiable face of
+    * [[dedupWithinWatermark]]): `rows` — typically carrying re-delivered
+    * duplicates — flow through the stateful dedup in ONE micro-batch
+    * (duplicates must sit inside the watermark horizon; a multi-batch
+    * split could legitimately drop a duplicate that arrives after the
+    * watermark passed its event time, which is correct streaming
+    * semantics but not a deterministic oracle target) and the surviving
+    * rows land in a parquet sink via [[parquetSink]] — so one drain
+    * exercises BOTH remaining sink ops.
+    */
+  def drainDedup(spark: SparkSession, rows: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_")
+    val out = base.resolve("out").toString
+    val stream = feedStream(spark, rows, base, nFiles = 1)
+    val q = parquetSink(dedupWithinWatermark(stream, keys),
+      out, base.resolve("ckpt").toString).start()
+    try q.awaitTermination(300000) finally q.stop()
+    spark.read.parquet(out)
+  }
+
+  /** End-to-end stateful-counting drain (the driver-verifiable face of
+    * [[runningUserCounts]]): rows flow through mapGroupsWithState across
+    * `nFiles` micro-batches into an update-mode memory sink; the FINAL
+    * count per user (the max — counts only grow) must equal the batch
+    * `groupBy(user).count()`, proving state accumulates correctly across
+    * batch boundaries.
+    */
+  def drainRunningCounts(spark: SparkSession, rows: DataFrame,
+      nFiles: Int = 3): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_rc_")
+    val table = s"graft_rc_${base.getFileName.toString.replace("graft_rc_", "")}"
+    val stream = feedStream(spark, rows, base, nFiles)
+    val q = runningUserCounts(stream).writeStream
+      .format("memory").queryName(table)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000) finally q.stop()
+    spark.table(table)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
   }
 }
