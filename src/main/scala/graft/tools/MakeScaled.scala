@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   *  - fact keys shift by k·OFFSET so copies never collide:
   *    orders/lineitem on orderkey, events on event_id + user_id,
   *    documents on doc_id, embeddings on vec_id;
-  *  - `documents.text` gets a per-copy token interleaved between every
-  *    word (copy k ≥ 1): bigram shingle sets become disjoint ACROSS
-  *    copies while near-dup structure WITHIN a copy is preserved, so
-  *    LSH bucket sizes stay sf0.1-realistic and the dedup family scales
-  *    by doc count, not by an artificial 10× bucket heat (10 exact
-  *    copies of every doc would square the pair volume instead);
+  *  - `documents.text` gets a per-copy SUFFIX on every token (copy
+  *    k ≥ 1: "word" → "wordck"): the token bijection makes each copy's
+  *    shingle graph exactly ISOMORPHIC to the original — bucket sizes
+  *    and near-dup structure identical per copy, disjoint across copies
+  *    — so the dedup family scales by doc count. (Interleaving a marker
+  *    BETWEEN tokens instead puts the marker in every bigram, making any
+  *    shared word a shared shingle: candidate pairs explode ~1000× —
+  *    measured 68M pairs — which tests an artifact, not scaling. Ten
+  *    exact copies would similarly square the pair volume.);
   *  - `embeddings.label` shifts by k·1000 for the same reason (same-label
   *    cosine pairs scale linearly, not quadratically);
   *  - point-read / fixed-slice queries (vec_id = 0, doc_id < 100,
@@ -71,7 +74,7 @@ object MakeScaled {
     stack("documents") { (df, k) =>
       val d = df.withColumn("doc_id", col("doc_id") + k * 1000000L)
       if (k == 0) d
-      else d.withColumn("text", regexp_replace(col("text"), " ", s" c$k "))
+      else d.withColumn("text", regexp_replace(col("text"), "([^ ]+)", s"$$1c$k"))
     }
     stack("embeddings") { (df, k) =>
       df.withColumn("vec_id", col("vec_id") + k * 1000000L)
