@@ -134,6 +134,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lshCandidatePairsBounded: hub selection is a bounded partial aggregation, not a window") {
+    // the hub-capped band join must pick its per-bucket hubs with the
+    // O(k)-state MinK aggregator — a row_number window would sort the
+    // whole hot bucket in one task. (graph_pagerank's own plan string
+    // can't be inspected for this: its localCheckpoint barriers replace
+    // upstream stages with RDD scans, so the operator is locked direct.)
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 4)
+    val p = Dedup.lshCandidatePairsBounded(sig, "doc_id", 4, 2, hubs = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_mink"), p)
+    // no window partitioned by the band bucket keys (per-doc lead()
+    // windows from the inlined shingle computation are fine — bounded by
+    // document length, not bucket size)
+    assert(!p.contains("windowspecdefinition(h0"), p)
+    assert(!p.contains("windowspecdefinition(h2"), p)
+  }
+
   test("skew_salted_agg: both phases aggregate partially before exchanging") {
     val p = plan("skew_salted_agg")
     assert(p.contains("partial_sum"), p)
