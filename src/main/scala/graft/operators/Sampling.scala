@@ -75,6 +75,29 @@ object Sampling {
       "left_semi")
   }
 
+  /** Per-row WEIGHTED (importance) sample: row i is kept with its own
+    * probability `weightCol` ∈ [0,1] (values clamped), decided by the
+    * same md5-threshold trick as [[bernoulli]] but with a per-row
+    * threshold — the standard quality-weighted keep of training-data
+    * curation (keep high-quality docs with p≈1, downweight boilerplate).
+    * Deterministic per (key, weight): reproducible across runs, engines,
+    * and partitionings, and monotone in the weight — raising a row's
+    * weight can only add it to the sample, never drop it (the nested-
+    * samples property that makes curation sweeps comparable).
+    *
+    * The threshold is built with floor (not round: HALF_UP vs HALF_EVEN
+    * differs between engines on exact .5 products) and stays a pure
+    * map-side column predicate — no shuffle, pushes to the scan.
+    */
+  def weighted(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    // floor(w·2^32) as an 8-hex threshold; w == 1 → "g" sorts above any
+    // hex digit (same guard as rateToHex)
+    val thr = when(w >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(floor(w * pow(lit(2.0), lit(32))).cast("long")), 8, "0")))
+    df.filter(hashPrefix(col(keyCol)) < thr)
+  }
+
   /** Leakage-free train/val/test split: the split is a function of the
     * GROUP id (e.g. the duplicate-cluster id from
     * [[Components.clusters]]), so near-duplicate documents land in the

@@ -1478,6 +1478,23 @@ object Catalog {
         .select("event_id", "event_type").orderBy("event_type", "event_id"),
       Some("SELECT event_id, event_type FROM (SELECT event_id, event_type, row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events) WHERE rn <= 50 ORDER BY event_type, event_id")),
 
+    // Per-row weighted (importance) sample: keep probability = a
+    // quality proxy (token count / 60, capped at 1) — the standard
+    // quality-weighted curation keep, decided by the same md5 threshold
+    // as bernoulli but per row. floor (not round) builds the threshold:
+    // HALF_UP vs HALF_EVEN differs between engines on exact .5 products.
+    Q("sample_weighted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w",
+            size(split(lower(col("text")), " ")).cast("double") / 60.0)
+        graft.operators.Sampling.weighted(docs, "doc_id", "w")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 60.0 AS w FROM documents) " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "(CASE WHEN w >= 1 THEN 'g' ELSE printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT)) END) ORDER BY doc_id")),
+
     // Domain-mixture sample: per-source keep rates with a default.
     Q("sample_mixture",
       (s, d) => graft.operators.Sampling

@@ -59,6 +59,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === 10)
   }
 
+  test("weighted: edge weights, constant-weight equivalence, monotone nesting") {
+    val w0 = docs.withColumn("w", lit(0.0))
+    val w1 = docs.withColumn("w", lit(1.0))
+    assert(Sampling.weighted(w0, "id", "w").count() === 0)
+    assert(Sampling.weighted(w1, "id", "w").count() === 2000)
+    // constant weight ≡ bernoulli at that rate (0.25·2^32 is exact, so
+    // floor vs round cannot differ)
+    val wq = docs.withColumn("w", lit(0.25))
+    val viaW = Sampling.weighted(wq, "id", "w").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val viaB = Sampling.bernoulli(docs, "id", 0.25).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaW === viaB)
+    // monotone: doubling every weight only ADDS rows (nested samples)
+    val lo = docs.withColumn("w", (col("id") % 100) / lit(200.0))
+    val hi = docs.withColumn("w", (col("id") % 100) / lit(100.0))
+    val sLo = Sampling.weighted(lo, "id", "w").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val sHi = Sampling.weighted(hi, "id", "w").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sLo.subsetOf(sHi) && sHi.size > sLo.size)
+    // out-of-range weights clamp instead of corrupting the hex compare
+    val wild = docs.withColumn("w", (col("id") % 3).cast("double") * 5 - 5)
+    val got = Sampling.weighted(wild, "id", "w").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === docs.filter(col("id") % 3 === 2).select("id")
+      .collect().map(_.getLong(0)).toSet) // w∈{-5,0,5}→clamp{0,0,1}
+  }
+
   test("mixture applies per-source rates with default") {
     val out = Sampling.mixture(docs, "src", "id",
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
