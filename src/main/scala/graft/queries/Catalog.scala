@@ -1778,6 +1778,22 @@ object Catalog {
           "SELECT doc_id, pr FROM p3 ORDER BY doc_id"
       }),
 
+    // Misra-Gries heavy hitters over the event-type stream: O(capacity)
+    // state per partition, mergeable partials — the one-pass way to FIND
+    // hot keys (to decide salting/AQE skew hints) without the full
+    // groupBy that would itself suffer the skew. The domain (5 event
+    // types) fits capacity 8, where MG is provably EXACT and
+    // order/partitioning-independent — so the oracle is plain GROUP BY.
+    Q("hh_event_types",
+      (s, d) => {
+        val mg = udaf(graft.functions.FreqItems(8))
+        Tables.events(s, d)
+          .agg(mg(col("event_type")).as("m"))
+          .select(explode(col("m")).as(Seq("event_type", "cnt")))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
     // Robust outlier stats for quality monitoring: per-group median and
     // median-absolute-deviation (the robust sigma — a 3.5·MAD clip is
     // the standard winsorization rule). Spark `percentile` ≡ DuckDB
