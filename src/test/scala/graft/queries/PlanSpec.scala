@@ -95,6 +95,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("sample_weighted: map-only — the per-row threshold is a scan-stage filter") {
+    val p = plan("sample_weighted")
+    assert(p.contains("Filter"), p)
+    assert(!p.split("Sort").head.contains("Exchange"),
+      s"exchange before the weighted-sampling filter:\n$p")
+  }
+
+  test("hh_event_types: heavy hitters aggregate partially before the exchange") {
+    val p = plan("hh_event_types")
+    assert(p.contains("partial_freqitems"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("stream_interval_join: range-condition join, never a cartesian") {
     val p = plan("stream_interval_join")
     assert(!p.contains("CartesianProduct"), p)
