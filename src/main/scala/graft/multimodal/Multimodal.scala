@@ -244,20 +244,26 @@ object Multimodal extends Serializable {
     val compression = le32(30)
     if (infoSize < 40 || bpp != 24 || compression != 0) return None
     val topDown = rawHeight < 0
-    val height = math.abs(rawHeight)
+    // abs in LONG space: rawHeight == Int.MinValue has no int abs
+    val height = math.abs(rawHeight.toLong)
     if (width < 1 || height < 1 || offset < 54) return None
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (payload.length.toLong < offset.toLong + rowSize.toLong * height) return None
-    val rgb = new Array[Int](width * height)
-    (0 until height).foreach { storedRow =>
-      val y = if (topDown) storedRow else height - 1 - storedRow
-      val base = offset + storedRow * rowSize
+    // crafted headers can overflow width*3 / width*height in int space —
+    // compute sizes in longs and reject anything a real payload can't
+    // back (the length check below then stays meaningful)
+    val rowSize = ((width.toLong * 3 + 3) / 4) * 4
+    if (width.toLong * height > Int.MaxValue) return None
+    if (payload.length.toLong < offset.toLong + rowSize * height) return None
+    val h = height.toInt // safe: width*height ≤ Int.MaxValue and width ≥ 1
+    val rgb = new Array[Int](width * h)
+    (0 until h).foreach { storedRow =>
+      val y = if (topDown) storedRow else h - 1 - storedRow
+      val base = offset + storedRow * rowSize.toInt
       (0 until width).foreach { x =>
         rgb(y * width + x) =
           (u8(base + 3 * x + 2) << 16) | (u8(base + 3 * x + 1) << 8) | u8(base + 3 * x)
       }
     }
-    Some(BmpPixels(width, height, rgb))
+    Some(BmpPixels(width, h, rgb))
   }
 
   /** Exact integer pixel statistics from DECODED pixels — the

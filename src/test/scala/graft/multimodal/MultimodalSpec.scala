@@ -130,6 +130,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp24(compressed) === None)
   }
 
+  test("decodeBmp24 returns None (never throws) on overflow-crafted headers") {
+    val good = Multimodal.encodeBmp24(4, 4, (_, _) => (1, 2, 3))
+    def withLe32(pos: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      (0 until 4).foreach(i => b(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+      b
+    }
+    // width*3 and width*height overflow int space if computed naively
+    assert(Multimodal.decodeBmp24(withLe32(18, Int.MaxValue)) === None)
+    assert(Multimodal.decodeBmp24(withLe32(18, 0x40000000)) === None)
+    // Int.MinValue height has no int abs
+    assert(Multimodal.decodeBmp24(withLe32(22, Int.MinValue)) === None)
+    // pixel-data offset beyond the payload
+    assert(Multimodal.decodeBmp24(withLe32(10, Int.MaxValue)) === None)
+  }
+
   test("extractFeatures computes REAL mean RGB from decoded BMP pixels") {
     import spark.implicits._
     // constant-color 4×2 image → means are exact
