@@ -173,13 +173,26 @@ object EventStream {
     val snap = base.resolve("snapshot").toString
     val stream = feedStream(spark, changes, base, nFiles)
     val q = upsertSink(stream, key, snap, base.resolve("ckpt").toString).start()
-    try q.awaitTermination(300000) finally q.stop()
+    awaitDrained(q)
     spark.read.parquet(snap)
+  }
+
+  /** Waits for an AvailableNow query to fully drain, FAILING LOUDLY on
+    * timeout: silently stopping a half-drained query and reading its sink
+    * would return a plausible-but-wrong partial result — a correctness
+    * check must error instead.
+    */
+  private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 300000): Unit = {
+    val done = try q.awaitTermination(timeoutMs) finally q.stop()
+    require(done, s"streaming drain did not terminate within ${timeoutMs} ms — " +
+      "refusing to read a partial sink")
   }
 
   /** Shared drain plumbing: materialize `rows` as `nFiles` JSONL feed
     * files under `base` and open a file stream over them (one file per
-    * micro-batch). Explicit micros timestampFormat — the default rounds
+    * micro-batch; the temp dir lives until JVM exit — bounded fixture
+    * slices only). Explicit micros timestampFormat — the default rounds
     * to millis, which would re-order events that differ only in micros.
     */
   private def feedStream(spark: SparkSession, rows: DataFrame,
@@ -209,7 +222,7 @@ object EventStream {
     val stream = feedStream(spark, rows, base, nFiles = 1)
     val q = parquetSink(dedupWithinWatermark(stream, keys),
       out, base.resolve("ckpt").toString).start()
-    try q.awaitTermination(300000) finally q.stop()
+    awaitDrained(q)
     spark.read.parquet(out)
   }
 
@@ -231,7 +244,7 @@ object EventStream {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000) finally q.stop()
+    awaitDrained(q)
     spark.table(table)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"))
