@@ -147,9 +147,14 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val b = batch.localCheckpoint() // cut lineage before the snapshot overwrite
+        // ONLY a missing snapshot means "first batch" — a transient read
+        // failure must propagate, not silently restart the table empty
         val snapshot =
           try spark.read.parquet(snapshotDir).localCheckpoint()
-          catch { case _: Exception => b.limit(0) }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => b.limit(0)
+          }
         val merged = graft.operators.Upsert.latestByKey(
           snapshot.unionByName(b.select(snapshot.columns.map(col).toSeq: _*)),
           key, "ts")
