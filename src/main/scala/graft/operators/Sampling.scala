@@ -88,6 +88,8 @@ object Sampling {
     * The threshold is built with floor (not round: HALF_UP vs HALF_EVEN
     * differs between engines on exact .5 products) and stays a pure
     * map-side column predicate — no shuffle, pushes to the scan.
+    * NULL or NaN weights drop the row (the comparison is null/NaN-poisoned
+    * and the filter rejects it) — unknown quality means not sampled.
     */
   def weighted(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
