@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -18,37 +20,52 @@ import org.apache.spark.sql.expressions.Aggregator
   *    ever fires and the summary is EXACT counts, independent of order
   *    and partitioning — the regime the catalog oracle checks.
   *
+  * The buffer is a MUTABLE map updated in place: Spark's ScalaAggregator
+  * is a TypedImperativeAggregate, so the buffer lives as one JVM object
+  * per group within a partition and only crosses the encoder at the
+  * partial/merge exchange — an immutable `Map.updated` per input row
+  * would allocate a fresh node chain per row inside the hottest loop of
+  * a 100 TB scan.
+  *
   * The classic use at scale: detect hot keys cheaply (one pass, O(c)
   * state) to decide WHERE skew mitigation ([[graft.operators.Skew]]
   * salting, AQE skew hints) is worth applying — a full groupBy to find
   * the skew would itself suffer the skew.
   */
 class FreqItems(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, mutable.Map[String, Long], Map[String, Long]] {
   require(capacity >= 1, s"capacity ($capacity) must be >= 1")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.Map[String, Long] = mutable.Map.empty
 
-  override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
-    if (x == null) m
-    else if (m.contains(x)) m.updated(x, m(x) + 1)
-    else if (m.size < capacity) m.updated(x, 1L)
-    else m.view.mapValues(_ - 1).filter(_._2 > 0).toMap // decrement-all
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val s = (a.keySet ++ b.keySet).iterator
-      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
-    if (s.size <= capacity) s
-    else {
-      // subtract the (capacity+1)-th largest count and drop non-positives
-      val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      s.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+  override def reduce(m: mutable.Map[String, Long], x: String): mutable.Map[String, Long] = {
+    if (x == null) return m
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1)
+      case None if m.size < capacity => m.update(x, 1L)
+      case None => // decrement-all, in place
+        m.mapValuesInPlace((_, v) => v - 1)
+        m.filterInPlace((_, v) => v > 0)
     }
+    m
   }
 
-  override def finish(reduction: Map[String, Long]): Map[String, Long] = reduction
+  override def merge(a: mutable.Map[String, Long],
+      b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count and drop non-positives
+      val cut = a.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      a.mapValuesInPlace((_, v) => v - cut)
+      a.filterInPlace((_, v) => v > 0)
+    }
+    a
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def finish(reduction: mutable.Map[String, Long]): Map[String, Long] =
+    reduction.toMap
+
+  override def bufferEncoder: Encoder[mutable.Map[String, Long]] = ExpressionEncoder()
 
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }

@@ -78,7 +78,10 @@ object Text {
     * contractions split the Treebank way — "don't" → [do, n't], "it's" →
     * [it, 's]; letter-dot abbreviations stay whole mid-sentence ("the
     * U.S. economy" → [the, U.S., economy]) with the Treebank final-period
-    * detachment at string end ("to the U.S." → [to, the, U.S, .]); and
+    * detachment at string end ("to the U.S." → [to, the, U.S, .]);
+    * internal-period words stay attached regardless of head length
+    * ("example.com", "a.com", "3.14" are each one token — Treebank only
+    * detaches the final period); and
     * straight double quotes convert directionally the Treebank way
     * (opening " → ``, closing " → '') (reference `cache.py:16,216`;
     * fixtures in FunctionsSpec assert real NLTK outputs). Remaining
@@ -103,10 +106,15 @@ object Text {
     val detached = regexp_replace(
       regexp_replace(finalDot, "(?i)(\\w)(n't)\\b", "$1 $2"),
       "(?i)(\\w)('s|'re|'ve|'ll|'d|'m)\\b", "$1 $2")
-    // 4. extract: quote marks, clitics, and letter-dot abbreviations take
-    //    precedence over the generic word run / single punctuation
+    // 4. extract: quote marks, clitics, letter-dot abbreviations, and
+    //    internal-period words take precedence over the generic word run /
+    //    single punctuation. `\w+(?:\.\w+)+` keeps ANY internal-period
+    //    word attached (a.com, example.com, 3.14, e.g-without-final-dot)
+    //    the way Treebank does — it only ever detaches the FINAL period
+    //    (step 2 above); a single-letter-head-only alternative would split
+    //    example.com but not a.com.
     regexp_extract_all(detached,
-      lit("(?i)``|''|n't|'(?:s|re|ve|ll|d|m)\\b|(?:[a-z]\\.){2,}[a-z]?|[a-z]\\.[a-z]+|\\w+|[^\\w\\s]"),
+      lit("(?i)``|''|n't|'(?:s|re|ve|ll|d|m)\\b|(?:[a-z]\\.){2,}[a-z]?|\\w+(?:\\.\\w+)+|\\w+|[^\\w\\s]"),
       lit(0))
   }
 

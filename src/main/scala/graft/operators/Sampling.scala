@@ -55,14 +55,22 @@ object Sampling {
     * the realistic case — that task sorts terabytes at 100 TB scale).
     *
     * Preconditions: `keyCol` is unique within its stratum (it is the
-    * sampling key), and the winner set (|strata| × k rows) is small
-    * enough to broadcast — true whenever the sample itself is meant to be
-    * handled downstream as "the small sample"; drop the `broadcast` hint
-    * if you stratify into millions of cells.
+    * sampling key). Rows with a NULL `keyCol` are never sampled: they are
+    * filtered before the aggregation (a null sampling key has no hash
+    * order) and could not match the equality semi-join anyway.
+    *
+    * `broadcastWinners` controls the join back onto the source: the
+    * default broadcasts the winner set (|strata| × k rows) — right
+    * whenever the sample is meant to be handled downstream as "the small
+    * sample". Pass `false` when stratifying into millions of cells; the
+    * semi-join then shuffles both sides on (stratum, key), which AQE may
+    * still convert to broadcast if the winners turn out small.
     */
-  def stratified(df: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame = {
+  def stratified(df: DataFrame, strataCol: String, keyCol: String, k: Int,
+      broadcastWinners: Boolean = true): DataFrame = {
     val minK = udaf(graft.functions.MinK(k))
     val winners = df
+      .filter(col(keyCol).isNotNull)
       .select(col(strataCol).as("__s"),
         md5(col(keyCol).cast("string")).as("__h"),
         col(keyCol).cast("string").as("__k"))
@@ -70,7 +78,8 @@ object Sampling {
       .agg(minK(col("__h"), col("__k")).as("__w"))
       .select(col("__s"), explode(col("__w")).as("__x"))
       .select(col("__s"), col("__x.k").as("__wk"))
-    df.join(broadcast(winners),
+    val w = if (broadcastWinners) broadcast(winners) else winners
+    df.join(w,
       col(strataCol) === col("__s") && col(keyCol).cast("string") === col("__wk"),
       "left_semi")
   }
@@ -88,15 +97,24 @@ object Sampling {
     * The threshold is built with floor (not round: HALF_UP vs HALF_EVEN
     * differs between engines on exact .5 products) and stays a pure
     * map-side column predicate — no shuffle, pushes to the scan.
-    * NULL or NaN weights drop the row (the comparison is null/NaN-poisoned
-    * and the filter rejects it) — unknown quality means not sampled.
+    * NULL or NaN weights drop the row — unknown quality means not
+    * sampled. NaN is mapped to NULL explicitly BEFORE clamping: Spark's
+    * least/greatest order NaN above every double, so a bare
+    * `least(greatest(w, 0), 1)` would clamp NaN to 1.0 and keep the row.
     */
   def weighted(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
-    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
-    // floor(w·2^32) as an 8-hex threshold; w == 1 → "g" sorts above any
-    // hex digit (same guard as rateToHex)
-    val thr = when(w >= 1.0, lit("g"))
-      .otherwise(lower(lpad(hex(floor(w * pow(lit(2.0), lit(32))).cast("long")), 8, "0")))
+    val raw = col(weightCol).cast("double")
+    val w = when(isnan(raw), lit(null).cast("double"))
+      .otherwise(least(greatest(raw, lit(0.0)), lit(1.0)))
+    // floor(w·2^32) as an 8-hex threshold, guarded on the FLOORED LONG
+    // (mirroring rateToHex's rounded >= 2^32 guard): for w in
+    // [1 - 2^-33, 1.0) the double product w·2^32 rounds to exactly 2^32,
+    // whose hex is the 9-char "100000000" — lpad(..., 8) would TRUNCATE
+    // it to "10000000" and silently keep ~6% of rows. Any floored value
+    // reaching 2^32 must keep every row ("g" sorts above all hex).
+    val thr32 = floor(w * pow(lit(2.0), lit(32))).cast("long")
+    val thr = when(thr32 >= (1L << 32), lit("g"))
+      .otherwise(lower(lpad(hex(thr32), 8, "0")))
     df.filter(hashPrefix(col(keyCol)) < thr)
   }
 

@@ -28,17 +28,37 @@ object Skew {
     * anyway: map-side partial aggregation already collapses a
     * partition's rows per (key, salt) before the exchange.
     *
-    * [[contentSalt]] — `pmod(hash(every column), salts)`: row-content
-    * derived, for inputs whose partition layout is not stable (e.g.
-    * downstream of a nondeterministic repartition). Used by
-    * [[saltedJoin]], where the output carries every column regardless so
-    * there is no pruning to lose.
+    * [[contentSalt]] — `pmod(hash(hashable columns, partition id), salts)`:
+    * row-content derived, used by [[saltedJoin]], where the output
+    * carries every column regardless so there is no pruning to lose.
+    * Map-typed columns are EXCLUDED from the hash: Spark's `hash()`
+    * rejects MapType at analysis (HASH_MAP_TYPE — map equality is
+    * order-ambiguous), so hashing every column blindly fails on
+    * map-bearing schemas. The partition id joins the hash so
+    * byte-identical duplicate rows spread across (at least) their source
+    * partitions — a content-only salt would send a hot key made of
+    * repeated identical rows to ONE reducer. Join-salt values never
+    * affect the join's OUTPUT (the small side replicates to every salt),
+    * so a retry recomputing a partition under a different id cannot
+    * change the result — determinism only matters for the AGG salt,
+    * which is why [[saltedSumCount]] uses [[partitionSalt]] on the key.
     */
   private def partitionSalt(key: String, salts: Int): Column =
     pmod(hash(col(key), spark_partition_id()), lit(salts))
 
-  private def contentSalt(df: DataFrame, salts: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(salts))
+  private[operators] def contentSalt(df: DataFrame, salts: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields
+      .filter(f => !hasMap(f.dataType))
+      .map(f => col(f.name))
+    pmod(hash(hashable.toSeq :+ spark_partition_id(): _*), lit(salts))
+  }
 
   /** Two-phase salted sum/count over `valueCol` grouped by `key`.
     * Equivalent to `groupBy(key).agg(sum(value), count(*))` (asserted in

@@ -1483,6 +1483,9 @@ object Catalog {
     // quality-weighted curation keep, decided by the same md5 threshold
     // as bernoulli but per row. floor (not round) builds the threshold:
     // HALF_UP vs HALF_EVEN differs between engines on exact .5 products.
+    // Both engines guard on the FLOORED LONG reaching 2^32 (w within
+    // 2^-33 of 1.0 rounds there; its 9-char hex would otherwise be
+    // truncated by the 8-wide pad), mirroring Sampling.weighted.
     Q("sample_weighted",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1493,7 +1496,7 @@ object Catalog {
       },
       Some("SELECT doc_id FROM (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 60.0 AS w FROM documents) " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
-        "(CASE WHEN w >= 1 THEN 'g' ELSE printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT)) END) ORDER BY doc_id")),
+        "(CASE WHEN floor(w * 4294967296.0) >= 4294967296 THEN 'g' ELSE printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT)) END) ORDER BY doc_id")),
 
     // Domain-mixture sample: per-source keep rates with a default.
     Q("sample_mixture",

@@ -4,30 +4,38 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Misra-Gries invariants: bounded state, the frequent-item recall
   * guarantee in the approximate regime, exactness in the small-domain
-  * regime, merge-order independence where exact.
+  * regime, merge-order independence where exact. The buffer is mutable
+  * (updated in place per row), so assertions snapshot with `.toMap` and
+  * the bounded-state check tracks the max size DURING the fold — a
+  * scanLeft would collect aliases of one object.
   */
 class FreqItemsSpec extends AnyFunSuite {
 
-  private def feed(agg: FreqItems, xs: Seq[String]): Map[String, Long] =
+  private def feed(agg: FreqItems, xs: Seq[String]): scala.collection.mutable.Map[String, Long] =
     xs.foldLeft(agg.zero)(agg.reduce)
 
   test("exact counts when distinct items fit the capacity, any order") {
     val xs = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")
     val want = Map("a" -> 40L, "b" -> 25L, "c" -> 5L)
     val agg = new FreqItems(8)
-    assert(feed(agg, xs) === want)
-    assert(feed(agg, new scala.util.Random(7).shuffle(xs)) === want)
+    assert(feed(agg, xs).toMap === want)
+    assert(feed(agg, new scala.util.Random(7).shuffle(xs)).toMap === want)
     // arbitrary split + merge is also exact
     val (l, r) = xs.splitAt(17)
-    assert(agg.merge(feed(agg, l), feed(agg, r)) === want)
+    assert(agg.merge(feed(agg, l), feed(agg, r)).toMap === want)
   }
 
   test("state never exceeds capacity (the bounded invariant)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(5000)(s"k${rnd.nextInt(500)}")
     val agg = new FreqItems(10)
-    val states = xs.scanLeft(agg.zero)(agg.reduce)
-    assert(states.forall(_.size <= 10))
+    var maxSize = 0
+    val st = xs.foldLeft(agg.zero) { (m, x) =>
+      val r = agg.reduce(m, x)
+      maxSize = math.max(maxSize, r.size)
+      r
+    }
+    assert(maxSize <= 10 && st.size <= 10)
     // merge of two full summaries is also bounded
     val (l, r) = xs.splitAt(2500)
     assert(agg.merge(feed(agg, l), feed(agg, r)).size <= 10)
@@ -43,8 +51,8 @@ class FreqItemsSpec extends AnyFunSuite {
     val n = xs.size
     // single-pass and split-merge paths both keep the guarantee
     val summaries = Seq(
-      feed(agg, xs),
-      agg.merge(feed(agg, xs.take(n / 3)), feed(agg, xs.drop(n / 3))))
+      feed(agg, xs).toMap,
+      agg.merge(feed(agg, xs.take(n / 3)), feed(agg, xs.drop(n / 3))).toMap)
     summaries.foreach { got =>
       assert(got.contains("HOT"), got)
       assert(got("HOT") >= 2000L - n / 11, got("HOT"))
@@ -54,6 +62,6 @@ class FreqItemsSpec extends AnyFunSuite {
 
   test("nulls are ignored") {
     val agg = new FreqItems(4)
-    assert(feed(agg, Seq("a", null, "a", null)) === Map("a" -> 2L))
+    assert(feed(agg, Seq("a", null, "a", null)).toMap === Map("a" -> 2L))
   }
 }

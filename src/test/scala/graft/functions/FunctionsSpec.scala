@@ -54,6 +54,13 @@ class FunctionsSpec extends SparkSpec {
       ("he moved to the U.S.", Seq("he", "moved", "to", "the", "U.S", ".")),
       ("e.g. apples and pears", Seq("e.g.", "apples", "and", "pears")),
       ("the U.S.A. wins", Seq("the", "U.S.A.", "wins")),
+      // Internal-period words stay attached whatever the head length —
+      // Treebank only detaches the FINAL period (real NLTK outputs).
+      ("visit example.com today", Seq("visit", "example.com", "today")),
+      ("a.com is short", Seq("a.com", "is", "short")),
+      ("see sub.example.com now", Seq("see", "sub.example.com", "now")),
+      ("pi is 3.14", Seq("pi", "is", "3.14")),
+      ("visit example.com.", Seq("visit", "example.com", ".")),
       // Treebank directional quote conversion: opening " → ``, closing " → ''
       ("He said \"hello\" to me", Seq("He", "said", "``", "hello", "''", "to", "me")),
       ("\"Go now\" she said", Seq("``", "Go", "now", "''", "she", "said")))

@@ -88,6 +88,50 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet) // w∈{-5,0,5}→clamp{0,0,1}
   }
 
+  test("weighted: NULL and NaN weights drop the row; near-1.0 weights keep all") {
+    // NaN must be mapped out BEFORE clamping: Spark's least/greatest order
+    // NaN above every double, so least(greatest(NaN, 0), 1) = 1.0 — a bare
+    // clamp would silently keep every NaN-weight row at p=1.
+    val mixed = docs.withColumn("w",
+      when(col("id") % 3 === 0, lit(Double.NaN))
+        .when(col("id") % 3 === 1, lit(null).cast("double"))
+        .otherwise(lit(1.0)))
+    val kept = Sampling.weighted(mixed, "id", "w").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 2000L).filter(_ % 3 === 2).toSet)
+    // w = nextDown(1.0): the double product w·2^32 rounds to exactly 2^32,
+    // whose 9-char hex lpad(..., 8) would TRUNCATE to '10000000' (keeping
+    // ~6% of rows); the floored-long guard must keep EVERY row instead.
+    val nearOne = docs.withColumn("w", lit(math.nextDown(1.0)))
+    assert(Sampling.weighted(nearOne, "id", "w").count() === 2000)
+  }
+
+  test("stratified: NULL sampling keys are never sampled and never NPE") {
+    val withNulls = docs.withColumn("key",
+      when(col("id") % 5 === 0, lit(null).cast("long")).otherwise(col("id")))
+    val out = Sampling.stratified(withNulls, "src", "key", 7)
+    assert(out.count() === 28) // 7 per stratum, from non-null keys only
+    assert(out.filter(col("key").isNull).count() === 0)
+    // selection matches stratifying the null-free subset directly
+    val direct = Sampling.stratified(withNulls.filter(col("key").isNotNull),
+      "src", "key", 7)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      === direct.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("stratified without winner broadcast selects the same rows") {
+    val hinted = Sampling.stratified(docs, "src", "id", 7)
+    val plain = Sampling.stratified(docs, "src", "id", 7, broadcastWinners = false)
+    assert(hinted.select("id").collect().map(_.getLong(0)).sorted
+      === plain.select("id").collect().map(_.getLong(0)).sorted)
+    // the hint really is dropped: no broadcast-hint node in the analyzed plan
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hasHint(hinted) && !hasHint(plain))
+  }
+
   test("mixture applies per-source rates with default") {
     val out = Sampling.mixture(docs, "src", "id",
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)

@@ -58,4 +58,32 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(skewed, small, "k", salts = 8).count()
     assert(salted === direct)
   }
+
+  test("saltedJoin tolerates map-typed columns (hash() rejects MapType)") {
+    import spark.implicits._
+    // Spark's hash() fails analysis on MapType (HASH_MAP_TYPE) — the
+    // content salt must skip map columns instead of dying on the schema.
+    val big = skewed.withColumn("props", map(lit("a"), col("v")))
+    val small = (0 to 49).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val out = Skew.saltedJoin(big, small, "k", salts = 8)
+    assert(out.count() === skewed.join(small, "k").count())
+    assert(out.columns.contains("props"))
+  }
+
+  test("saltedJoin spreads byte-identical duplicate rows across salts") {
+    import spark.implicits._
+    // A hot key of REPEATED IDENTICAL rows: a purely content-derived salt
+    // would assign all 4000 copies one salt value (one reducer). With the
+    // partition id in the hash, copies spread across source partitions.
+    val dup = spark.range(4000).select(lit(0L).as("k"), lit(1.0).as("v"))
+      .repartition(8)
+    val small = Seq((0L, "dim0")).toDF("k", "name")
+    val out = Skew.saltedJoin(dup, small, "k", salts = 8)
+    assert(out.count() === 4000)
+    // (countDistinct over the raw expression is rejected — nondeterministic
+    // inputs can't sit under an aggregate; project it out first)
+    val spread = dup.select(Skew.contentSalt(dup, 8).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"identical rows collapsed to $spread salt(s)")
+  }
 }
