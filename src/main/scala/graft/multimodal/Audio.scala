@@ -1,0 +1,163 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Library-free WAV/PCM16 audio codec — the audio face of the multimodal
+  * plumbing, mirroring the BMP pattern in [[Multimodal]]: a real
+  * byte-level encoder/decoder pair ([[encodeWavPcm16]]/[[decodeWavPcm16]]),
+  * deterministic closed-form fixtures, and an exact-integer stats pass
+  * ([[syntheticWavStats]]) that an oracle can reproduce without ever
+  * seeing a WAV byte. Compressed audio codecs (MP3/AAC/Opus) need real
+  * media libraries the container doesn't have — PCM in a RIFF container
+  * is the uncompressed format the same way BI_RGB is for BMP.
+  *
+  * Format (public RIFF/WAVE spec): "RIFF" + u32le riffSize + "WAVE", then
+  * a chunk walk of [fourcc + u32le size + payload (+ 1 pad byte when size
+  * is odd)]. The "fmt " chunk carries audioFormat(1=PCM) / channels /
+  * sampleRate / byteRate / blockAlign / bitsPerSample; "data" carries the
+  * interleaved little-endian i16 samples.
+  */
+object Audio extends Serializable {
+
+  /** Decoded PCM16 audio: interleaved samples (frame-major, channel-minor
+    * — the order they sit in the data chunk).
+    */
+  final case class WavPcm16(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL library-free WAV writer: canonical 44-byte header (RIFF +
+    * "fmt " 16 + "data"), PCM16, interleaved little-endian samples.
+    * `samples.length` must be a multiple of `channels`.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1, s"rate $sampleRate / channels $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putAscii(pos: Int, s: String): Unit =
+      s.indices.foreach(i => out(pos + i) = s.charAt(i).toByte)
+    def putLe32(pos: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def putLe16(pos: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1)                            // PCM
+    putLe16(22, channels)
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * 2)    // byte rate
+    putLe16(32, channels * 2)                 // block align
+    putLe16(34, 16)                           // bits per sample
+    putAscii(36, "data"); putLe32(40, dataSize)
+    samples.indices.foreach { i =>
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  /** REAL library-free WAV/PCM16 reader: validates the RIFF/WAVE
+    * signature, walks chunks (honoring the odd-size pad byte and skipping
+    * unknown chunks like LIST/fact), requires PCM + 16-bit from "fmt ",
+    * and decodes the data chunk's little-endian i16 samples. Returns None
+    * (never throws) for non-WAV, compressed, non-16-bit, or truncated
+    * payloads — sizes are checked in LONG space so a crafted u32 chunk
+    * size can't overflow the bounds math.
+    */
+  def decodeWavPcm16(payload: Array[Byte]): Option[WavPcm16] = {
+    if (payload == null || payload.length < 44) return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le32(i: Int): Long = // unsigned u32 in long space
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def fourcc(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var pos = 12L
+    var fmtOk = false
+    var channels = 0
+    var sampleRate = 0
+    var dataOff = -1L
+    var dataLen = -1L
+    while (pos + 8 <= payload.length && (dataOff < 0 || !fmtOk)) {
+      val id = fourcc(pos.toInt)
+      val size = le32(pos.toInt + 4)
+      val body = pos + 8
+      if (body + size > payload.length) return None // truncated chunk
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = le16(body.toInt)
+          channels = le16(body.toInt + 2)
+          sampleRate = le32(body.toInt + 4).toInt
+          val bps = le16(body.toInt + 14)
+          if (audioFormat != 1 || bps != 16 || channels < 1 || sampleRate < 1) return None
+          fmtOk = true
+        case "data" =>
+          dataOff = body; dataLen = size
+        case _ => // unknown chunk (LIST, fact, cue, ...) — skip
+      }
+      pos = body + size + (size % 2) // odd sizes carry a pad byte
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = (dataLen / 2).toInt
+    if (n == 0 || n % channels != 0) return None
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val b = dataOff.toInt + 2 * i
+      samples(i) = (u8(b) | (u8(b + 1) << 8)).toShort
+      i += 1
+    }
+    Some(WavPcm16(sampleRate, channels, samples))
+  }
+
+  /** Exact integer sample statistics from DECODED audio — the
+    * driver-verifiable face of the codec, mirroring
+    * [[Multimodal.syntheticBmpStats]]: synthesize a deterministic mono
+    * PCM16 waveform per id (n = 64 + id%37 samples at rate
+    * 8000 + (id%3)*4000; sample i = (31·id + 7·i² + 13·i) mod 65536 −
+    * 32768 — all non-negative intermediate terms, so both engines' `%`
+    * agree), round-trip it through [[encodeWavPcm16]] →
+    * [[decodeWavPcm16]], and aggregate the decoded samples: count, sum,
+    * sum of |s|, sum of s² (the integer RMS proxy), and an 8-bin
+    * amplitude histogram (bin = (s + 32768) / 8192). All integer
+    * arithmetic — an oracle computes the same numbers from the
+    * closed-form waveform without ever seeing a WAV byte, so a hash
+    * match proves the decoder inverts the container exactly (a
+    * byte-order, header-offset, or sign mistake shifts every sum).
+    *
+    * Scale shape: one mapPartitions pass, constant memory per row, no
+    * shuffle before the caller's sort.
+    */
+  def syntheticWavStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("rate", "n_samples", "sum_s", "sum_abs", "sum_sq")
+          .map(StructField(_, LongType)) ++:
+        (0 until 8).map(i => StructField(s"ab$i", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val n = (64 + id % 37).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val wave = Array.tabulate(n)(i =>
+          (((31 * id + 7L * i * i + 13L * i) % 65536) - 32768).toShort)
+        val payload = encodeWavPcm16(rate, 1, wave)
+        val audio = decodeWavPcm16(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+        val bins = new Array[Long](8)
+        audio.samples.foreach { s =>
+          val v = s.toLong
+          sum += v; sumAbs += math.abs(v); sumSq += v * v
+          bins(((v + 32768) / 8192).toInt) += 1L
+        }
+        Row.fromSeq(Seq(id, audio.sampleRate.toLong, audio.samples.length.toLong,
+          sum, sumAbs, sumSq) ++ bins.toSeq)
+      }
+    }(enc)
+  }
+}

@@ -76,6 +76,42 @@ object Skew {
         sum(col("__pcnt")).as("cnt"))
   }
 
+  /** Adaptive skew-aware sum/count: ONE bounded Misra-Gries probe
+    * ([[graft.functions.FreqItems]]) finds the hot keys, which then route
+    * through the salted two-phase plan while the cold long tail takes the
+    * plain single-shuffle groupBy; the union equals
+    * `groupBy(key).agg(sum, count)` exactly. This is the composition the
+    * heavy-hitters sketch exists for: a full groupBy to FIND the skew
+    * would itself suffer the skew, but the MG probe is one map-side pass
+    * of O(capacity) state per partition.
+    *
+    * The probe's driver-side result is ≤ `capacity` entries (a bounded
+    * model, like IVF's centroid table — not a data collect). Routing is
+    * correct whichever keys the probe selects: both paths compute the
+    * same algebraic aggregate, so a borderline key drifting between hot
+    * and cold across runs changes the PLAN, never the answer. `hotShare`
+    * is the minimum fraction of all rows a key must (provably, via MG's
+    * lower-bound estimate) hold to be routed to the salted path; keys
+    * above n/(capacity+1) are guaranteed present in the probe, so pick
+    * capacity ≥ 1/hotShare to never miss a qualifying key.
+    */
+  def adaptiveSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16, capacity: Int = 16, hotShare: Double = 0.1): DataFrame = {
+    require(hotShare > 0 && hotShare <= 1, s"hotShare ($hotShare) outside (0,1]")
+    val mg = udaf(graft.functions.FreqItems(capacity))
+    val keyStr = col(key).cast("string")
+    val probe = df.agg(count(lit(1)).as("n"), mg(keyStr).as("m")).head()
+    val n = probe.getLong(0)
+    val hot = probe.getMap[String, Long](1).iterator
+      .collect { case (k, est) if est >= n * hotShare => k }
+      .toSeq.sorted
+    val hotRows = df.filter(keyStr.isin(hot: _*))
+    val coldRows = df.filter(col(key).isNull || !keyStr.isin(hot: _*))
+    saltedSumCount(hotRows, key, valueCol, salts)
+      .unionByName(coldRows.groupBy(col(key))
+        .agg(sum(col(valueCol)).as("sum_" + valueCol), count(lit(1)).as("cnt")))
+  }
+
   /** Salted distinct-count: exact, two-phase. Phase 1 dedups (key, value)
     * within salt partitions; phase 2 dedups across salts then counts.
     * NULL values are ignored, matching SQL `COUNT(DISTINCT value)`.

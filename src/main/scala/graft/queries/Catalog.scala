@@ -140,7 +140,36 @@ object Catalog {
         "CAST((SELECT count(DISTINCT 1000 + i % 50) FROM i) " +
         "+ (SELECT count(*) FROM i WHERE i % 4 = 0) " +
         "+ (SELECT count(DISTINCT 2000 + i % 10) FROM i WHERE i % 9 = 0) AS BIGINT) AS n_users, " +
-        "CAST((SELECT count(*) FROM i WHERE i % 5 = 0) AS BIGINT) AS n_dupes_removed")))
+        "CAST((SELECT count(*) FROM i WHERE i % 5 = 0) AS BIGINT) AS n_dupes_removed")),
+
+    // K3: result-cache checkpoint/restore round trip (reference
+    // cache.py:62-67,125): run a search, PUT it in a ResultCache,
+    // checkpoint the cache to parquet, restore into a FRESH cache
+    // instance, and serve the rows from the restored entry — the
+    // restart-serves-hit path. The oracle is the direct query, so a hash
+    // match proves the JSON-serialized payload round-trips bit-exact
+    // through the parquet sink (schema DDL, row values, LRU key).
+    Q("k3_cache_roundtrip",
+      (s, d) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_cache_")
+          .resolve("ckpt").toString
+        val search = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"),
+            cents(col("c_acctbal")).as("bal_cents"))
+          .orderBy(col("bal_cents").desc, col("c_custkey"))
+          .limit(50)
+        val live = new graft.cache.ResultCache()
+        live.put("search", Seq("seg" -> "BUILDING"), search)
+        live.checkpoint(s, path)
+        val restored = new graft.cache.ResultCache()
+        restored.restore(s, path)
+        val rows = restored.get("search", Seq("seg" -> "BUILDING"))
+          .getOrElse(sys.error("restored cache missed a checkpointed key"))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), search.schema)
+          .orderBy(col("bal_cents").desc, col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY bal_cents DESC, c_custkey LIMIT 50")))
 
   // --------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
@@ -376,6 +405,37 @@ object Catalog {
           countDistinct(col("l_suppkey")).as("nd_supps"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Sketch-accuracy gate as a driver-checkable boolean: the HLL++
+    // estimate (rsd 0.05 — the fixed-size sketch that replaces exact
+    // COUNT DISTINCT's per-group hash set at 100 TB) must sit within
+    // 3×rsd of the exact count, per group. The sketch VALUE is
+    // engine-specific, so the BOUND is the cross-engine contract: the
+    // oracle computes the exact side and asserts TRUE.
+    Q("sketch_hll_bound",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx"),
+          countDistinct(col("user_id")).as("nd"))
+        .select(col("event_type"), col("nd"),
+          (abs(col("approx") - col("nd")) <= col("nd") * 0.15).as("within_bound"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd, TRUE AS within_bound FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // approx_percentile's contract is a RANK bound: at accuracy 1000 the
+    // returned value's rank is within 0.1% of the target, so the median
+    // estimate must land between the exact 45th and 55th percentiles
+    // (enormous slack — any container/interpolation bug still trips it).
+    Q("sketch_pct_bound",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.45)").as("lo"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi"))
+        .select(col("l_returnflag"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     // A3: dedup by key (c12/c14/c16 unique_ones set).
     Q("a3_dedup_distinct",
@@ -910,7 +970,31 @@ object Catalog {
         "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma, " +
         (0 until 8).map(i =>
           s"CAST(sum(CASE WHEN luma // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS lb$i").mkString(", ") +
-        " FROM l GROUP BY doc_id ORDER BY doc_id")))
+        " FROM l GROUP BY doc_id ORDER BY doc_id")),
+
+    // REAL audio decode — the WAV twin of mm_pixel_stats: synthesize a
+    // deterministic mono PCM16 waveform per doc (sample i of doc k is
+    // (31k + 7i² + 13i) mod 65536 − 32768; n = 64 + k%37 samples at
+    // 8000 + (k%3)·4000 Hz), round-trip it through the library-free
+    // RIFF/WAVE encoder+decoder, and aggregate the DECODED samples:
+    // sum, |s| sum, s² sum (the integer RMS proxy), and an 8-bin
+    // amplitude histogram. The oracle computes the same integers from
+    // the closed-form waveform — it never sees a WAV byte, so a hash
+    // match proves the decoder inverts the container exactly (sign,
+    // byte order, chunk offsets, fmt fields).
+    Q("mm_audio_stats",
+      (s, d) => graft.multimodal.Audio
+        .syntheticWavStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n, 8000 + (doc_id % 3) * 4000 AS rate FROM documents WHERE doc_id < 100), " +
+        "sm AS (SELECT doc_id, rate, (31*doc_id + 7*i*i + 13*i) % 65536 - 32768 AS s FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)) " +
+        "SELECT doc_id, CAST(any_value(rate) AS BIGINT) AS rate, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
+        (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN (s + 32768) // 8192 = $i THEN 1 ELSE 0 END) AS BIGINT) AS ab$i").mkString(", ") +
+        " FROM sm GROUP BY doc_id ORDER BY doc_id")))
 
   // --------------------------------------------------------------------
   // Dedup family (beyond-reference north star)
@@ -1303,7 +1387,33 @@ object Catalog {
         graft.operators.Skew.saltedSumCount(li, "l_returnflag", "qty_cents")
           .orderBy("l_returnflag")
       },
-      Some("SELECT l_returnflag, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
+      Some("SELECT l_returnflag, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Adaptive composition — the reason the heavy-hitters sketch exists:
+    // one bounded Misra-Gries probe detects the hot key, which routes
+    // through the salted two-phase plan while the cold tail takes the
+    // plain groupBy. The key is a catch-all bucket ('bulk' holds every
+    // l_quantity > 10 — exactly 80% of rows at any sf; each remaining
+    // quantity holds 2%), so the routing is PROVABLE even in MG's
+    // approximate regime (11 distinct keys > capacity 8): the hot
+    // estimate is ≥ 0.8n − n/9 ≈ 0.69n ≥ hotShare·n, and a cold
+    // estimate never exceeds its true 0.02n — MG estimates are lower
+    // bounds — so the split is deterministic across partitionings.
+    // Equals the plain GROUP BY exactly: probe routing can only change
+    // the PLAN, never the answer.
+    Q("skew_adaptive_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("qkey", when(col("l_quantity") > 10, lit("bulk"))
+            .otherwise(col("l_quantity").cast("int").cast("string")))
+          .withColumn("qty_cents", cents(col("l_quantity")))
+        graft.operators.Skew.adaptiveSumCount(li, "qkey", "qty_cents",
+          salts = 8, capacity = 8, hotShare = 0.5)
+          .orderBy("qkey")
+      },
+      Some("SELECT qkey, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT CASE WHEN l_quantity > 10 THEN 'bulk' ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS qkey, l_quantity FROM lineitem) " +
+        "GROUP BY qkey ORDER BY qkey")))
 
   // Span-level boilerplate detection: exact 8-token spans shared by ≥3
   // distinct docs (template/boilerplate families that doc-level dedup

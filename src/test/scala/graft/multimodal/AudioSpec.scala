@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WAV/PCM16 codec: byte-exact round trips, chunk-walk robustness, and
+  * honest rejection of everything the decoder can't decode.
+  */
+class AudioSpec extends AnyFunSuite {
+
+  private def sine(n: Int): Array[Short] =
+    Array.tabulate(n)(i => (math.sin(i * 0.1) * 12000).toShort)
+
+  test("mono round trip is sample-exact") {
+    val in = sine(480)
+    val out = Audio.decodeWavPcm16(Audio.encodeWavPcm16(16000, 1, in)).get
+    assert(out.sampleRate === 16000 && out.channels === 1)
+    assert(out.samples.toSeq === in.toSeq)
+  }
+
+  test("stereo round trip keeps interleaving and frame count") {
+    val in = Array.tabulate(200)(i => (if (i % 2 == 0) i else -i).toShort)
+    val out = Audio.decodeWavPcm16(Audio.encodeWavPcm16(44100, 2, in)).get
+    assert(out.channels === 2 && out.samples.length === 200)
+    assert(out.samples.toSeq === in.toSeq)
+  }
+
+  test("extreme sample values survive (sign/byte-order check)") {
+    val in = Array[Short](Short.MinValue, Short.MaxValue, -1, 0, 1, 255, 256, -256)
+    val out = Audio.decodeWavPcm16(Audio.encodeWavPcm16(8000, 1, in)).get
+    assert(out.samples.toSeq === in.toSeq)
+  }
+
+  test("unknown chunks are skipped, including odd sizes with a pad byte") {
+    val base = Audio.encodeWavPcm16(8000, 1, sine(32))
+    // splice a 5-byte LIST chunk (odd size → 1 pad byte) between the fmt
+    // and data chunks: header [0,36) | LIST | rest [36,..)
+    def le32(v: Int): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val list = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0) // pad to even
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // fix the RIFF size field (bytes 4-7): total - 8
+    le32(spliced.length - 8).zipWithIndex.foreach { case (b, i) => spliced(4 + i) = b }
+    val out = Audio.decodeWavPcm16(spliced).get
+    assert(out.samples.toSeq === sine(32).toSeq)
+  }
+
+  test("rejects garbage, truncation, and non-PCM16 formats without throwing") {
+    assert(Audio.decodeWavPcm16(null).isEmpty)
+    assert(Audio.decodeWavPcm16(Array.fill[Byte](10)(1)).isEmpty)
+    assert(Audio.decodeWavPcm16("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)).isEmpty)
+    val good = Audio.encodeWavPcm16(8000, 1, sine(64))
+    assert(Audio.decodeWavPcm16(good.take(80)).isEmpty)   // truncated data chunk
+    val nonPcm = good.clone; nonPcm(20) = 3                // audioFormat = IEEE float
+    assert(Audio.decodeWavPcm16(nonPcm).isEmpty)
+    val bps8 = good.clone; bps8(34) = 8                    // bits per sample = 8
+    assert(Audio.decodeWavPcm16(bps8).isEmpty)
+    // crafted chunk size that would overflow int bounds math
+    val crafted = good.clone
+    Array[Byte](-1, -1, -1, 127).zipWithIndex.foreach { case (b, i) => crafted(40 + i) = b }
+    assert(Audio.decodeWavPcm16(crafted).isEmpty)
+  }
+
+  test("encoder rejects ragged frames") {
+    intercept[IllegalArgumentException](Audio.encodeWavPcm16(8000, 2, sine(33)))
+  }
+}

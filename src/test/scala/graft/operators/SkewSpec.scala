@@ -59,6 +59,33 @@ class SkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("adaptiveSumCount equals plain groupBy, whatever the probe routes") {
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    // hotShare 0.5: only key 0 (5000 of 5980 rows) routes to the salted path
+    val split = Skew.adaptiveSumCount(skewed, "k", "v",
+        salts = 8, capacity = 8, hotShare = 0.5)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(split === direct)
+    // hotShare 0.99: NO key qualifies — everything takes the cold path
+    val allCold = Skew.adaptiveSumCount(skewed, "k", "v",
+        salts = 8, capacity = 8, hotShare = 0.99)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(allCold === direct)
+  }
+
+  test("adaptiveSumCount keeps the NULL-key group (cold path)") {
+    import spark.implicits._
+    val withNulls = Seq((Some(1L), 1.0), (Some(1L), 2.0), (None, 5.0), (None, 7.0))
+      .toDF("k", "v")
+    val out = Skew.adaptiveSumCount(withNulls, "k", "v",
+        salts = 4, capacity = 4, hotShare = 0.4)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        (r.getDouble(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((3.0, 2L)), -1L -> ((12.0, 2L))))
+  }
+
   test("saltedJoin tolerates map-typed columns (hash() rejects MapType)") {
     import spark.implicits._
     // Spark's hash() fails analysis on MapType (HASH_MAP_TYPE) — the

@@ -171,6 +171,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("skew_adaptive_agg: two-path union — salted hot branch, plain cold branch") {
+    val p = plan("skew_adaptive_agg")
+    assert(p.contains("Union"), p)
+    // hot branch: partial aggregation on (key, __salt) before the exchange
+    assert(p.contains("__salt"), p)
+    assert(p.contains("partial_sum"), p)
+    // both branches stay key-equi aggregations — no join, no cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_containment: benchmark shingles broadcast; corpus side never does") {
     val p = plan("dedup_containment")
     assert(p.contains("BroadcastHashJoin"), p)
