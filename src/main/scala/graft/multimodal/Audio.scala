@@ -112,6 +112,50 @@ object Audio extends Serializable {
     Some(WavPcm16(sampleRate, channels, samples))
   }
 
+  /** Per-partition audio feature extraction — the audio twin of
+    * [[Multimodal.extractFeatures]]: WAV/PCM16 payloads decode for REAL
+    * and yield [mean amplitude, RMS, zero-crossing count,
+    * (dim-3)-bin amplitude histogram]; other payloads fall back to the
+    * same deterministic byte histogram the image path uses (compressed
+    * audio needs media libraries absent from this container — a real
+    * deployment swaps the fallback for the codec + model call at this
+    * same boundary). One iterator pass, constant memory, no shuffle.
+    */
+  def extractAudioFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 4, s"dim ($dim) must fit mean/RMS/ZC + at least one amplitude bin")
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](dim)
+      if (payload == null) return v
+      decodeWavPcm16(payload) match {
+        case Some(audio) =>
+          val n = audio.samples.length
+          var sum = 0L; var sumSq = 0.0; var zc = 0L; var prev = 0
+          var first = true
+          audio.samples.foreach { s =>
+            sum += s; sumSq += s.toDouble * s
+            if (!first && (s < 0) != (prev < 0)) zc += 1
+            first = false; prev = s
+            v(3 + (s + 32768) * (dim - 3) / 65536) += 1f
+          }
+          v(0) = sum.toFloat / n
+          v(1) = math.sqrt(sumSq / n).toFloat
+          v(2) = zc.toFloat
+        case None =>
+          payload.foreach(b => v((b & 0xff) % dim) += 1f)
+      }
+      v
+    }
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ decodeOne(r.getAs[Array[Byte]](idx)).toSeq)
+      }
+    }(enc)
+  }
+
   /** Exact integer sample statistics from DECODED audio — the
     * driver-verifiable face of the codec, mirroring
     * [[Multimodal.syntheticBmpStats]]: synthesize a deterministic mono

@@ -26,6 +26,8 @@ object Multimodal extends Serializable {
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("checksum", StringType)))
 
   /** Attach an opaque payload column: here derived from text bytes (the
@@ -37,19 +39,26 @@ object Multimodal extends Serializable {
   /** Metadata extraction WITHOUT decoding: byte length + checksum are
     * codec-free; width/height come from a REAL PNG IHDR header parse
     * (pure byte arithmetic — no imaging library needed) with the
-    * deterministic stub as the fallback for other formats.
+    * deterministic stub as the fallback for other (image-shaped)
+    * formats; WAV payloads get NULL dimensions and real sample-rate /
+    * channel counts instead ([[isWav]]/[[wavSampleRate]]).
     */
   def describePayload(df: DataFrame): DataFrame =
     df.withColumn("media_meta", struct(
       when(isPng(col("payload")), "image/png")
         .when(isGif(col("payload")), "image/gif")
         .when(isBmp(col("payload")), "image/bmp")
+        .when(isWav(col("payload")), "audio/wav")
         .otherwise("application/octet-stream").as("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      coalesce(pngWidth(col("payload")), gifWidth(col("payload")),
-        bmpWidth(col("payload")), stubWidth(col("payload"))).as("width"),
-      coalesce(pngHeight(col("payload")), gifHeight(col("payload")),
-        bmpHeight(col("payload")), stubHeight(col("payload"))).as("height"),
+      when(!isWav(col("payload")),
+        coalesce(pngWidth(col("payload")), gifWidth(col("payload")),
+          bmpWidth(col("payload")), stubWidth(col("payload")))).as("width"),
+      when(!isWav(col("payload")),
+        coalesce(pngHeight(col("payload")), gifHeight(col("payload")),
+          bmpHeight(col("payload")), stubHeight(col("payload")))).as("height"),
+      wavSampleRate(col("payload")).as("sample_rate"),
+      wavChannels(col("payload")).as("channels"),
       md5(col("payload")).as("checksum")))
 
   /** PNG header sniff — real, library-free: the 8-byte signature, then
@@ -117,6 +126,32 @@ object Multimodal extends Serializable {
 
   def bmpHeight(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(isBmp(payload) && octet_length(payload) >= 26, leU32(payload, 23))
+
+  /** WAV header sniff — real, library-free: the RIFF container signature
+    * plus the WAVE form type. Fixed-offset column expressions can read
+    * the fmt fields only for the CANONICAL layout (fmt as the first
+    * chunk, at byte 13); non-canonical chunk orders need the walk in
+    * [[Audio.decodeWavPcm16]] at the mapPartitions boundary — exactly
+    * the JPEG-SOF split.
+    */
+  def isWav(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WAVE"
+
+  private def isCanonicalWav(payload: org.apache.spark.sql.Column) =
+    isWav(payload) && octet_length(payload) >= 36 &&
+      substring(payload, 13, 4).cast("string") === "fmt "
+
+  /** Sample rate from the canonical header (u32le at byte 25; real rates
+    * are far below 2^31, so the signed read never wraps); NULL for
+    * non-WAV or non-canonical layouts.
+    */
+  def wavSampleRate(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isCanonicalWav(payload), leU32(payload, 25))
+
+  /** Channel count from the canonical header (u16le at byte 23). */
+  def wavChannels(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isCanonicalWav(payload), leU16(payload, 23))
 
   /** STUB fallback for non-PNG payloads: deterministic fake dimensions
     * from payload size. A real deployment extends the header sniff per

@@ -64,4 +64,64 @@ class AudioSpec extends AnyFunSuite {
   test("encoder rejects ragged frames") {
     intercept[IllegalArgumentException](Audio.encodeWavPcm16(8000, 2, sine(33)))
   }
+
+  test("seeded fuzz: 300 random (rate, channels, samples) round-trip exactly") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { i =>
+      val channels = 1 + rnd.nextInt(4)
+      val frames = 1 + rnd.nextInt(200)
+      val rate = 1 + rnd.nextInt(192000)
+      val samples = Array.fill(frames * channels)(rnd.nextInt(65536).toShort)
+      val out = Audio.decodeWavPcm16(Audio.encodeWavPcm16(rate, channels, samples))
+        .getOrElse(fail(s"iteration $i failed to decode"))
+      assert(out.sampleRate === rate && out.channels === channels, s"iteration $i")
+      assert(out.samples.toSeq === samples.toSeq, s"iteration $i")
+    }
+  }
+
+  test("seeded fuzz: random byte garbage never throws") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { i =>
+      val bytes = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Audio.decodeWavPcm16(bytes) // Option result; must not throw
+      // and corrupting one byte of a valid file must not throw either
+      val good = Audio.encodeWavPcm16(8000, 1, Array.fill(16)(rnd.nextInt(65536).toShort))
+      good(rnd.nextInt(good.length)) = rnd.nextInt(256).toByte
+      Audio.decodeWavPcm16(good)
+    }
+  }
+}
+
+/** extractAudioFeatures needs a SparkSession — split from the pure-codec
+  * suite so that one stays JVM-only.
+  */
+class AudioFeaturesSpec extends graft.SparkSpec {
+
+  test("WAV payloads yield real mean/RMS/zero-cross features; others fall back") {
+    import spark.implicits._
+    // square wave ±1000, period 2: mean 0, RMS 1000, 63 sign flips
+    val square = Array.tabulate(64)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val wav = Audio.encodeWavPcm16(8000, 1, square)
+    val f = Audio.extractAudioFeatures(
+      Seq((1L, wav), (2L, "plain".getBytes)).toDF("doc_id", "payload"))
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L)(0) === 0f && f(1L)(1) === 1000f && f(1L)(2) === 63f)
+    // amplitude histogram mass = n_samples, split across the two bins
+    // around the midpoint: (±1000 + 32768) * 13 / 65536 → bins 6 and 6
+    assert(f(1L).drop(3).map(_.toDouble).sum === 64.0)
+    // non-WAV payload: deterministic byte-histogram fallback, mass = n_bytes
+    assert(f(2L).map(_.toDouble).sum === 5.0)
+  }
+
+  test("features are partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      (i.toLong, Audio.encodeWavPcm16(8000, 1, Array.tabulate(32)(j => (i * j).toShort))))
+    val a = Audio.extractAudioFeatures(rows.toDF("doc_id", "payload"))
+      .select("doc_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Audio.extractAudioFeatures(rows.toDF("doc_id", "payload").repartition(7))
+      .select("doc_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a === b)
+  }
 }

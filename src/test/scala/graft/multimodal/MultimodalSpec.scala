@@ -77,6 +77,20 @@ class MultimodalSpec extends SparkSpec {
     assert((d.getString(0), d.getInt(1), d.getInt(2)) === (("image/bmp", 1024, -768)))
   }
 
+  test("WAV payloads get audio metadata (rate/channels), NULL image dims") {
+    import spark.implicits._
+    val wav = Audio.encodeWavPcm16(16000, 2, Array.tabulate(64)(i => i.toShort))
+    val d = Multimodal.describePayload(
+      Seq((1L, wav), (2L, "plain".getBytes)).toDF("doc_id", "payload"))
+      .select($"doc_id", $"media_meta.media_type", $"media_meta.width",
+        $"media_meta.sample_rate", $"media_meta.channels")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(d(1L) === (("audio/wav", None, Some(16000), Some(2))))
+    assert(d(2L)._1 === "application/octet-stream")
+    assert(d(2L)._3 === None && d(2L)._4 === None)
+  }
+
   test("JPEG payloads parse dimensions via the SOF segment walk") {
     import spark.implicits._
     // SOI, APP0 (16 bytes), SOF0 with 480×640: a realistic marker layout
@@ -128,6 +142,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp24(wrongBpp) === None)
     val compressed = good.clone(); compressed(30) = 1           // BI_RLE8
     assert(Multimodal.decodeBmp24(compressed) === None)
+  }
+
+  test("seeded fuzz: random dims/pixels/row-order BMPs round-trip exactly") {
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { i =>
+      val w = 1 + rnd.nextInt(16); val h = 1 + rnd.nextInt(8)
+      val px = Array.fill(w * h)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val bytes = Multimodal.encodeBmp24(w, h, (x, y) => px(y * w + x),
+        topDown = rnd.nextBoolean())
+      val img = Multimodal.decodeBmp24(bytes).getOrElse(fail(s"iteration $i"))
+      assert(img.width === w && img.height === h, s"iteration $i")
+      img.rgb.zip(px.map { case (r, g, b) => (r << 16) | (g << 8) | b })
+        .foreach { case (got, want) => assert(got === want, s"iteration $i") }
+    }
   }
 
   test("decodeBmp24 returns None (never throws) on overflow-crafted headers") {
