@@ -135,7 +135,9 @@ object Audio extends Serializable {
             sum += s; sumSq += s.toDouble * s
             if (!first && (s < 0) != (prev < 0)) zc += 1
             first = false; prev = s
-            v(3 + (s + 32768) * (dim - 3) / 65536) += 1f
+            // bin in Long space: Int would overflow at 65535·(dim−3)
+            // for dim ≳ 32770 and index negative
+            v(3 + ((s + 32768).toLong * (dim - 3) / 65536).toInt) += 1f
           }
           v(0) = sum.toFloat / n
           v(1) = math.sqrt(sumSq / n).toFloat
@@ -185,6 +187,9 @@ object Audio extends Serializable {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idx)
+        require(id >= 0,
+          s"syntheticWavStats needs a non-negative id (got $id): the " +
+            "closed form relies on non-negative `%` terms so both engines agree")
         val n = (64 + id % 37).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
         val wave = Array.tabulate(n)(i =>

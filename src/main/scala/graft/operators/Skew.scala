@@ -77,23 +77,31 @@ object Skew {
   }
 
   /** Adaptive skew-aware sum/count: ONE bounded Misra-Gries probe
-    * ([[graft.functions.FreqItems]]) finds the hot keys, which then route
-    * through the salted two-phase plan while the cold long tail takes the
-    * plain single-shuffle groupBy; the union equals
-    * `groupBy(key).agg(sum, count)` exactly. This is the composition the
-    * heavy-hitters sketch exists for: a full groupBy to FIND the skew
-    * would itself suffer the skew, but the MG probe is one map-side pass
-    * of O(capacity) state per partition.
+    * ([[graft.functions.FreqItems]]) finds the hot keys, then a SINGLE
+    * scan of `df` aggregates through a conditional salt — hot keys take
+    * `partitionSalt` (spreading each across `salts` reducer sub-keys),
+    * cold keys take salt 0 (map-side partial aggregation collapses them
+    * per key exactly as a plain groupBy would, so the constant salt
+    * costs nothing). The result equals `groupBy(key).agg(sum, count)`
+    * exactly. This is the composition the heavy-hitters sketch exists
+    * for: a full groupBy to FIND the skew would itself suffer the skew,
+    * but the MG probe is one map-side pass of O(capacity) state per
+    * partition — probe + routed agg read the fact table twice in total
+    * (the old hot-filter/cold-filter union read it three times).
     *
     * The probe's driver-side result is ≤ `capacity` entries (a bounded
     * model, like IVF's centroid table — not a data collect). Routing is
-    * correct whichever keys the probe selects: both paths compute the
-    * same algebraic aggregate, so a borderline key drifting between hot
-    * and cold across runs changes the PLAN, never the answer. `hotShare`
-    * is the minimum fraction of all rows a key must (provably, via MG's
-    * lower-bound estimate) hold to be routed to the salted path; keys
-    * above n/(capacity+1) are guaranteed present in the probe, so pick
-    * capacity ≥ 1/hotShare to never miss a qualifying key.
+    * correct whichever keys the probe selects: the salt only splits the
+    * partial phase of the same algebraic aggregate, so a borderline key
+    * drifting between hot and cold across runs changes the PLAN, never
+    * the answer — and because the answer is computed by the ONE
+    * post-probe scan, that holds even for a nondeterministic `df`
+    * (e.g. rand()-derived columns): a probe that saw different rows can
+    * only pick a different salt split. `hotShare` is the minimum
+    * fraction of all rows a key must (provably, via MG's lower-bound
+    * estimate) hold to be salted; keys above n/(capacity+1) are
+    * guaranteed present in the probe, so pick capacity ≥ 1/hotShare to
+    * never miss a qualifying key.
     */
   def adaptiveSumCount(df: DataFrame, key: String, valueCol: String,
       salts: Int = 16, capacity: Int = 16, hotShare: Double = 0.1): DataFrame = {
@@ -105,11 +113,15 @@ object Skew {
     val hot = probe.getMap[String, Long](1).iterator
       .collect { case (k, est) if est >= n * hotShare => k }
       .toSeq.sorted
-    val hotRows = df.filter(keyStr.isin(hot: _*))
-    val coldRows = df.filter(col(key).isNull || !keyStr.isin(hot: _*))
-    saltedSumCount(hotRows, key, valueCol, salts)
-      .unionByName(coldRows.groupBy(col(key))
-        .agg(sum(col(valueCol)).as("sum_" + valueCol), count(lit(1)).as("cnt")))
+    val salt =
+      if (hot.isEmpty) lit(0)
+      else when(keyStr.isin(hot: _*), partitionSalt(key, salts)).otherwise(lit(0))
+    df.withColumn("__salt", salt)
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_" + valueCol),
+        sum(col("__pcnt")).as("cnt"))
   }
 
   /** Salted distinct-count: exact, two-phase. Phase 1 dedups (key, value)

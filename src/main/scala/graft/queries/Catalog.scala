@@ -151,21 +151,28 @@ object Catalog {
     // through the parquet sink (schema DDL, row values, LRU key).
     Q("k3_cache_roundtrip",
       (s, d) => {
-        val path = java.nio.file.Files.createTempDirectory("graft_cache_")
-          .resolve("ckpt").toString
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cache_")
         val search = Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"), col("c_name"),
             cents(col("c_acctbal")).as("bal_cents"))
           .orderBy(col("bal_cents").desc, col("c_custkey"))
           .limit(50)
-        val live = new graft.cache.ResultCache()
-        live.put("search", Seq("seg" -> "BUILDING"), search)
-        live.checkpoint(s, path)
-        val restored = new graft.cache.ResultCache()
-        restored.restore(s, path)
-        val rows = restored.get("search", Seq("seg" -> "BUILDING"))
-          .getOrElse(sys.error("restored cache missed a checkpointed key"))
+        val rows =
+          try {
+            val path = tmp.resolve("ckpt").toString
+            val live = new graft.cache.ResultCache()
+            live.put("search", Seq("seg" -> "BUILDING"), search)
+            live.checkpoint(s, path)
+            val restored = new graft.cache.ResultCache()
+            restored.restore(s, path)
+            restored.get("search", Seq("seg" -> "BUILDING"))
+              .getOrElse(sys.error("restored cache missed a checkpointed key"))
+          } finally {
+            // the restore already materialized the rows; drop the
+            // checkpoint dir so bench loops don't litter /tmp
+            graft.util.Paths.deleteRecursively(tmp)
+          }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), search.schema)
           .orderBy(col("bal_cents").desc, col("c_custkey"))
       },
@@ -426,15 +433,23 @@ object Catalog {
     // returned value's rank is within 0.1% of the target, so the median
     // estimate must land between the exact 45th and 55th percentiles
     // (enormous slack — any container/interpolation bug still trips it).
+    // The exact comparison side is refinement-exact
+    // ([[graft.operators.Percentiles.exactRefined]]) — the gate
+    // apparatus must itself survive the scale it validates the sketch
+    // for; only the sketch is approximate.
     Q("sketch_pct_bound",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
-          expr("percentile(l_extendedprice, 0.45)").as("lo"),
-          expr("percentile(l_extendedprice, 0.55)").as("hi"))
-        .select(col("l_returnflag"),
-          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        import graft.operators.Percentiles
+        val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        val bounds = Percentiles.exactRefined(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.45 -> "lo", 0.55 -> "hi"))
+        li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
+          .join(bounds, "l_returnflag")
+          .select(col("l_returnflag"),
+            (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
       Some("SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     // A3: dedup by key (c12/c14/c16 unique_ones set).
@@ -1909,17 +1924,27 @@ object Catalog {
 
     // Robust outlier stats for quality monitoring: per-group median and
     // median-absolute-deviation (the robust sigma — a 3.5·MAD clip is
-    // the standard winsorization rule). Spark `percentile` ≡ DuckDB
-    // `quantile_cont` (type-7 interpolation, proven in a10).
+    // the standard winsorization rule). Both passes are refinement-exact
+    // percentiles ([[graft.operators.Percentiles.exactRefined]]):
+    // Spark's `percentile()` would buffer every distinct value per
+    // group in ONE aggregation buffer — with near-unique prices that is
+    // an OOM at 100 TB — while the two-pass coarse-bucket refinement
+    // shuffles ~170 bucket counts per group, rescans only the bucket
+    // holding the median rank, and never sorts more than a sliver of a
+    // group in one task. Interpolation is type-7, bit-identical to
+    // `percentile` ≡ DuckDB `quantile_cont` (proven in a10).
     Q("a20_mad",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val med = li.groupBy("l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-        li.join(med, "l_returnflag")
-          .withColumn("ad", abs(col("l_extendedprice") - col("med")))
-          .groupBy("l_returnflag")
-          .agg(first(col("med")).as("med"), expr("percentile(ad, 0.5)").as("mad"))
+        import graft.operators.Percentiles
+        val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        val med = Percentiles.exactRefined(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.5 -> "med"))
+        val ad = li.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), col("med"),
+            abs(col("l_extendedprice") - col("med")).as("ad"))
+        Percentiles.exactRefined(ad, Seq("l_returnflag", "med"),
+          "ad", Seq(0.5 -> "mad"))
+          .select("l_returnflag", "med", "mad")
           .orderBy("l_returnflag")
       },
       Some("WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem GROUP BY 1) " +

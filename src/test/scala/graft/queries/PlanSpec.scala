@@ -171,14 +171,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("skew_adaptive_agg: two-path union — salted hot branch, plain cold branch") {
+  test("skew_adaptive_agg: ONE fact scan through a conditional salt, no union") {
     val p = plan("skew_adaptive_agg")
-    assert(p.contains("Union"), p)
-    // hot branch: partial aggregation on (key, __salt) before the exchange
+    // the routed agg reads lineitem exactly once (the MG probe is a
+    // separate bounded pre-pass, already executed when the plan builds);
+    // the old hot-filter/cold-filter union scanned it twice
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Union"), p)
+    // partial aggregation on (key, __salt) before the exchange
     assert(p.contains("__salt"), p)
     assert(p.contains("partial_sum"), p)
-    // both branches stay key-equi aggregations — no join, no cartesian
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a20_mad: exact MAD is histogram-based — no percentile() value buffer") {
+    val p = plan("a20_mad")
+    // Spark's exact percentile buffers every distinct value per group in
+    // one aggregation task; the bounded-domain histogram plan must not
+    // regress to it
+    assert(!p.contains("percentile("), p)
+    // cumulative-rank pass over the value histogram
+    assert(p.contains("Window"), p)
+    // the 3-row median table broadcasts back onto the deviation histogram
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sketch_pct_bound: only the sketch is approximate — exact side is histogram-based") {
+    val p = plan("sketch_pct_bound")
+    assert(p.contains("approx_percentile"), p)
+    assert(!p.replace("approx_percentile", "").contains("percentile("), p)
   }
 
   test("dedup_containment: benchmark shingles broadcast; corpus side never does") {
