@@ -39,7 +39,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated name filter (SPARK_GRAFT_ONLY) for targeted
+    // runs — e.g. the heavy families at a synthesized 100× scale factor,
+    // where timing the full 124-query catalog would mostly measure fixed
+    // overhead on fixed-slice queries.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     /** One timed full-plan execution; -1.0 marks a failure. */
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

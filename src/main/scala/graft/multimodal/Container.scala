@@ -1,0 +1,420 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Library-free compressed-container METADATA sniffers — the third leg of
+  * the multimodal story after BMP pixels ([[Multimodal]]) and WAV samples
+  * ([[Audio]]): real dimension-and-duration extraction for MP4 (ISO BMFF,
+  * public ISO/IEC 14496-12 box layout) and Ogg-Opus (RFC 3533 pages +
+  * RFC 7845 OpusHead), without decoding a single compressed sample.
+  *
+  * This is the honest boundary for video/compressed audio at 100 TB: the
+  * moov box walk / page walk is pure byte arithmetic over a variable-length
+  * layout, so it lives at the `mapPartitions` boundary exactly like the
+  * JPEG SOF segment walk (`Multimodal.jpegDimensions`) — one iterator
+  * pass, constant memory, no shuffle. Sample/frame DECODE (H.264, Opus
+  * audio) genuinely needs media libraries absent from this container; a
+  * real deployment swaps them in at this same boundary.
+  *
+  * Both parsers return None — never throw — on anything malformed: sizes
+  * are checked in LONG space so crafted u32/u64 box sizes can't overflow
+  * the bounds math, and Ogg pages must pass their REAL CRC-32 (poly
+  * 0x04C11DB7, unreflected, init/xorout 0 — computed over the page with
+  * the checksum field zeroed) before any field is believed.
+  */
+object Container extends Serializable {
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO BMFF
+  // ------------------------------------------------------------------
+
+  /** Movie-level metadata from the moov box walk. Width/height are the
+    * tkhd 16.16 fixed-point values, integer part only.
+    */
+  final case class Mp4Meta(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int,
+      handler: String,
+      nTopBoxes: Int)
+
+  private def putBe32(out: Array[Byte], pos: Int, v: Long): Unit =
+    (0 until 4).foreach(i => out(pos + i) = ((v >> (8 * (3 - i))) & 0xff).toByte)
+  private def putBe64(out: Array[Byte], pos: Int, v: Long): Unit =
+    (0 until 8).foreach(i => out(pos + i) = ((v >> (8 * (7 - i))) & 0xff).toByte)
+  private def putAscii(out: Array[Byte], pos: Int, s: String): Unit =
+    s.indices.foreach(i => out(pos + i) = s.charAt(i).toByte)
+
+  private def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    putBe32(out, 0, 8L + payload.length)
+    putAscii(out, 4, fourcc)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  /** The identity 3x3 transform matrix every *hd box carries (16.16 /
+    * 2.30 fixed point): diag(1, 1, 1).
+    */
+  private def unityMatrix(out: Array[Byte], pos: Int): Unit = {
+    putBe32(out, pos, 0x00010000L)
+    putBe32(out, pos + 16, 0x00010000L)
+    putBe32(out, pos + 32, 0x40000000L)
+  }
+
+  /** REAL minimal-but-valid MP4 writer: ftyp + moov(mvhd + trak(tkhd +
+    * mdia(mdhd + hdlr))) + free + mdat. `version` selects the 32-bit (0)
+    * or 64-bit (1) mvhd/tkhd time fields — version 1 is how real muxers
+    * write durations past 2^32 ticks, and the parser must honor both.
+    * Width/height land in tkhd as 16.16 fixed point.
+    */
+  def encodeMp4(brand: String, timescale: Long, duration: Long,
+      width: Int, height: Int, version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, s"mvhd version $version")
+    require(timescale >= 1 && duration >= 0, s"timescale $timescale / duration $duration")
+    require(version == 1 || duration < (1L << 32), "32-bit duration overflow needs version 1")
+    require(brand.length == 4, s"brand '$brand' must be a 4cc")
+
+    val ftypPayload = new Array[Byte](8) // brand + minor_version(0)
+    putAscii(ftypPayload, 0, brand)
+    val ftyp = box("ftyp", ftypPayload)
+
+    val mvhd = {
+      val p = new Array[Byte](if (version == 1) 112 else 100)
+      p(0) = version.toByte
+      if (version == 1) { putBe32(p, 20, timescale); putBe64(p, 24, duration) }
+      else { putBe32(p, 12, timescale); putBe32(p, 16, duration) }
+      val m = if (version == 1) 32 else 20 // offset of the rate field
+      putBe32(p, m, 0x00010000L)           // rate 1.0
+      p(m + 4) = 0x01                      // volume 1.0 (8.8 fixed)
+      unityMatrix(p, m + 16)
+      putBe32(p, p.length - 4, 2L)         // next_track_ID
+      box("mvhd", p)
+    }
+
+    val tkhd = {
+      val p = new Array[Byte](if (version == 1) 96 else 84)
+      p(0) = version.toByte
+      p(3) = 0x03 // enabled | in_movie
+      if (version == 1) { putBe32(p, 20, 1L); putBe64(p, 28, duration) }
+      else { putBe32(p, 12, 1L); putBe32(p, 20, duration) }
+      unityMatrix(p, if (version == 1) 52 else 40)
+      putBe32(p, p.length - 8, width.toLong << 16)
+      putBe32(p, p.length - 4, height.toLong << 16)
+      box("tkhd", p)
+    }
+
+    val mdhd = {
+      val p = new Array[Byte](24)
+      putBe32(p, 12, timescale)
+      putBe32(p, 16, if (version == 1) 0L else duration)
+      p(20) = 0x55; p(21) = 0xc4.toByte // packed 5-bit 'und'
+      box("mdhd", p)
+    }
+    val hdlr = {
+      val p = new Array[Byte](26) // ver/flags + predefined + type + 12 res + "g\0"
+      putAscii(p, 8, "vide")
+      p(24) = 'g'
+      box("hdlr", p)
+    }
+    val mdia = box("mdia", mdhd ++ hdlr)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val free = box("free", Array.emptyByteArray)
+    val mdat = box("mdat", Array.tabulate(16)(i => ((i * 37 + 11) & 0xff).toByte))
+    ftyp ++ moov ++ free ++ mdat
+  }
+
+  /** REAL ISO BMFF box walk: validates `ftyp` at byte 4, walks top-level
+    * boxes (honoring size==1 → 64-bit largesize and size==0 → to-EOF),
+    * descends moov → mvhd (version-dependent timescale/duration offsets)
+    * and moov → trak → tkhd / mdia → hdlr. Returns None for anything
+    * that isn't a well-formed movie (missing moov/mvhd/tkhd/hdlr,
+    * truncated or over-running box sizes, sizes past 2^63).
+    */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 16) return None
+    def u8(i: Long): Int = payload(i.toInt) & 0xff
+    def be32(i: Long): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long): String = new String(payload, i.toInt, 4, "US-ASCII")
+
+    /** Walk boxes in [start, end); call f(type, bodyStart, bodyEnd) per
+      * box; false on any malformed size.
+      */
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size32 = be32(pos)
+        var hdr = 8L
+        var size = size32
+        if (size32 == 1L) {
+          if (pos + 16 > end) return false
+          size = be64(pos + 8); hdr = 16L
+          if (size < 0) return false // crafted u64 with the top bit set
+        } else if (size32 == 0L) size = end - pos
+        if (size < hdr || pos + size > end) return false
+        f(fourcc(pos + 4), pos + hdr, pos + size)
+        pos += size
+      }
+      pos == end
+    }
+
+    if (fourcc(4) != "ftyp" || be32(0) < 16) return None
+    val brand = fourcc(8)
+    var nTop = 0
+    var moov: Option[(Long, Long)] = None
+    if (!walk(0, payload.length) { (t, b, e) =>
+      nTop += 1
+      if (t == "moov" && moov.isEmpty) moov = Some((b, e))
+    }) return None
+
+    moov.flatMap { case (ms, me) =>
+      var timescale = -1L; var duration = -1L
+      var width = -1; var height = -1; var handler: String = null
+      def fixed16(v: Long): Int = (v >> 16).toInt
+      val ok = walk(ms, me) {
+        case ("mvhd", b, e) if e - b >= 20 =>
+          if (u8(b) == 1 && e - b >= 32) { timescale = be32(b + 20); duration = be64(b + 24) }
+          else { timescale = be32(b + 12); duration = be32(b + 16) }
+        case ("trak", tb, te) =>
+          walk(tb, te) {
+            case ("tkhd", b, e) if e - b >= 84 =>
+              val v1 = u8(b) == 1
+              if (!v1 || e - b >= 96) {
+                val wOff = if (v1) b + 88 else b + 76
+                width = fixed16(be32(wOff)); height = fixed16(be32(wOff + 4))
+              }
+            case ("mdia", mb, mev) =>
+              walk(mb, mev) {
+                case ("hdlr", b, e) if e - b >= 12 => handler = fourcc(b + 8)
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      if (ok && timescale >= 1 && duration >= 0 && width >= 0 && handler != null)
+        Some(Mp4Meta(brand, timescale, duration, width, height, handler, nTop))
+      else None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Ogg / Opus
+  // ------------------------------------------------------------------
+
+  /** Stream metadata from the Ogg page walk + the BOS page's OpusHead. */
+  final case class OggOpusMeta(
+      serial: Long,
+      nPages: Int,
+      channels: Int,
+      preSkip: Int,
+      inputSampleRate: Long,
+      lastGranule: Long)
+
+  /** Ogg page CRC-32: poly 0x04C11DB7, no reflection, init 0, xorout 0
+    * (RFC 3533 §6) — NOT the zlib CRC. Computed over the whole page with
+    * the 4 checksum bytes zeroed.
+    */
+  private val crcTable: Array[Int] = Array.tabulate(256) { i =>
+    var r = i << 24
+    var k = 0
+    while (k < 8) { r = (r << 1) ^ (if ((r & 0x80000000) != 0) 0x04c11db7 else 0); k += 1 }
+    r
+  }
+
+  def oggCrc(bytes: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = off
+    while (i < off + len) {
+      crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ (bytes(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def oggPage(headerType: Int, granule: Long, serial: Long, seq: Long,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    // one lacing value per packet; a 255-multiple length needs a 0 lace
+    val lacing = packets.flatMap { p =>
+      Seq.fill(p.length / 255)(255) ++ Seq(p.length % 255)
+    }
+    require(lacing.size <= 255, s"${lacing.size} lacing values exceed one page")
+    val body = packets.toArray.flatten
+    val out = new Array[Byte](27 + lacing.size + body.length)
+    putAscii(out, 0, "OggS")
+    out(5) = headerType.toByte
+    (0 until 8).foreach(i => out(6 + i) = ((granule >> (8 * i)) & 0xff).toByte)
+    (0 until 4).foreach(i => out(14 + i) = ((serial >> (8 * i)) & 0xff).toByte)
+    (0 until 4).foreach(i => out(18 + i) = ((seq >> (8 * i)) & 0xff).toByte)
+    out(26) = lacing.size.toByte
+    lacing.zipWithIndex.foreach { case (l, i) => out(27 + i) = l.toByte }
+    System.arraycopy(body, 0, out, 27 + lacing.size, body.length)
+    val crc = oggCrc(out, 0, out.length)
+    (0 until 4).foreach(i => out(22 + i) = ((crc >> (8 * i)) & 0xff).toByte)
+    out
+  }
+
+  /** REAL Ogg-Opus writer: BOS page carrying the 19-byte OpusHead
+    * (RFC 7845 §5.1 — version 1, channel count, pre-skip, input sample
+    * rate, gain 0, mapping family 0), an OpusTags comment page, then
+    * `nPages - 2` deterministic data pages; the last page is EOS with
+    * granule position `lastGranule` (48 kHz sample count per RFC 7845).
+    */
+  def encodeOggOpus(serial: Long, channels: Int, preSkip: Int,
+      inputSampleRate: Long, lastGranule: Long, nPages: Int): Array[Byte] = {
+    require(nPages >= 3, s"nPages $nPages: need BOS + tags + >=1 data page")
+    require(channels >= 1 && channels <= 8 && preSkip >= 0, s"ch $channels preskip $preSkip")
+    require(lastGranule >= preSkip, s"granule $lastGranule < preskip $preSkip")
+    val head = new Array[Byte](19)
+    putAscii(head, 0, "OpusHead")
+    head(8) = 1 // version
+    head(9) = channels.toByte
+    head(10) = (preSkip & 0xff).toByte; head(11) = ((preSkip >> 8) & 0xff).toByte
+    (0 until 4).foreach(i => head(12 + i) = ((inputSampleRate >> (8 * i)) & 0xff).toByte)
+    val tags = {
+      val vendor = "graft".getBytes("US-ASCII")
+      val t = new Array[Byte](8 + 4 + vendor.length + 4)
+      putAscii(t, 0, "OpusTags")
+      t(8) = vendor.length.toByte
+      System.arraycopy(vendor, 0, t, 12, vendor.length)
+      t
+    }
+    val nData = nPages - 2
+    val pages = Seq(
+      oggPage(0x02, 0L, serial, 0L, Seq(head)),
+      oggPage(0x00, 0L, serial, 1L, Seq(tags))) ++
+      (0 until nData).map { d =>
+        val seq = 2L + d
+        val last = d == nData - 1
+        val granule =
+          if (last) lastGranule
+          else preSkip + (lastGranule - preSkip) * (d + 1) / nData
+        val pkt = Array.tabulate(20 + (d * 7) % 50)(i => ((i * 31 + d * 13 + 5) & 0xff).toByte)
+        oggPage(if (last) 0x04 else 0x00, granule, serial, seq, Seq(pkt))
+      }
+    pages.toArray.flatten
+  }
+
+  /** REAL Ogg page walk: validates each page's "OggS" capture, version 0,
+    * and CRC-32 (recomputed with the checksum field zeroed — a single
+    * flipped payload byte fails the page), honors multi-lace packets,
+    * counts pages, tracks the last non-(-1) granule position, and parses
+    * channels / pre-skip / input rate out of the BOS page's OpusHead
+    * packet. Returns None for anything that isn't a CRC-clean Ogg-Opus
+    * stream.
+    */
+  def parseOggOpus(payload: Array[Byte]): Option[OggOpusMeta] = {
+    if (payload == null || payload.length < 28) return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    var pos = 0
+    var nPages = 0
+    var serial = -1L
+    var lastGranule = -1L
+    var channels = -1; var preSkip = -1; var rate = -1L
+    while (pos + 27 <= payload.length) {
+      if (!(payload(pos) == 'O' && payload(pos + 1) == 'g' &&
+        payload(pos + 2) == 'g' && payload(pos + 3) == 'S')) return None
+      if (u8(pos + 4) != 0) return None // stream structure version
+      val headerType = u8(pos + 5)
+      val granule = le64(pos + 6)
+      val pageSerial = le32(pos + 14)
+      val nSegs = u8(pos + 26)
+      if (pos + 27 + nSegs > payload.length) return None
+      var bodyLen = 0
+      var firstPacketLen = 0
+      var firstPacketDone = false
+      (0 until nSegs).foreach { i =>
+        val l = u8(pos + 27 + i)
+        bodyLen += l
+        if (!firstPacketDone) { firstPacketLen += l; if (l < 255) firstPacketDone = true }
+      }
+      val pageLen = 27 + nSegs + bodyLen
+      if (pos + pageLen > payload.length) return None
+      val crcStored = le32(pos + 22)
+      val zeroed = java.util.Arrays.copyOfRange(payload, pos, pos + pageLen)
+      java.util.Arrays.fill(zeroed, 22, 26, 0.toByte)
+      if ((oggCrc(zeroed, 0, pageLen) & 0xffffffffL) != crcStored) return None
+      if (serial < 0) serial = pageSerial
+      if (granule != -1L) lastGranule = granule
+      if ((headerType & 0x02) != 0 && firstPacketLen >= 19) {
+        val b = pos + 27 + nSegs
+        if (new String(payload, b, 8, "US-ASCII") == "OpusHead") {
+          channels = u8(b + 9)
+          preSkip = le16(b + 10)
+          rate = le32(b + 12)
+        }
+      }
+      nPages += 1
+      pos += pageLen
+    }
+    if (pos != payload.length || nPages == 0 || channels < 0 || lastGranule < 0) None
+    else Some(OggOpusMeta(serial, nPages, channels, preSkip, rate, lastGranule))
+  }
+
+  // ------------------------------------------------------------------
+  // Driver-verifiable synthetic stats (the oracle face)
+  // ------------------------------------------------------------------
+
+  /** Exact container metadata from PARSED synthetic payloads — the
+    * container twin of `Multimodal.syntheticBmpStats` /
+    * `Audio.syntheticWavStats`: even ids synthesize an MP4 (ids divisible
+    * by 4 use version-1 64-bit durations past 2^32 ticks — the path a
+    * 32-bit-only parser gets wrong), odd ids an Ogg-Opus stream; each
+    * round-trips through the real encoder → parser, and every emitted
+    * value comes from the PARSED bytes. All closed-form integer
+    * arithmetic — an oracle reproduces the numbers from the id alone, so
+    * a hash match proves the box walk / page walk inverts both layouts
+    * (offsets, endianness, fixed-point splits, version variants, CRC).
+    */
+  def syntheticContainerStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("container", StringType),
+      StructField("brand", StringType)) ++
+      Seq("timescale", "duration_units", "duration_ms", "width", "height",
+        "channels", "preskip", "sample_rate", "n_parts").map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        require(id >= 0, s"syntheticContainerStats needs a non-negative id (got $id)")
+        if (id % 2 == 0) {
+          val version = if (id % 4 == 0) 1 else 0
+          val timescale = 600L * (1 + id % 5)
+          val duration = if (version == 1) (1L << 32) + 977L * id else 10000L + 977L * id
+          val width = (16 * (4 + id % 9)).toInt
+          val height = (16 * (3 + id % 5)).toInt
+          val m = parseMp4(encodeMp4("isom", timescale, duration, width, height, version))
+            .getOrElse(throw new IllegalStateException(s"mp4 round-trip failed for id $id"))
+          Row(id, "mp4", m.brand, m.timescale, m.duration,
+            m.duration * 1000 / m.timescale, m.width.toLong, m.height.toLong,
+            null, null, null, m.nTopBoxes.toLong)
+        } else {
+          val channels = if (id % 4 == 1) 1 else 2
+          val preSkip = (312 + id % 100).toInt
+          val durUnits = 960L * (50 + id % 300)
+          val rate = 8000L * (1 + id % 6)
+          val nPages = (3 + id % 4).toInt
+          val m = parseOggOpus(encodeOggOpus(
+            1000L + id, channels, preSkip, rate, preSkip + durUnits, nPages))
+            .getOrElse(throw new IllegalStateException(s"ogg round-trip failed for id $id"))
+          val units = m.lastGranule - m.preSkip
+          Row(id, "ogg", null, 48000L, units, units * 1000 / 48000,
+            null, null, m.channels.toLong, m.preSkip.toLong,
+            m.inputSampleRate, m.nPages.toLong)
+        }
+      }
+    }(enc)
+  }
+}

@@ -49,12 +49,14 @@ object Multimodal extends Serializable {
         .when(isGif(col("payload")), "image/gif")
         .when(isBmp(col("payload")), "image/bmp")
         .when(isWav(col("payload")), "audio/wav")
+        .when(isMp4(col("payload")), "video/mp4")
+        .when(isOgg(col("payload")), "application/ogg")
         .otherwise("application/octet-stream").as("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      when(!isWav(col("payload")),
+      when(!isWav(col("payload")) && !isMp4(col("payload")) && !isOgg(col("payload")),
         coalesce(pngWidth(col("payload")), gifWidth(col("payload")),
           bmpWidth(col("payload")), stubWidth(col("payload")))).as("width"),
-      when(!isWav(col("payload")),
+      when(!isWav(col("payload")) && !isMp4(col("payload")) && !isOgg(col("payload")),
         coalesce(pngHeight(col("payload")), gifHeight(col("payload")),
           bmpHeight(col("payload")), stubHeight(col("payload")))).as("height"),
       wavSampleRate(col("payload")).as("sample_rate"),
@@ -141,6 +143,22 @@ object Multimodal extends Serializable {
   private def isCanonicalWav(payload: org.apache.spark.sql.Column) =
     isWav(payload) && octet_length(payload) >= 36 &&
       substring(payload, 13, 4).cast("string") === "fmt "
+
+  /** MP4 / ISO BMFF sniff — the `ftyp` box fourcc sits at a FIXED offset
+    * (byte 5), so the type test is a column expression; dimensions and
+    * duration need the variable-offset moov box walk in
+    * [[Container.parseMp4]] at the mapPartitions boundary — the same
+    * fixed-vs-walk split as JPEG-SOF and non-canonical WAV.
+    */
+  def isMp4(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    octet_length(payload) >= 12 && substring(payload, 5, 4).cast("string") === "ftyp"
+
+  /** Ogg container sniff — "OggS" capture pattern at byte 1; stream
+    * metadata needs the CRC-verified page walk in
+    * [[Container.parseOggOpus]].
+    */
+  def isOgg(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(payload, 1, 4).cast("string") === "OggS"
 
   /** Sample rate from the canonical header (u32le at byte 25; real rates
     * are far below 2^31, so the signed read never wraps); NULL for

@@ -176,7 +176,76 @@ object Catalog {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), search.schema)
           .orderBy(col("bal_cents").desc, col("c_custkey"))
       },
-      Some("SELECT c_custkey, c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY bal_cents DESC, c_custkey LIMIT 50")))
+      Some("SELECT c_custkey, c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY bal_cents DESC, c_custkey LIMIT 50")),
+
+    // K6: LRU-eviction + TTL-expiry semantics through a checkpoint/restore
+    // cycle (reference cache.py:55 TTL, :86-90 move_to_end, :117-124
+    // eviction). Manual clock, capacity-2 cache: put A@0s, put B@5s,
+    // GET A@6s (promotes A to most-recent — without move_to_end the next
+    // put would evict A, flipping two output rows), put C@7s (evicts B),
+    // checkpoint; restore into a FRESH capacity-2 cache and probe at 12s
+    // with ttl=10s: A is IN the checkpoint but expired (age 12s), B was
+    // evicted before the checkpoint, C serves a hit whose payload integers
+    // the oracle recomputes from the base table. Every behavioral branch —
+    // evicted vs expired vs hit — lands in a different output row, and
+    // the DuckDB twin derives the survivor set closed-form.
+    Q("k6_cache_evict",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cache_")
+        def seg(m: String) = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === m)
+          .select(col("c_custkey"), col("c_name"),
+            cents(col("c_acctbal")).cast("long").as("bal_cents"))
+          .orderBy(col("bal_cents").desc, col("c_custkey"))
+          .limit(50)
+        val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+        val out =
+          try {
+            val path = tmp.resolve("ckpt").toString
+            var now = 0L
+            val live = new graft.cache.ResultCache(
+              maxSize = 2, ttlSeconds = 10, clock = () => now)
+            live.put("search", Seq("seg" -> "BUILDING"), seg("BUILDING"))
+            now = 5000L
+            live.put("search", Seq("seg" -> "AUTOMOBILE"), seg("AUTOMOBILE"))
+            now = 6000L
+            live.get("search", Seq("seg" -> "BUILDING")) // promote A
+            now = 7000L
+            live.put("search", Seq("seg" -> "MACHINERY"), seg("MACHINERY"))
+            live.checkpoint(s, path)
+            val restored = new graft.cache.ResultCache(
+              maxSize = 2, ttlSeconds = 10, clock = () => now)
+            restored.restore(s, path)
+            val inCkpt = restored.checkpointedKeys(s, path).toSet
+            now = 12000L
+            segs.map { m =>
+              val key = s"search|seg=$m"
+              val hit = restored.get("search", Seq("seg" -> m))
+              org.apache.spark.sql.Row(key, inCkpt.contains(key), hit.isDefined,
+                hit.map(h => Long.box(h.size.toLong)).orNull,
+                hit.map(h => Long.box(h.map(_.getLong(2)).sum)).orNull)
+            }
+          } finally {
+            graft.util.Paths.deleteRecursively(tmp)
+          }
+        val schema = StructType(Seq(
+          StructField("key", StringType),
+          StructField("in_checkpoint", BooleanType),
+          StructField("serves_hit", BooleanType),
+          StructField("n_rows", LongType),
+          StructField("bal_sum", LongType)))
+        s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+          .orderBy("key")
+      },
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(bal_cents) AS BIGINT) AS s FROM " +
+        "(SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents, c_custkey FROM customer " +
+        "WHERE c_mktsegment = 'MACHINERY' ORDER BY bal_cents DESC, c_custkey LIMIT 50)) " +
+        "SELECT * FROM (" +
+        "SELECT 'search|seg=AUTOMOBILE' AS key, FALSE AS in_checkpoint, FALSE AS serves_hit, CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS bal_sum " +
+        "UNION ALL SELECT 'search|seg=BUILDING', TRUE, FALSE, NULL, NULL " +
+        "UNION ALL SELECT 'search|seg=MACHINERY', TRUE, TRUE, (SELECT n FROM m), (SELECT s FROM m)" +
+        ") ORDER BY key")))
 
   // --------------------------------------------------------------------
   // Projections / filters (SURVEY §2.2)
@@ -1009,7 +1078,35 @@ object Catalog {
         "CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
         (0 until 8).map(i =>
           s"CAST(sum(CASE WHEN (s + 32768) // 8192 = $i THEN 1 ELSE 0 END) AS BIGINT) AS ab$i").mkString(", ") +
-        " FROM sm GROUP BY doc_id ORDER BY doc_id")))
+        " FROM sm GROUP BY doc_id ORDER BY doc_id")),
+
+    // REAL compressed-container metadata — the third modality leg: even
+    // ids synthesize an MP4 (ISO BMFF box walk; ids % 4 == 0 take the
+    // version-1 64-bit duration path past 2^32 ticks), odd ids an
+    // Ogg-Opus stream (CRC-verified page walk + OpusHead). Every output
+    // value comes from PARSING the encoded bytes; the oracle recomputes
+    // them closed-form from the id without seeing a byte, so a hash match
+    // proves both walks invert their layouts (box sizes, 16.16 fixed
+    // point, version variants, lacing, CRC, granule math).
+    Q("mm_container_meta",
+      (s, d) => graft.multimodal.Container
+        .syntheticContainerStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'ogg' END AS container, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'isom' END AS brand, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 600 * (1 + doc_id % 5) ELSE 48000 END AS BIGINT) AS timescale, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4294967296 + 977 * doc_id ELSE 10000 + 977 * doc_id END) ELSE 960 * (50 + doc_id % 300) END AS BIGINT) AS duration_units, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4294967296 + 977 * doc_id ELSE 10000 + 977 * doc_id END) * 1000 // (600 * (1 + doc_id % 5)) ELSE (960 * (50 + doc_id % 300)) * 1000 // 48000 END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * (4 + doc_id % 9) END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * (3 + doc_id % 5) END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END) END AS BIGINT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 312 + doc_id % 100 END AS BIGINT) AS preskip, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 6) END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END AS BIGINT) AS n_parts " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id")))
 
   // --------------------------------------------------------------------
   // Dedup family (beyond-reference north star)
