@@ -41,12 +41,21 @@ object Bench {
 
     // Optional comma-separated name filter (SPARK_GRAFT_ONLY) for targeted
     // runs — e.g. the heavy families at a synthesized 100× scale factor,
-    // where timing the full 124-query catalog would mostly measure fixed
+    // where timing the full 125-query catalog would mostly measure fixed
     // overhead on fixed-slice queries.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Fail loudly on names that match nothing: a typo (or an empty string
+    // → Set("")) would otherwise yield an empty/short query set and a
+    // meaningless near-zero total that reads like a real measurement.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    require(queries.nonEmpty, "SPARK_GRAFT_ONLY filtered the bench to zero queries")
 
     /** One timed full-plan execution; -1.0 marks a failure. */
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

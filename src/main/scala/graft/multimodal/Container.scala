@@ -179,8 +179,13 @@ object Container extends Serializable {
       def fixed16(v: Long): Int = (v >> 16).toInt
       val ok = walk(ms, me) {
         case ("mvhd", b, e) if e - b >= 20 =>
-          if (u8(b) == 1 && e - b >= 32) { timescale = be32(b + 20); duration = be64(b + 24) }
-          else { timescale = be32(b + 12); duration = be32(b + 16) }
+          if (u8(b) == 1) {
+            // a version-1 mvhd needs a >=32-byte body (64-bit times); a
+            // shorter one is malformed — leave timescale/duration unset
+            // (rejecting the file) rather than reading version-0 offsets
+            // out of what are reserved bytes in the v1 layout
+            if (e - b >= 32) { timescale = be32(b + 20); duration = be64(b + 24) }
+          } else { timescale = be32(b + 12); duration = be32(b + 16) }
         case ("trak", tb, te) =>
           walk(tb, te) {
             case ("tkhd", b, e) if e - b >= 84 =>
@@ -319,6 +324,7 @@ object Container extends Serializable {
     var pos = 0
     var nPages = 0
     var serial = -1L
+    var lastSeq = -1L
     var lastGranule = -1L
     var channels = -1; var preSkip = -1; var rate = -1L
     while (pos + 27 <= payload.length) {
@@ -344,7 +350,16 @@ object Container extends Serializable {
       val zeroed = java.util.Arrays.copyOfRange(payload, pos, pos + pageLen)
       java.util.Arrays.fill(zeroed, 22, 26, 0.toByte)
       if ((oggCrc(zeroed, 0, pageLen) & 0xffffffffL) != crcStored) return None
-      if (serial < 0) serial = pageSerial
+      val pageSeq = le32(pos + 18)
+      if (serial < 0) { serial = pageSerial; lastSeq = pageSeq }
+      else {
+        // one logical stream only: a concatenated/multiplexed capture
+        // (second serial) or a non-consecutive sequence number would
+        // otherwise mix another stream's pages into this one's counts
+        if (pageSerial != serial) return None
+        if (pageSeq != lastSeq + 1) return None
+        lastSeq = pageSeq
+      }
       if (granule != -1L) lastGranule = granule
       if ((headerType & 0x02) != 0 && firstPacketLen >= 19) {
         val b = pos + 27 + nSegs

@@ -135,6 +135,55 @@ object Dedup {
       minhashSignatures(df, idCol, textCol, numHashes).localCheckpoint(),
       idCol, numHashes, rowsPerBand)
 
+  /** INCREMENTAL LSH candidate pairs: dedup a NEW batch against an
+    * ALREADY-INGESTED corpus without recomputing old-vs-old pairs — the
+    * batch-ingest shape of a 100 TB pipeline, where each arriving slice
+    * must be checked against petabytes of history but history-vs-history
+    * was already settled when those batches landed.
+    *
+    * `oldSig` is the persisted signature index of the ingested corpus
+    * (build once with [[minhashSignatures]], write to parquet, reuse
+    * every batch); `newSig` is the new batch's signatures. Each band
+    * equi-joins the NEW side (left) against old ∪ new (right) — the
+    * old-old quadrant, quadratically the largest, never joins: per band
+    * the old index is scanned ONCE as a join probe side, so batch cost
+    * is O(|new| × bands) driving lookups into the index, not
+    * O(|corpus|²). Band collision depends only on the two signatures,
+    * never on batch membership, so the emitted set is EXACTLY
+    * {full-corpus band pairs} − {old-old pairs}: ingesting a corpus in
+    * any batch order accumulates the same pair set as one global run.
+    *
+    * Output: (id_a, id_b, is_cross), id_a < id_b, ≥1 side new.
+    * `is_cross` marks new-vs-old (canonical copy already ingested —
+    * drop/link the new doc) vs new-vs-new (pick a canonical within the
+    * batch). Precondition: ids are unique across batches.
+    */
+  def incrementalLshPairs(newSig: DataFrame, oldSig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+      val left = newSig.select(col(idCol).as("id_x") +: keys.map(col): _*)
+      def side(sig: DataFrame, old: Boolean) = sig
+        .select(col(idCol).as("id_y") +: keys.map(k => col(k).as(s"_$k")): _*)
+        .withColumn("__old", lit(old))
+      val right = side(oldSig, old = true).unionByName(side(newSig, old = false))
+      left.join(right,
+        keys.map(k => col(k) === col(s"_$k")).reduce(_ && _) &&
+          // old partner: always take the pair (ids are cross-batch
+          // unique, so no self/double emission); new partner: id order
+          // dedups the two orientations of a new-new collision
+          (col("__old") || col("id_x") < col("id_y")))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"),
+          col("__old").as("is_cross"))
+    }
+    // (id_a, id_b) determines is_cross — batch membership is a function
+    // of the id — so distinct() dedups band multiplicity only
+    bands.reduce(_ unionByName _).distinct()
+  }
+
   /** Hub-capped LSH candidate pairs: per band bucket, only the `hubs`
     * smallest ids pair with the rest of the bucket, so a hot bucket of b
     * docs emits O(hubs·b) edges instead of the b(b-1)/2 of

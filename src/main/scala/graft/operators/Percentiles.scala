@@ -80,6 +80,20 @@ object Percentiles {
     * target buckets per group rejoin the fact table: broadcast for
     * few-group aggregations (the default), shuffle join when the group
     * count itself is huge — same knob as Sampling's broadcastWinners.
+    *
+    * PRECONDITION (scale): the per-bucket DISTINCT-value count must be
+    * bounded. Pass 2 first collapses the target bucket to its
+    * (value, cnt) histogram, then ranks that histogram in one window
+    * task per (group, bucket) — so the task holds distinct values, not
+    * rows. Pick a bucket aligned to the value's quantization:
+    * [[centsBucket]] over money yields ≤ 65,536 distinct cents per
+    * bucket no matter how many ROWS share the bucket (why the current
+    * callers are safe at any scale). Over an arbitrary CONTINUOUS
+    * double domain, distinct-per-bucket degenerates to
+    * rows-per-bucket and pass 2 becomes the single-task window this
+    * operator exists to avoid — narrow the bucket (more buckets, same
+    * tiny pass-1 shuffle) or quantize the value first so the histogram
+    * stays bounded.
     */
   def exactRefined(df: DataFrame, groupCols: Seq[String], valueCol: String,
       quantiles: Seq[(Double, String)],

@@ -175,11 +175,15 @@ object EventStream {
   def drainUpsert(spark: SparkSession, changes: DataFrame, key: String,
       nFiles: Int = 3): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
-    val snap = base.resolve("snapshot").toString
-    val stream = feedStream(spark, changes, base, nFiles)
-    val q = upsertSink(stream, key, snap, base.resolve("ckpt").toString).start()
-    awaitDrained(q)
-    spark.read.parquet(snap)
+    try {
+      val snap = base.resolve("snapshot").toString
+      val stream = feedStream(spark, changes, base, nFiles)
+      val q = upsertSink(stream, key, snap, base.resolve("ckpt").toString).start()
+      awaitDrained(q)
+      // eager localCheckpoint pulls the snapshot off disk so the feed,
+      // checkpoint, and sink dirs can be deleted before returning
+      spark.read.parquet(snap).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
   }
 
   /** Waits for an AvailableNow query to fully drain, FAILING LOUDLY on
@@ -196,8 +200,8 @@ object EventStream {
 
   /** Shared drain plumbing: materialize `rows` as `nFiles` JSONL feed
     * files under `base` and open a file stream over them (one file per
-    * micro-batch; the temp dir lives until JVM exit — bounded fixture
-    * slices only). Explicit micros timestampFormat — the default rounds
+    * micro-batch; each drain deletes `base` after materializing its
+    * result). Explicit micros timestampFormat — the default rounds
     * to millis, which would re-order events that differ only in micros.
     */
   private def feedStream(spark: SparkSession, rows: DataFrame,
@@ -223,12 +227,14 @@ object EventStream {
   def drainDedup(spark: SparkSession, rows: DataFrame,
       keys: Seq[String]): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_")
-    val out = base.resolve("out").toString
-    val stream = feedStream(spark, rows, base, nFiles = 1)
-    val q = parquetSink(dedupWithinWatermark(stream, keys),
-      out, base.resolve("ckpt").toString).start()
-    awaitDrained(q)
-    spark.read.parquet(out)
+    try {
+      val out = base.resolve("out").toString
+      val stream = feedStream(spark, rows, base, nFiles = 1)
+      val q = parquetSink(dedupWithinWatermark(stream, keys),
+        out, base.resolve("ckpt").toString).start()
+      awaitDrained(q)
+      spark.read.parquet(out).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
   }
 
   /** End-to-end stateful-counting drain (the driver-verifiable face of
@@ -242,16 +248,22 @@ object EventStream {
       nFiles: Int = 3): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_rc_")
     val table = s"graft_rc_${base.getFileName.toString.replace("graft_rc_", "")}"
-    val stream = feedStream(spark, rows, base, nFiles)
-    val q = runningUserCounts(stream).writeStream
-      .format("memory").queryName(table)
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitDrained(q)
-    spark.table(table)
-      .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"))
+    try {
+      val stream = feedStream(spark, rows, base, nFiles)
+      val q = runningUserCounts(stream).writeStream
+        .format("memory").queryName(table)
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.table(table)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(table)
+      graft.util.Paths.deleteRecursively(base)
+    }
   }
 }

@@ -107,6 +107,33 @@ class DedupSpec extends SparkSpec {
     assert(incremental.contains((1L, 101L))) // the day-2 duplicate is caught
   }
 
+  test("incrementalLshPairs = full pair set minus old-old; is_cross marks the quadrant") {
+    import spark.implicits._
+    // old corpus contains an internal dup pair (1,2) that the incremental
+    // run must NOT re-emit; the new batch has an internal dup (101,102)
+    // and cross dups against old docs 1 and 2
+    val oldDocs = docs // ids 1..5; (1,2) exact dups
+    val newDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),  // dup of 1,2
+      (102L, "the quick brown fox jumps over the lazy dog"),  // dup of 101
+      (103L, "entirely novel text with no earlier relatives whatsoever"))
+      .toDF("doc_id", "text")
+    val oldSig = Dedup.minhashSignatures(oldDocs, "doc_id", "text", 4).localCheckpoint()
+    val newSig = Dedup.minhashSignatures(newDocs, "doc_id", "text", 4).localCheckpoint()
+    val inc = Dedup.incrementalLshPairs(newSig, oldSig, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // reference: global pairs over old ∪ new, minus the old-old quadrant
+    val full = Dedup.lshCandidatePairsFromSignatures(
+        oldSig.unionByName(newSig), "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filterNot { case (a, b) => a <= 5 && b <= 5 }
+    assert(inc.keySet === expected)
+    assert(!inc.keySet.contains((1L, 2L))) // old-old dup stays un-recomputed
+    assert(inc((1L, 101L)) === true)       // cross: canonical already ingested
+    assert(inc((101L, 102L)) === false)    // in-batch: pick a canonical locally
+    inc.foreach { case ((a, b), cross) => assert(cross === (a <= 5L), s"($a,$b)") }
+  }
+
   test("contaminated flags only corpus docs sharing enough shingles with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")

@@ -97,6 +97,24 @@ class PercentilesSpec extends SparkSpec {
     assert(bc.toSeq === sh.toSeq)
   }
 
+  test("exactRefined: quantization-aligned bucket keeps pass 2 bounded by DISTINCT values") {
+    // The documented precondition: the pass-2 window ranks the target
+    // bucket's (value, cnt) HISTOGRAM, so its task size is the bucket's
+    // distinct-value count, not its row count. Safe pattern = bucket
+    // aligned to the value's quantization (cents here): 5,000 rows
+    // collapse to 40 distinct cents values before the window.
+    val heavy = (0 until 5000).map(i => ("h", (i % 40).toDouble / 4))
+      .toDF("g", "v")
+    val df = Percentiles.exactRefined(heavy, Seq("g"), "v", Seq(0.5 -> "med"))
+    // the histogram collapse is a real aggregation below the window —
+    // partial (map-side) count, so no task ever holds the raw rows
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p)
+    val ref = heavy.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+      .collect().head.getDouble(1)
+    assert(df.collect().head.getDouble(1) === ref)
+  }
+
   test("exactRefined: bracketing ranks in ADJACENT buckets interpolate across them") {
     // 4 values, one per bucket (width 1 at cents scale ⇒ shift 0 keeps
     // cents): median rank pair (2,3) lands in two different buckets

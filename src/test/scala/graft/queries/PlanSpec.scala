@@ -166,6 +166,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(h2"), p)
   }
 
+  test("incrementalLshPairs: the old index is a probe side only — old-old never joins") {
+    // built WITHOUT localCheckpoint so the batch predicates stay visible
+    // as pushed filters in the scans: the old-corpus side must appear
+    // exactly once per band (right/probe side of the band join); a
+    // regression to joining (old ∪ new) × (old ∪ new) would double it
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf)
+    def sigFor(pred: org.apache.spark.sql.Column) =
+      Dedup.minhashSignatures(docs.filter(pred), "doc_id", "text", 4)
+    import org.apache.spark.sql.functions.col
+    val p = Dedup.incrementalLshPairs(
+        sigFor(col("doc_id") >= 25), sigFor(col("doc_id") < 25), "doc_id", 4, 2)
+      .queryExecution.executedPlan.toString
+    val nBands = 2
+    assert("LessThan\\(doc_id,25\\)".r.findAllIn(p).length === nBands, p)
+    assert("GreaterThanOrEqual\\(doc_id,25\\)".r.findAllIn(p).length === 2 * nBands, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("skew_salted_agg: both phases aggregate partially before exchanging") {
     val p = plan("skew_salted_agg")
     assert(p.contains("partial_sum"), p)
@@ -194,6 +213,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     // the 3-row median table broadcasts back onto the deviation histogram
     assert(p.contains("BroadcastHashJoin"), p)
+    // the 2-column projection is cached across the med + mad passes —
+    // four lineage evaluations must not mean four parquet scans
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("sketch_pct_bound: only the sketch is approximate — exact side is histogram-based") {
