@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Helpers shared across the per-family catalog files: the cents trick
+  * and the DuckDB SQL fragments (minhash / simhash / LSH pair + ANN
+  * twins) that several families' oracles compose.
+  */
+private[queries] object CatalogShared {
+
+  /** floor(x*100 + 0.5) — exact cross-engine integer cents. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+
+  /** One ANSI string, run verbatim by BOTH Spark SQL and the DuckDB
+    * oracle (s7_sql_exists).
+    */
+  val SqlExists: String =
+    "SELECT c_custkey FROM customer c WHERE EXISTS " +
+      "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
+      "ORDER BY c_custkey"
+
+  /** LSH projection against md5-parity hyperplane `p`
+    * ([[graft.functions.Vectors.planeSign]]) — ±1 components, so the
+    * sequential list_sum is the exact twin of the codegen DotProduct
+    * fold. Min |projection| measured 4.9e-5 at sf0.01 — five orders
+    * above FP noise; the sign (and thus the bucket) cannot flip.
+    */
+  def lshProjSql(p: Int): String =
+    s"list_sum([CAST(embedding[i+1] AS DOUBLE) * (CASE WHEN substr(md5('plane${p}_' || i), 1, 1) < '8' THEN 1.0 ELSE -1.0 END) for i in generate_series(0, len(embedding)-1)])"
+
+  /** Full DuckDB twin of [[graft.operators.Similarity.topKLsh]] with
+    * planes=2, probeHamming=1, query vec_id 0: bucket the corpus by the
+    * two sign bits, probe the query's bucket plus its two 1-bit
+    * neighbors (xor masks 0,1,2), rank candidates by exact cosine.
+    */
+  lazy val lshAnnSql: String =
+    s"WITH b AS (SELECT vec_id, embedding, ((CASE WHEN ${lshProjSql(0)} >= 0 THEN 1 ELSE 0 END) + (CASE WHEN ${lshProjSql(1)} >= 0 THEN 2 ELSE 0 END)) AS bucket FROM embeddings), " +
+      "q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0), " +
+      "pr AS (SELECT xor(qb, m) AS pb, qe FROM q, unnest([0, 1, 2]) AS t(m)), " +
+      "cand AS (SELECT b.vec_id, b.embedding, pr.qe FROM b JOIN pr ON b.bucket = pr.pb WHERE b.vec_id <> 0), " +
+      "u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM cand), " +
+      "dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) " +
+      "SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+
+  /** Full DuckDB twin of [[graft.operators.Ivf]] train(k=8, iters=2) +
+    * search(nprobe=2, k=10, query vec_id 0): two unrolled Lloyd rounds.
+    * Every cross-engine-sensitive number is exact — the centroid update
+    * sums 2^24-scaled fixed-point longs (order-independent), the
+    * centroid component is one division of two exact integers, and all
+
+    * dot products are sequential list_sum folds matching the codegen
+    * DotProduct's left-to-right loop.
+    */
+  lazy val ivfAnnSql: String = {
+    val dim = 64
+    def dotL(a: String, b: String): String =
+      s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${dim - 1})])"
+    // twin of Ivf.negSqDist: ((dot*2) - |v|²) - |c|²
+    def negSqDist(v: String, c: String): String =
+      s"((2 * ${dotL(v, c)} - ${dotL(v, v)}) - ${dotL(c, c)})"
+    // twin of Ivf.assign: argmax by (score, cid) — array_max over structs
+    // breaks score ties toward the LARGER centroid index
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, c.cid, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${negSqDist("e.v", "c.c")} DESC, c.cid DESC) AS rn " +
+        s"FROM e CROSS JOIN $cents c) WHERE rn = 1)"
+    // twin of the fixed-point update in Ivf.train; empty cells keep the
+    // previous centroid (the coalesce)
+    def updateCte(name: String, asg: String, prev: String): String =
+      s"$name AS (SELECT $prev.cid, coalesce(nc.c, $prev.c) AS c FROM $prev LEFT JOIN " +
+        s"(SELECT cid, list(m ORDER BY pos) AS c FROM " +
+        s"(SELECT cid, i AS pos, CAST(SUM(CAST(floor(v[i+1] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS m " +
+        s"FROM $asg, LATERAL unnest(generate_series(0, ${dim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
+    // twin of Ivf.queryAndProbes: -((|q|² - 2·c·q) + |c|²), ties toward
+    // the SMALLER cid (Scala's stable sortBy keeps ascending-cid order)
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+      "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+      assignCte("asg1", "c0") + ", " + updateCte("c1", "asg1", "c0") + ", " +
+      assignCte("asg2", "c1") + ", " + updateCte("c2", "asg2", "c1") + ", " +
+      assignCte("asg3", "c2") + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
+      s"ds AS (SELECT f.vec_id, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q) " +
+      "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
+  /** SimHash fingerprint SQL: votes per bit from md5 hex digits, packed
+    * into one BIGINT — the exact twin of [[graft.operators.Dedup.simhash]].
+    */
+  def simhashSql(bits: Int): String = {
+    val votes = (0 until bits).map(b =>
+      s"SUM(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val pack = (0 until bits).map(b =>
+      s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM (SELECT doc_id, $votes FROM (SELECT doc_id, md5(w) AS h FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)) GROUP BY doc_id)"
+  }
+
+  /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
+    * transform over 1-based element_at — verified aligned).
+    */
+  lazy val minhashSql: String =
+    "SELECT doc_id, list_aggregate([md5('0' || sh) for sh in shl], 'min') AS h0, " +
+      "list_aggregate([md5('1' || sh) for sh in shl], 'min') AS h1, " +
+      "list_aggregate([md5('2' || sh) for sh in shl], 'min') AS h2, " +
+      "list_aggregate([md5('3' || sh) for sh in shl], 'min') AS h3 " +
+      "FROM (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)] AS shl " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))"
+
+  /** LSH band-join pair SQL over [[minhashSql]] signatures (shared by the
+    * pair query and the clustering oracle).
+    */
+  lazy val lshPairsSql: String =
+    "SELECT id_a, id_b FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id " +
+      "UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)"
+
+  /** Hub-capped band-join pair SQL (8 hubs per bucket) — the DuckDB twin
+    * of [[graft.operators.Dedup.lshCandidatePairsBounded]]: only the 8
+    * smallest ids of a bucket pair with the rest, bounding a hot bucket's
+    * edge emission at O(8·b).
+    */
+  lazy val lshBoundedPairsSql: String = {
+    def band(k1: String, k2: String): String =
+      s"SELECT least(h.doc_id, s.doc_id) AS id_a, greatest(h.doc_id, s.doc_id) AS id_b " +
+        s"FROM (SELECT doc_id, $k1, $k2, row_number() OVER (PARTITION BY $k1, $k2 ORDER BY doc_id) AS rn FROM sig) h " +
+        s"JOIN sig s ON h.$k1 = s.$k1 AND h.$k2 = s.$k2 AND h.rn <= 8 AND h.doc_id <> s.doc_id"
+    s"SELECT DISTINCT id_a, id_b FROM (${band("h0", "h1")} UNION ALL ${band("h2", "h3")})"
+  }
+}

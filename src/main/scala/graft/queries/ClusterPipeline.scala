@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** Dedup clustering + decontamination + sampling + skew pipeline stages
+  * (candidate verify, connected components, splits, sharding).
+  */
+private[queries] object ClusterPipelineQueries {
+  import CatalogShared._
+
+  // --------------------------------------------------------------------
+  // Dedup clustering + sampling + quantization (training-pipeline stages)
+  // --------------------------------------------------------------------
+
+  // Eval-set decontamination: corpus docs (doc_id ≥ 10) sharing ≥3
+  // distinct bigram shingles with the stand-in benchmark (doc_id < 10).
+  private val decontam = Seq(
+    Q("dedup_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.contaminated(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text", minShared = 3)
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")))
+
+  // Asymmetric containment ratio per corpus doc vs the benchmark shingle
+  // set — catches a short eval item quoted whole inside a long document
+  // (near-zero Jaccard, containment ≈ 1). Ratio = one division of two
+  // exact integers: cross-engine deterministic.
+  private val containmentQ = Seq(
+    Q("dedup_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.containment(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), " +
+        "b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM w WHERE doc_id >= 10 GROUP BY doc_id), " +
+        "shr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id) " +
+        "SELECT tot.doc_id, COALESCE(shr.n_shared, 0) AS n_shared, tot.n_total, CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / tot.n_total AS containment " +
+        "FROM tot LEFT JOIN shr USING (doc_id) ORDER BY doc_id")),
+
+    // Skew-resilient salted join: the small side replicates per salt so
+    // a hot key's rows spread over `salts` tasks. Oracle is the plain
+    // join it must equal row-for-row.
+    Q("j9_salted_join",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        graft.operators.Skew.saltedJoin(orders, cust, "o_custkey", salts = 8)
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "c_name")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderpriority, c_name FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey")),
+
+    // Skew-resilient two-phase salted aggregation, verified against the
+    // plain GROUP BY it must equal (integer cents — exact under any
+    // partial/merge order, which is the whole point of salting).
+    Q("skew_salted_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("qty_cents", cents(col("l_quantity")))
+        graft.operators.Skew.saltedSumCount(li, "l_returnflag", "qty_cents")
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Adaptive composition — the reason the heavy-hitters sketch exists:
+    // one bounded Misra-Gries probe detects the hot key, which routes
+    // through the salted two-phase plan while the cold tail takes the
+    // plain groupBy. The key is a catch-all bucket ('bulk' holds every
+    // l_quantity > 10 — exactly 80% of rows at any sf; each remaining
+    // quantity holds 2%), so the routing is PROVABLE even in MG's
+    // approximate regime (11 distinct keys > capacity 8): the hot
+    // estimate is ≥ 0.8n − n/9 ≈ 0.69n ≥ hotShare·n, and a cold
+    // estimate never exceeds its true 0.02n — MG estimates are lower
+    // bounds — so the split is deterministic across partitionings.
+    // Equals the plain GROUP BY exactly: probe routing can only change
+    // the PLAN, never the answer.
+    Q("skew_adaptive_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("qkey", when(col("l_quantity") > 10, lit("bulk"))
+            .otherwise(col("l_quantity").cast("int").cast("string")))
+          .withColumn("qty_cents", cents(col("l_quantity")))
+        graft.operators.Skew.adaptiveSumCount(li, "qkey", "qty_cents",
+          salts = 8, capacity = 8, hotShare = 0.5)
+          .orderBy("qkey")
+      },
+      Some("SELECT qkey, CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT CASE WHEN l_quantity > 10 THEN 'bulk' ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS qkey, l_quantity FROM lineitem) " +
+        "GROUP BY qkey ORDER BY qkey")))
+
+  // Span-level boilerplate detection: exact 8-token spans shared by ≥3
+  // distinct docs (template/boilerplate families that doc-level dedup
+  // leaves behind — the span report drives a scrub pass at scale).
+  private val spanQs = Seq(
+    Q("text_boilerplate",
+      (s, d) => graft.operators.Dedup
+        .ngramRows(Tables.documents(s, d), "doc_id", "text", 8)
+        .distinct()
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("gram")),
+      Some("WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM w, LATERAL unnest(generate_series(1, len(ws)-7)) AS t(i)), " +
+        "d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY gram) " +
+        "SELECT gram, df FROM d WHERE df >= 3 ORDER BY df DESC, gram")),
+
+    // MinHash sketch-accuracy report: estimated Jaccard (matching
+    // signature quarters) next to the exact shingle Jaccard, per LSH
+    // candidate pair — the calibration check before trusting the sketch
+    // at a scale where exact Jaccard is unaffordable corpus-wide.
+    // jacc_millis = floor(j*1000 + 0.5) of a single exact division.
+    Q("dedup_minhash_est",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sig = graft.operators.Dedup
+          .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+        // pairs feed BOTH the estimate and the candidate-id set below —
+        // materialized once, or the band self-joins run twice
+        val pairs = graft.operators.Dedup
+          .lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2).localCheckpoint()
+        val est = pairs
+          .join(sig.select(col("doc_id").as("id_a"),
+            col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"),
+            col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (0 until 4).map(i =>
+              when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+              .reduce(_ + _).as("est_quarters"))
+        // exact Jaccard is routed THROUGH the candidate pair list, never
+        // via a co-shingle self-join: a shingle shared by b docs fans a
+        // self-join out b² ways (quadratic in popularity — the hot-key
+        // trap), while the pair-routed join costs |pairs| × shingles-
+        // per-doc, linear in what the report actually covers. The per-doc
+        // totals are one linear partial-agg pass. The oracle computes the
+        // unrestricted join — same values on candidate pairs, affordable
+        // at oracle scale.
+        val w = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
+          .distinct().localCheckpoint()
+        val n = w.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        val shared = pairs
+          .join(w.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(w.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("shared"))
+        est
+          .join(shared, Seq("id_a", "id_b"), "left")
+          .join(n.select(col("doc_id").as("id_a"), col("nd").as("na")), "id_a")
+          .join(n.select(col("doc_id").as("id_b"), col("nd").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("est_quarters"),
+            floor(coalesce(col("shared"), lit(0L)).cast("double")
+              / (col("na") + col("nb") - coalesce(col("shared"), lit(0L))) * 1000 + 0.5)
+              .cast("long").as("jacc_millis"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), " +
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY doc_id), " +
+        "shr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "est AS (SELECT id_a, id_b, CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) AS BIGINT) AS est_quarters FROM pairs JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b) " +
+        "SELECT est.id_a, est.id_b, est.est_quarters, CAST(floor(CAST(COALESCE(shr.shared, 0) AS DOUBLE) / (na.nd + nb.nd - COALESCE(shr.shared, 0)) * 1000 + 0.5) AS BIGINT) AS jacc_millis " +
+        "FROM est LEFT JOIN shr ON est.id_a = shr.id_a AND est.id_b = shr.id_b " +
+        "JOIN n na ON na.doc_id = est.id_a JOIN n nb ON nb.doc_id = est.id_b " +
+        "ORDER BY est.id_a, est.id_b")))
+
+  // Edit-distance verification of LSH candidates — the classic
+  // candidate→verify dedup pattern: pairwise Levenshtein runs ONLY on
+  // the banded candidates (exact integer cross-engine), never all-pairs.
+  private val editVerify = Seq(
+    Q("dedup_edit_verify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup
+          .lshCandidatePairs(docs, "doc_id", "text", 4, 2)
+        val t = docs.select(col("doc_id"), col("text"))
+        pairs
+          .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+          .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          // length gap is a lower bound on edit distance — prunes the
+          // O(threshold·len) DP entirely for most candidate pairs; the
+          // thresholded levenshtein bands the rest (returns -1 above 20,
+          // never filling the full O(len²) matrix).
+          .filter(abs(length(col("ta")) - length(col("tb"))) <= 20)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb"), 20).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") >= 0)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"WITH sig AS ($minhashSql), pairs AS ($lshPairsSql) " +
+        "SELECT id_a, id_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
+        "FROM pairs JOIN documents a ON a.doc_id = id_a JOIN documents b ON b.doc_id = id_b " +
+        "WHERE levenshtein(a.text, b.text) <= 20 ORDER BY id_a, id_b")))
+
+  // The clustering oracles are the semantic fixpoint definition
+  // (recursive CTE: cluster id = min doc_id reachable); Spark runs
+  // large-star/small-star ([[graft.operators.Components]]) — a hash-match
+  // proves the contraction reaches the same fixpoint.
+  //
+  // The Spark-side edge list is the per-band STAR graph (doc → band
+  // minimum, [[graft.operators.Dedup.lshStarEdges]]): identical
+  // connectivity to the pairwise band graph the oracle walks — within a
+  // bucket everything connects through the minimum — but linear, not
+  // quadratic, in bucket size (the 100 TB shape; a hot template bucket
+  // of 10^5 docs would otherwise emit 5·10^9 pairs).
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text", 4).localCheckpoint()
+    graft.operators.Components.clusters(
+      docs, "doc_id",
+      graft.operators.Dedup.lshStarEdges(sig, "doc_id", 4, 2),
+      "id_a", "id_b")
+  }
+  private val pipeline = Seq(
+    Q("dedup_clusters",
+      (s, d) => dupClusters(s, d).orderBy("doc_id"),
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a) " +
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id")),
+
+    // Canonical-doc selection: one row per duplicate cluster with its
+    // size — the keep-list/drop-report stage after clustering.
+    Q("dedup_canonical",
+      (s, d) => dupClusters(s, d)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id"),
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +
+        "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY cluster_id ORDER BY cluster_id")),
+
+    // Leakage-free split: train/val/test assigned by DUPLICATE-CLUSTER
+    // id, so near-dup docs never straddle splits (splitting by doc id
+    // leaks paraphrases of training docs into test).
+    Q("split_assign",
+      (s, d) => graft.operators.Sampling
+        .splitByGroup(dupClusters(s, d), "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
+      Some(s"WITH RECURSIVE sig AS ($minhashSql), pairs AS ($lshPairsSql), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), " +
+        "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n FROM (SELECT CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM lab) GROUP BY split ORDER BY split")),
+
+    // Deterministic Bernoulli sample: md5-prefix threshold (reproducible
+    // across runs/engines/partitionings, unlike rand()-based sample()).
+    Q("sample_bernoulli",
+      (s, d) => graft.operators.Sampling
+        .bernoulli(Tables.documents(s, d), "doc_id", 0.25)
+        .select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' ORDER BY doc_id")),
+
+    // Exact-k per-stratum sample by hash order.
+    Q("sample_stratified",
+      (s, d) => graft.operators.Sampling
+        .stratified(Tables.events(s, d), "event_type", "event_id", 50)
+        .select("event_id", "event_type").orderBy("event_type", "event_id"),
+      Some("SELECT event_id, event_type FROM (SELECT event_id, event_type, row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events) WHERE rn <= 50 ORDER BY event_type, event_id")),
+
+    // Per-row weighted (importance) sample: keep probability = a
+    // quality proxy (token count / 60, capped at 1) — the standard
+    // quality-weighted curation keep, decided by the same md5 threshold
+    // as bernoulli but per row. floor (not round) builds the threshold:
+    // HALF_UP vs HALF_EVEN differs between engines on exact .5 products.
+    // Both engines guard on the FLOORED LONG reaching 2^32 (w within
+    // 2^-33 of 1.0 rounds there; its 9-char hex would otherwise be
+    // truncated by the 8-wide pad), mirroring Sampling.weighted.
+    Q("sample_weighted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w",
+            size(split(lower(col("text")), " ")).cast("double") / 60.0)
+        graft.operators.Sampling.weighted(docs, "doc_id", "w")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("SELECT doc_id FROM (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 60.0 AS w FROM documents) " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "(CASE WHEN floor(w * 4294967296.0) >= 4294967296 THEN 'g' ELSE printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT)) END) ORDER BY doc_id")),
+
+    // Domain-mixture sample: per-source keep rates with a default.
+    Q("sample_mixture",
+      (s, d) => graft.operators.Sampling
+        .mixture(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "(CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80000000' WHEN source = 'src2' THEN '40000000' ELSE '1999999a' END) ORDER BY doc_id")),
+
+    // Upsert/MERGE as a plan: keyed updates replace, new keys insert,
+    // the rest passes through (what MERGE INTO compiles to on a table
+    // format). Updates = doubled balances for custkey ≤ 100 plus
+    // synthetic new keys; oracle is the CASE/UNION semantic twin.
+    Q("k5_upsert",
+      (s, d) => {
+        val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val modified = base.filter(col("c_custkey") <= 100)
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+        val inserted = base.filter(col("c_custkey") <= 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+        graft.operators.Upsert(base, modified.unionByName(inserted), "c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM (SELECT c_custkey, c_name, CASE WHEN c_custkey <= 100 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal FROM customer UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 5) ORDER BY c_custkey")),
+
+    // Deterministic shard assignment: per-shard row counts (the training
+    // shard-balance report; assignment is engine-portable md5, not
+    // Spark-specific murmur hash).
+    Q("shard_assign",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(graft.operators.Shards.shardId(col("doc_id"), 8).as("shard"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shard"),
+      Some("SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // Symmetric int8 scalar quantization of embeddings (4× ANN memory
+    // cut). Fixed per-element IEEE tree — exact cross-engine.
+    Q("emb_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("mx", Vectors.maxAbs(col("embedding")))
+        // serialized to a string: the driver's comparator sorts result
+        // frames by every column, and raw array cells break that sort
+        // (round-2 CORRECTNESS recorded a comparator crash, not a
+        // mismatch — the values themselves hash-matched in the mimic).
+        e.select(col("vec_id"),
+          array_join(Vectors.quantizeInt8(col("embedding"), col("mx")), ",").as("q"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id, array_to_string([CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding], ',') AS q " +
+        "FROM (SELECT vec_id, embedding, list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx FROM embeddings) ORDER BY vec_id")),
+
+    // Round-trip reconstruction error of the quantization, in exact
+    // integer micro-units — the quantized-ANN quality gate.
+    Q("emb_quant_error",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("mx", Vectors.maxAbs(col("embedding")))
+          .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("mx")))
+        e.select(col("vec_id"),
+          Vectors.quantErrorMicros(col("embedding"), col("q"), col("mx")).as("err_micros"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id, CAST(floor(list_max([abs(CAST(q[i] AS DOUBLE) * (mx / 127.0) - CAST(embedding[i] AS DOUBLE)) for i in generate_series(1, len(embedding))]) * 1000000 + 0.5) AS BIGINT) AS err_micros " +
+        "FROM (SELECT vec_id, embedding, mx, [CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT) for x in embedding] AS q " +
+        "FROM (SELECT vec_id, embedding, list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx FROM embeddings)) ORDER BY vec_id")))
+
+
+  val all: Seq[Q] = decontam ++ containmentQ ++ spanQs ++ editVerify ++ pipeline
+}

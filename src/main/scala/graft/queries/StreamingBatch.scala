@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** Streaming batch-equivalents (SURVEY §2.9): windowed aggs, sessionize,
+  * stateful counts, CDC drains.
+  */
+private[queries] object StreamingQueries {
+  import CatalogShared._
+
+  // --------------------------------------------------------------------
+  // Streaming batch-equivalent (SURVEY §2.9)
+  // --------------------------------------------------------------------
+
+  private val streaming = Seq(
+    // Tumbling-window event aggregation — the batch twin of the Structured
+    // Streaming pipeline in graft.streaming (same plan shape). Window start
+    // formatted to string: engines disagree on timestamp tz-awareness.
+    Q("stream_window_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("value"))).as("sum_value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value_cents"))
+        .orderBy("window_start", "event_type"),
+      Some("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // END-TO-END CDC sink: the change set (a bounded slice of events)
+    // actually flows through Structured Streaming — JSONL feed files,
+    // AvailableNow micro-batches (one file each), foreachBatch
+    // version-aware MERGE into a parquet snapshot — and the SNAPSHOT is
+    // what the oracle checks. The merge keeps the greatest-ts row per
+    // key regardless of batch order, so the batch oracle is one window
+    // over the change set. Slice is fixed-size (event_id < 1500) to keep
+    // the real streaming machinery cheap at any sf.
+    Q("stream_upsert_sink",
+      (s, d) => graft.streaming.EventStream
+        .drainUpsert(s, Tables.events(s, d).filter(col("event_id") < 1500),
+          "user_id", nFiles = 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, event_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events WHERE event_id < 1500) WHERE rn = 1 ORDER BY user_id")),
+
+    // END-TO-END streaming dedup + parquet append sink: the slice is fed
+    // TWICE (simulating at-least-once re-delivery) through
+    // dropDuplicatesWithinWatermark state and drained into the parquet
+    // sink with AvailableNow; survivors must equal the slice exactly.
+    // Covers the two remaining spec-only streaming ops in one drain.
+    Q("stream_dedup_drain",
+      (s, d) => {
+        val slice = Tables.events(s, d).filter(col("event_id") < 1500)
+        graft.streaming.EventStream
+          .drainDedup(s, slice.unionByName(slice), Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents " +
+        "FROM events WHERE event_id < 1500 ORDER BY event_id")),
+
+    // END-TO-END stateful counting: mapGroupsWithState accumulates
+    // per-user counts across 3 AvailableNow micro-batches into an
+    // update-mode memory sink; the final state must equal the batch
+    // groupBy count — cross-batch state correctness, driver-verified.
+    Q("stream_running_counts",
+      (s, d) => graft.streaming.EventStream
+        .drainRunningCounts(s,
+          Tables.events(s, d).filter(col("event_id") < 1500), nFiles = 3)
+        .orderBy("user_id"),
+      Some("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events " +
+        "WHERE event_id < 1500 GROUP BY user_id ORDER BY user_id")),
+
+    // Cohort retention: users grouped by first-seen week; how many are
+    // active k weeks later. Pure date/int arithmetic (week truncation is
+    // ISO Monday-start in both engines; offsets are integer day
+    // differences div 7) — deterministic, and the shape is two grouped
+    // aggregations plus one key join, shuffle-bounded at any scale.
+    Q("stream_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+        ev.join(cohort, "user_id")
+          .select(col("user_id"), col("cw"),
+            expr("datediff(w, cw) div 7").cast("long").as("week_offset"))
+          .distinct()
+          .groupBy("cw", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events), " +
+        "c AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, cw, date_diff('day', cw, w) // 7 AS k FROM e JOIN c USING (user_id)) " +
+        "SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, CAST(k AS BIGINT) AS week_offset, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY cw, k ORDER BY 1, 2")),
+
+    // Event funnel: users whose first view precedes their first click
+    // precedes their first purchase. Oracle truncates to microseconds to
+    // match Spark's parquet timestamp precision before comparing.
+    Q("stream_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firsts = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        firsts
+          .filter(col("tv") < col("tc") && col("tc") < col("tp"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_users FROM (SELECT user_id, min(CASE WHEN event_type = 'view' THEN date_trunc('microseconds', ts) END) AS tv, min(CASE WHEN event_type = 'click' THEN date_trunc('microseconds', ts) END) AS tc, min(CASE WHEN event_type = 'purchase' THEN date_trunc('microseconds', ts) END) AS tp FROM events GROUP BY user_id) WHERE tv < tc AND tc < tp")),
+
+    // First-touch per (user, event_type): batch twin of
+    // EventStream.firstTouch (streaming: dropDuplicatesWithinWatermark —
+    // arrival order = event order in a watermark-correct stream).
+    Q("stream_first_touch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, event_id AS first_event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type")),
+
+    // Interval join: views paired with same-user purchases ≤30 min later —
+    // batch twin of EventStream.viewToPurchase (stream-stream join whose
+    // time bound lets Spark expire buffered state).
+    Q("stream_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // the literal streaming operator on batch inputs (withWatermark
+        // is a no-op on batch plans)
+        graft.streaming.EventStream.viewToPurchase(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), maxGapMinutes = 30)
+          .orderBy("view_id", "purchase_id")
+      },
+      Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id FROM events v JOIN events p ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase' AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE ORDER BY view_id, purchase_id")),
+
+    // Gap-based sessionization, batch form: a >30-min silence starts a new
+    // session (streaming twin: EventStream.sessionCounts session_window).
+    // lag + running-sum-of-flags — second-granularity gap arithmetic is
+    // identical cross-engine (both floor to epoch seconds).
+    Q("stream_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), f AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")))
+
+
+  val all: Seq[Q] = streaming
+}

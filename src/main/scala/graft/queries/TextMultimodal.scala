@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** Text-analysis queries (tokens, langid, quality, tf vocab, scrub,
+  * fingerprints) and the multimodal metadata/codec oracles.
+  */
+private[queries] object TextMultimodalQueries {
+  import CatalogShared._
+
+  // --------------------------------------------------------------------
+  // Keyword analytics + text pipeline (SURVEY §2.4 A1/A2, §2.8 C5-C8;
+  // beyond-reference text analysis)
+  // --------------------------------------------------------------------
+
+  private val textual = Seq(
+    // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
+    // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
+    Q("a1_word_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$") && !col("word").isin(Text.StopWords: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20),
+      Some(s"SELECT word, cnt FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$$') AND word NOT IN ${Text.StopWordsSql} GROUP BY word) ORDER BY cnt DESC, word LIMIT 20")),
+
+    // Beyond-reference: heuristic language ID (stopword-hit ratio).
+    Q("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS BIGINT) * 10 >= CAST(len(string_split(lower(text), ' ')) AS BIGINT) THEN 'en' ELSE 'und' END AS lang_pred FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: quality scoring — length / stopword / density
+    // ratios. Single-division doubles: deterministic.
+    Q("text_quality",
+      (s, d) => {
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        val punct = size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(0))).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          toks.as("n_tokens"),
+          (Text.stopwordHits(col("text")).cast("double") / toks).as("stopword_ratio"),
+          (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+          (length(col("text")).cast("double") / toks).as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      // DuckDB length() = CHARACTERS, matching Spark length(); strlen
+      // counts BYTES and would diverge on any non-ASCII document.
+      Some(s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) AS stopword_ratio, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: BPE-ish token counting (alpha runs + digit runs).
+    Q("text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: document fingerprint (md5 of sorted distinct
+    // token set — canonical bag-of-words identity).
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")),
+
+    // Composite quality gate: the keep/drop decision with the FIRST
+    // failing rule as the reason (Gopher-style rule stack). All signals
+    // are exact integers or single divisions of identical ints, so even
+    // exact-boundary comparisons agree cross-engine.
+    Q("text_quality_gate",
+      (s, d) => {
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        val punct = size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit(0))).cast("long")
+        val swRatio = Text.stopwordHits(col("text")).cast("double") / toks
+        val cpt = length(col("text")).cast("double") / toks
+        val reason =
+          when(toks < 5, "too_short")
+            .when(toks > 1000, "too_long")
+            .when(swRatio < 0.05, "low_stopword")
+            .when(punct.cast("double") / length(col("text")) > 0.3, "punct_heavy")
+            .when(cpt > 12.0, "long_tokens")
+            .otherwise("keep")
+        Tables.documents(s, d)
+          .select(col("doc_id"), (reason === "keep").as("keep"), reason.as("reason"))
+          .orderBy("doc_id")
+      },
+      Some(s"SELECT doc_id, reason = 'keep' AS keep, reason FROM (SELECT doc_id, CASE " +
+        "WHEN len(string_split(lower(text), ' ')) < 5 THEN 'too_short' " +
+        "WHEN len(string_split(lower(text), ' ')) > 1000 THEN 'too_long' " +
+        s"WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) < 0.05 THEN 'low_stopword' " +
+        "WHEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) > 0.3 THEN 'punct_heavy' " +
+        "WHEN CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0 THEN 'long_tokens' " +
+        "ELSE 'keep' END AS reason FROM documents) ORDER BY doc_id")),
+
+    // PII/URL scrubbing: mask URLs then long digit runs — the redaction
+    // pass before training.
+    Q("text_scrub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.scrub(col("text")).as("scrubbed"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'), '[0-9]{4,}', '<NUM>', 'g') AS scrubbed FROM documents ORDER BY doc_id")),
+
+    // Repeated-bigram ratio (Gopher-style repetition filter signal):
+    // 1 − distinct/total bigrams via the codegen-safe shingle rows (a
+    // per-row HOF over split() would fall into the CollapseProject
+    // interpreted-lambda trap). Exact integer counts, one division.
+    Q("text_rep_ngram",
+      (s, d) => graft.operators.Dedup
+        .shingleRows(Tables.documents(s, d), "doc_id", "text")
+        .groupBy("doc_id")
+        .agg((lit(1.0) - countDistinct(col("sh")).cast("double") / count(lit(1)))
+          .as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, 1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*) AS rep_ratio FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) WHERE len(ws) >= 2) GROUP BY doc_id ORDER BY doc_id")),
+
+    // Context-window chunking: 50-token windows, stride 40 (10-token
+    // overlap) — map-side posexplode+slice, no shuffle.
+    Q("text_chunks",
+      (s, d) => graft.operators.Chunk
+        .chunkTokens(Tables.documents(s, d), "doc_id", "text", size = 50, stride = 40)
+        .orderBy("doc_id", "chunk_id"),
+      Some("SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), LATERAL unnest(generate_series(0, CAST(floor((len(ws)-1)/40) AS BIGINT))) AS t(i) ORDER BY doc_id, chunk_id")),
+
+    // Vocabulary construction: contiguous token ids by frequency rank.
+    // Two-phase like w1: TakeOrderedAndProject bounds the top-200 BEFORE
+    // the id-assigning window ranks ≤200 rows (never the whole vocab).
+    Q("text_vocab",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(200)
+        counts
+          .select(col("word"), col("cnt"),
+            row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+              .cast("long").as("token_id"))
+          .orderBy("token_id")
+      },
+      Some("SELECT word, cnt, rn AS token_id FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (ORDER BY count(*) DESC, word) AS rn FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) WHERE rn <= 200 ORDER BY token_id")),
+
+    // Document frequency (how many docs contain each word — the IDF
+    // numerator, distinct from text_vocab's collection frequency).
+    Q("text_df",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(100),
+      Some("SELECT word, df FROM (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) ORDER BY df DESC, word LIMIT 100")),
+
+    // Skip-gram co-occurrence (window ±2): pairs come from lead() over
+    // (doc, pos) — one shuffle, NO position self-join. Pairs normalized
+    // (least, greatest) so (a,b) and (b,a) accumulate together.
+    Q("text_cooccur",
+      (s, d) => {
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(byDoc))
+          .withColumn("w2", lead("w", 2).over(byDoc))
+        tok.select(col("w").as("a"), col("w1").as("b"))
+          .unionByName(tok.select(col("w").as("a"), col("w2").as("b")))
+          .filter(col("b").isNotNull && col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("wa"), greatest(col("a"), col("b")).as("wb"))
+          .groupBy("wa", "wb").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("wa"), col("wb"))
+          .limit(100)
+      },
+      Some("SELECT wa, wb, cnt FROM (SELECT least(a, b) AS wa, greatest(a, b) AS wb, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT ws[i] AS a, ws[i+k] AS b FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i), LATERAL unnest([1, 2]) AS g(k) WHERE i + k <= len(ws)) WHERE a <> b GROUP BY 1, 2) ORDER BY cnt DESC, wa, wb LIMIT 100")),
+
+    // Token-count histogram over the corpus (bucket = floor(tokens/10)) —
+    // the length-distribution diagnostic a curation pipeline reports.
+    Q("text_len_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(floor(size(split(col("text"), " ")) / lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // posexplode: token stream with positions (the lateral-view /
+    // flatten-with-ordinality shape).
+    Q("c17_explode_pos",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+        .orderBy("doc_id", "pos"),
+      Some("SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i) ORDER BY doc_id, pos")),
+
+    // Beyond-reference: multimodal plumbing — opaque payload treated as
+    // bytes + typed metadata derived without decoding.
+    Q("mm_binary_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (octet_length(col("text")).cast("long") % 640).as("fake_width"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, CAST(strlen(text) AS BIGINT) % 640 AS fake_width FROM documents ORDER BY doc_id")),
+
+    // REAL pixel decode: synthesize a deterministic 24-bit BMP per doc
+    // (pixel (x,y) of doc i: r=(i+7x+13y)%256 g=(2i+11x+3y)%256
+    // b=(3i+5x+17y)%256; odd ids stored top-down, even bottom-up),
+    // round-trip it through the library-free encoder+decoder, and
+    // aggregate the DECODED pixels: channel sums, a position-weighted
+    // luminance sum (catches row-order/orientation bugs that plain sums
+    // can't), and an 8-bin luminance histogram. The oracle computes the
+    // same integers from the closed-form pixel function — it never sees a
+    // BMP byte, so a hash match proves the decoder inverts the format.
+    Q("mm_pixel_stats",
+      (s, d) => graft.multimodal.Multimodal
+        .syntheticBmpStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
+        "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b FROM px), " +
+        "l AS (SELECT *, (r*299 + g*587 + b*114) // 1000 AS luma FROM c) " +
+        "SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, " +
+        "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma, " +
+        (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN luma // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS lb$i").mkString(", ") +
+        " FROM l GROUP BY doc_id ORDER BY doc_id")),
+
+    // REAL audio decode — the WAV twin of mm_pixel_stats: synthesize a
+    // deterministic mono PCM16 waveform per doc (sample i of doc k is
+    // (31k + 7i² + 13i) mod 65536 − 32768; n = 64 + k%37 samples at
+    // 8000 + (k%3)·4000 Hz), round-trip it through the library-free
+    // RIFF/WAVE encoder+decoder, and aggregate the DECODED samples:
+    // sum, |s| sum, s² sum (the integer RMS proxy), and an 8-bin
+    // amplitude histogram. The oracle computes the same integers from
+    // the closed-form waveform — it never sees a WAV byte, so a hash
+    // match proves the decoder inverts the container exactly (sign,
+    // byte order, chunk offsets, fmt fields).
+    Q("mm_audio_stats",
+      (s, d) => graft.multimodal.Audio
+        .syntheticWavStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n, 8000 + (doc_id % 3) * 4000 AS rate FROM documents WHERE doc_id < 100), " +
+        "sm AS (SELECT doc_id, rate, (31*doc_id + 7*i*i + 13*i) % 65536 - 32768 AS s FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)) " +
+        "SELECT doc_id, CAST(any_value(rate) AS BIGINT) AS rate, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
+        (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN (s + 32768) // 8192 = $i THEN 1 ELSE 0 END) AS BIGINT) AS ab$i").mkString(", ") +
+        " FROM sm GROUP BY doc_id ORDER BY doc_id")),
+
+    // REAL compressed-container metadata — the third modality leg: even
+    // ids synthesize an MP4 (ISO BMFF box walk; ids % 4 == 0 take the
+    // version-1 64-bit duration path past 2^32 ticks), odd ids an
+    // Ogg-Opus stream (CRC-verified page walk + OpusHead). Every output
+    // value comes from PARSING the encoded bytes; the oracle recomputes
+    // them closed-form from the id without seeing a byte, so a hash match
+    // proves both walks invert their layouts (box sizes, 16.16 fixed
+    // point, version variants, lacing, CRC, granule math).
+    Q("mm_container_meta",
+      (s, d) => graft.multimodal.Container
+        .syntheticContainerStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'ogg' END AS container, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'isom' END AS brand, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 600 * (1 + doc_id % 5) ELSE 48000 END AS BIGINT) AS timescale, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4294967296 + 977 * doc_id ELSE 10000 + 977 * doc_id END) ELSE 960 * (50 + doc_id % 300) END AS BIGINT) AS duration_units, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4294967296 + 977 * doc_id ELSE 10000 + 977 * doc_id END) * 1000 // (600 * (1 + doc_id % 5)) ELSE (960 * (50 + doc_id % 300)) * 1000 // 48000 END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * (4 + doc_id % 9) END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * (3 + doc_id % 5) END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END) END AS BIGINT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 312 + doc_id % 100 END AS BIGINT) AS preskip, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 6) END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END AS BIGINT) AS n_parts " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id")))
+
+
+  val all: Seq[Q] = textual
+}
