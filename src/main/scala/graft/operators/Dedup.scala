@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Blooms, Text}
 
 /** Deduplication operators for large-scale corpus curation
   * (beyond-reference north star; see BASELINE.json).
@@ -336,6 +336,45 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Bloom-gated decontamination — [[contaminated]] semantics (the result
+    * is bit-identical) with the benchmark membership test collapsed into
+    * a compact bloom filter probed map-side before anything joins.
+    *
+    * Scale shape: [[contaminated]] broadcast-joins the full benchmark
+    * shingle SET — fine for a few thousand eval docs, but a
+    * consortium-scale benchmark suite (tens of millions of shingles ×
+    * long strings) is GBs on the wire and in every executor's heap. Here
+    * the corpus shingle stream is filtered by a codegen'd
+    * `might_contain` (~1.2 MB per million shingles at 1% fpp, independent
+    * of shingle length) inside the scan stage, so at 100 TB only true
+    * matches plus the fpp tail ever reach the exact broadcast verify
+    * join that removes false positives. Blooms have no false negatives,
+    * so the pre-filter can never drop a real contamination.
+    *
+    * On a real cluster, persist `shingleRows(benchmark).distinct()` once
+    * and build the bloom from the persisted table — here the benchmark
+    * side is localCheckpointed so the build and the verify share one
+    * materialization.
+    */
+  def bloomContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 1,
+      expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingleRows(benchmark, idCol, textCol)
+      .select("sh").distinct().localCheckpoint()
+    val corpusSh = shingleRows(corpus, idCol, textCol).distinct()
+    Blooms.buildBytes(benchSh, col("sh"), expectedShingles, fpp) match {
+      case None =>
+        corpusSh.select(col(idCol), lit(0L).as("n_shared")).limit(0)
+      case Some(bloom) =>
+        corpusSh
+          .filter(Blooms.mightContain(bloom, col("sh")))
+          .join(broadcast(benchSh), "sh")
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+    }
   }
 
   /** ASYMMETRIC containment decontamination: per corpus doc, the fraction

@@ -12,6 +12,22 @@ private[queries] object CatalogShared {
   /** floor(x*100 + 0.5) — exact cross-engine integer cents. */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5))
 
+  /** DuckDB twin of [[graft.functions.Layout.spread16]] — the same
+    * shift/mask chain, textually expanded (pure BIGINT ops, exact on
+    * both engines).
+    */
+  def spreadSql(e: String): String = {
+    val m = s"(($e) & 65535)"
+    val a = s"(($m | ($m << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val d = s"(($b | ($b << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  /** DuckDB twin of [[graft.functions.Layout.morton2]]. */
+  def mortonSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
   /** One ANSI string, run verbatim by BOTH Spark SQL and the DuckDB
     * oracle (s7_sql_exists).
     */

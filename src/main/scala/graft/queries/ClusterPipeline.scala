@@ -29,7 +29,23 @@ private[queries] object ClusterPipelineQueries {
           "doc_id", "text", minShared = 3)
           .orderBy("doc_id")
       },
-      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")))
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id")),
+
+    // Bloom-gated decontamination: same exact semantics (the bloom is a
+    // map-side pre-filter with no false negatives; the broadcast verify
+    // join removes the fpp tail), so the oracle is the same closed-form
+    // SQL — the bloom must be invisible in the answer. minShared=2
+    // differentiates the row from dedup_decontaminate's 3.
+    Q("decon_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.bloomContaminated(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text", minShared = 2)
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), b AS (SELECT DISTINCT sh FROM w WHERE doc_id < 10) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM (SELECT doc_id, sh FROM w WHERE doc_id >= 10) c JOIN b USING (sh) GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id")))
 
   // Asymmetric containment ratio per corpus doc vs the benchmark shingle
   // set — catches a short eval item quoted whole inside a long document

@@ -165,5 +165,81 @@ private[queries] object TrainingQueries {
         "SELECT doc_id, term, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")))
 
 
-  val all: Seq[Q] = training
+  // --------------------------------------------------------------------
+  // Relevance ranking + physical layout
+  // --------------------------------------------------------------------
+
+  private val layoutRanking = Seq(
+    // BM25 document ranking for a fixed query-term set, in the catalog's
+    // bit-portable style: idf is the Robertson–Spärck Jones ODDS
+    // (N - df + 0.5)/(df + 0.5) kept unlogged (a transcendental differs
+    // in the last ulp across libm builds — same reasoning as
+    // text_tfidf's rational idf), tf saturation (k1 = 1.25) and length
+    // normalization (b = 0.75) are the standard BM25 forms with
+    // exact-binary-fraction constants, every per-term score is one fixed
+    // IEEE expression tree (each op correctly rounded ⇒ identical bits on
+    // any engine), and the per-doc total sums exact micro-unit LONGS —
+    // order-independent, unlike a double sum.
+    Q("text_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+        val qt = toks.filter(col("term").isin("join", "vector", "stream"))
+        val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = qt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(dfq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("tot").cast("double") / col("n"))
+          .withColumn("idf",
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("denom",
+            col("tf") + lit(1.25) * (lit(0.25)
+              + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+          .withColumn("score_u",
+            floor(col("idf") * (col("tf") * lit(2.25)) / col("denom")
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+          .groupBy("doc_id").agg(sum(col("score_u")).as("score_u"))
+          .orderBy(col("score_u").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl), " +
+        "q AS (SELECT doc_id, term FROM t WHERE term IN ('join', 'vector', 'stream')), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM q GROUP BY doc_id, term), " +
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM q GROUP BY term), " +
+        "sc AS (SELECT doc_id, CAST(floor((n - df + 0.5) / (df + 0.5) * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n))) * 1000000.0 + 0.5) AS BIGINT) AS score_u " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st) " +
+        "SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM sc GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25")),
+
+    // Z-order layout audit: Morton-interleave (o_custkey, order-date
+    // days) and report each 16-bit-prefix bucket's min/max envelope on
+    // BOTH dimensions — the per-file row-group pruning bound a Z-ordered
+    // write (`repartitionByRange(zkey).sortWithinPartitions(zkey)`)
+    // would give. Pure integer shift/mask math, exact on both engines.
+    Q("layout_zorder",
+      (s, d) => {
+        val y = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).cast("long")
+        Tables.orders(s, d)
+          .select(col("o_custkey"), y.as("d_days"),
+            graft.functions.Layout.morton2(col("o_custkey"), y).as("zkey"))
+          .withColumn("bucket", shiftright(col("zkey"), 16))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+            min("d_days").as("d_min"), max("d_days").as("d_max"))
+          .orderBy("bucket")
+      },
+      Some("WITH b AS (SELECT o_custkey, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d_days FROM orders), " +
+        s"z AS (SELECT o_custkey, d_days, ${mortonSql("o_custkey", "d_days")} AS zkey FROM b) " +
+        "SELECT zkey >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "min(o_custkey) AS ck_min, max(o_custkey) AS ck_max, min(d_days) AS d_min, max(d_days) AS d_max " +
+        "FROM z GROUP BY 1 ORDER BY bucket")))
+
+  val all: Seq[Q] = training ++ layoutRanking
 }

@@ -147,6 +147,26 @@ class DedupSpec extends SparkSpec {
     assert(flagged === Map(1L -> 3L)) // doc 3 below threshold, doc 2 clean
   }
 
+  test("bloomContaminated is bit-identical to contaminated (fpp tail removed by verify)") {
+    import spark.implicits._
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = fixture.filter($"doc_id" >= 10)
+    val bench = fixture.filter($"doc_id" < 10)
+    val exact = Dedup.contaminated(corpus, bench, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Dedup.bloomContaminated(corpus, bench, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed === exact)
+    assert(exact.nonEmpty) // fixture must actually exercise the overlap
+  }
+
+  test("bloomContaminated with an empty benchmark flags nothing") {
+    import spark.implicits._
+    val corpus = Seq((10L, "some corpus text here")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.bloomContaminated(corpus, bench, "doc_id", "text").count() === 0)
+  }
+
   test("containment scores a short benchmark item quoted inside a long doc ≈ 1") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")

@@ -130,6 +130,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("decon_bloom: corpus stream is bloom-filtered map-side before the verify join") {
+    val p = plan("decon_bloom")
+    // the codegen'd probe gates the corpus side...
+    assert(p.contains("might_contain"), p)
+    // ...and the exact verify of the surviving candidates broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("layout_zorder: one exchange total — the bucket aggregation's") {
+    val p = plan("layout_zorder")
+    // morton key + bucket are pure column math computed in the scan
+    // stage; anything beyond the single aggregation exchange (plus AQE
+    // bookkeeping) means the bit math fell out of the map side
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_quality_gate: map-only rule stack (no exchange before the sort)") {
     val p = plan("text_quality_gate")
     assert(!p.split("Sort").head.contains("Exchange"), p)
