@@ -92,48 +92,111 @@ object Percentiles {
     * double domain, distinct-per-bucket degenerates to
     * rows-per-bucket and pass 2 becomes the single-task window this
     * operator exists to avoid — narrow the bucket (more buckets, same
-    * tiny pass-1 shuffle) or quantize the value first so the histogram
-    * stays bounded.
+    * tiny pass-1 shuffle), quantize the value first so the histogram
+    * stays bounded, or chain a second refinement level
+    * ([[exactRefinedChain]]) so only a 2⁻³²-of-the-group leaf ever
+    * reaches the distinct-value ranking.
     */
   def exactRefined(df: DataFrame, groupCols: Seq[String], valueCol: String,
       quantiles: Seq[(Double, String)],
       bucket: Column => Column = centsBucket,
+      broadcastTargets: Boolean = true): DataFrame =
+    exactRefinedChain(df, groupCols, valueCol, quantiles, Seq(bucket),
+      broadcastTargets)
+
+  /** Fixed-width monotone bucketing for continuous domains:
+    * `floor(v / width)`. Chain progressively narrower widths (each level
+    * subdivides a parent bucket into `parentWidth / width` children) to
+    * drive the leaf population down before the final distinct-value
+    * ranking — see [[exactRefinedChain]].
+    */
+  def widthBucket(width: Double): Column => Column = {
+    require(width > 0, s"bucket width ($width) must be > 0")
+    v => floor(v / lit(width)).cast("long")
+  }
+
+  /** [[exactRefined]] generalized to a CHAIN of progressively finer
+    * monotone bucketings — the escape hatch for truly continuous
+    * domains, where no single quantization-aligned bucket exists and
+    * one level would leave pass 2's per-bucket distinct count unbounded
+    * (the documented [[exactRefined]] precondition).
+    *
+    * Level k histograms only the rows that survived level k−1's target
+    * filter, bucketed by `buckets(k)` WITHIN the parent bucket: the
+    * per-group cumulative locates the child buckets holding the
+    * bracketing ranks, rows outside them are dropped, and the absolute
+    * rank offset (`__below`) accumulates down the chain. After the last
+    * level, the surviving leaf population is ranked by distinct value
+    * exactly as [[exactRefined]]'s pass 2. Each level's shuffle is a
+    * bounded histogram (map-side combine) and each level divides the
+    * surviving rows by its fan-out, so two 65,536-ary levels subdivide
+    * a group 2³²-fold before anything is ranked row-wise — no window
+    * task ever holds more than one leaf bucket's distinct values.
+    *
+    * Correctness needs only that every `buckets(k)` is monotone
+    * non-decreasing in the value (the join carries the parent bucket
+    * ids, so child ids need not be globally unique); for the SCALE
+    * property, make each level strictly finer than the last so the
+    * surviving leaf actually shrinks — fixed widths where each width
+    * divides its parent's, e.g. `Seq(widthBucket(1024),
+    * widthBucket(1))`, do both.
+    */
+  def exactRefinedChain(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantiles: Seq[(Double, String)],
+      buckets: Seq[Column => Column],
       broadcastTargets: Boolean = true): DataFrame = {
     checkQuantiles(quantiles)
+    require(buckets.nonEmpty, "at least one bucketing level required")
     val g = groupCols.map(col)
-    val rows = df
-      .select(g :+ col(valueCol): _*)
-      .filter(col(valueCol).isNotNull)
-      .withColumn("__b", bucket(col(valueCol)))
-    // Pass 1: per-bucket counts (map-side combine → tiny shuffle), then
-    // a per-group cumulative over the small bucket table. A bucket
-    // covers sorted 1-indexed ranks (__below, __below + __bcnt].
-    val byGroup = Window.partitionBy(g: _*)
-    val bcum = rows
-      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__bcnt"))
-      .withColumn("__bcum", sum(col("__bcnt")).over(byGroup.orderBy(col("__b"))))
-      .withColumn("__n", sum(col("__bcnt")).over(byGroup))
-      .withColumn("__below", col("__bcum") - col("__bcnt"))
     // Buckets holding any bracketing rank ⌊pos⌋+1 / ⌈pos⌉+1 (the pair
     // can straddle two adjacent buckets).
-    val needed = quantiles
+    def needed(below: Column, upto: Column): Column = quantiles
       .flatMap { case (q, _) =>
         val pos = (col("__n") - 1) * lit(q)
         Seq(floor(pos) + 1, ceil(pos) + 1)
       }
-      .map(rank => rank > col("__below") && rank <= col("__bcum"))
+      .map(rank => rank > below && rank <= upto)
       .reduce(_ || _)
-    val targets0 = bcum.filter(needed)
-      .select(g ++ Seq(col("__b"), col("__below"), col("__n")): _*)
-    val targets = if (broadcastTargets) broadcast(targets0) else targets0
-    // Pass 2: only rows in target buckets survive the rescan
-    // (~n/|buckets| per group); rank within (group, bucket) in
-    // parallel and offset by the bucket's cumulative-below.
-    val refined = rows.join(targets, groupCols :+ "__b")
-      .groupBy(g ++ Seq(col("__b"), col("__below"), col("__n"), col(valueCol)): _*)
+    var rows = df
+      .select(g :+ col(valueCol): _*)
+      .filter(col(valueCol).isNotNull)
+    var region: Seq[String] = Nil // bucket columns fixed so far
+    buckets.zipWithIndex.foreach { case (bucket, k) =>
+      val b = s"__b$k"
+      rows = rows.withColumn(b, bucket(col(valueCol)))
+      val part = g ++ region.map(col)
+      // Histogram of the surviving rows by this level's bucket (map-side
+      // combine → tiny shuffle), cumulated within the parent region. A
+      // bucket covers sorted 1-indexed ranks (__below, __below+__bcnt].
+      val carried = if (k == 0) Nil else Seq(col("__below"), col("__n"))
+      val hist0 = rows
+        .groupBy(part ++ carried :+ col(b): _*).agg(count(lit(1)).as("__bcnt"))
+        .withColumn("__lcum", sum(col("__bcnt"))
+          .over(Window.partitionBy(part: _*).orderBy(col(b))))
+      val hist =
+        if (k == 0)
+          hist0.withColumn("__n", sum(col("__bcnt")).over(Window.partitionBy(part: _*)))
+            .withColumn("__cum", col("__lcum"))
+        else hist0.withColumn("__cum", col("__below") + col("__lcum"))
+      val targets0 = hist
+        .filter(needed(col("__cum") - col("__bcnt"), col("__cum")))
+        .select(part ++ Seq(col(b), (col("__cum") - col("__bcnt")).as("__below"),
+          col("__n")): _*)
+      val targets = if (broadcastTargets) broadcast(targets0) else targets0
+      // Only rows in target buckets survive into the next level.
+      rows = rows.drop("__below", "__n")
+        .join(targets, groupCols ++ region :+ b)
+      region :+= b
+    }
+    // Final pass: rank the leaf population by DISTINCT value (one window
+    // task per leaf bucket holds values, not rows) and offset by the
+    // accumulated below-count.
+    val leafPart = g ++ region.map(col)
+    val refined = rows
+      .groupBy(leafPart ++ Seq(col("__below"), col("__n")) :+ col(valueCol): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__cum", col("__below") + sum(col("__cnt"))
-        .over(Window.partitionBy(g :+ col("__b"): _*).orderBy(col(valueCol))))
+        .over(Window.partitionBy(leafPart: _*).orderBy(col(valueCol))))
     pickAndInterpolate(refined, groupCols, valueCol, quantiles)
   }
 

@@ -334,6 +334,27 @@ private[queries] object AggScalarQueries {
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // Exact percentiles of a CONTINUOUS value (unit price — 59,985
+    // distinct ratios in 60k rows at sf0.01, so no quantization-aligned
+    // single bucket exists): the two-level refinement chain subdivides
+    // each group ~100×1024-fold before anything is ranked row-wise,
+    // closing exactRefined's documented continuous-domain precondition.
+    // percentile() ≡ quantile_cont (type-7) as proven by a10.
+    Q("a21_pct_chain",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("unit", col("l_extendedprice") / col("l_quantity"))
+        graft.operators.Percentiles.exactRefinedChain(
+          li, Seq("l_returnflag"), "unit",
+          Seq(0.5 -> "med_unit", 0.95 -> "p95_unit"),
+          buckets = Seq(graft.operators.Percentiles.widthBucket(1024),
+            graft.operators.Percentiles.widthBucket(1)))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, quantile_cont(l_extendedprice / l_quantity, 0.5) AS med_unit, " +
+        "quantile_cont(l_extendedprice / l_quantity, 0.95) AS p95_unit " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // §2.7: UNION ALL of keyword-results and token-results (app.py:141-144;
     // duplicates kept, as in the reference).
     Q("u1_union_all",

@@ -124,4 +124,57 @@ class PercentilesSpec extends SparkSpec {
       .collect()
     assert(out.head.getDouble(1) === 2.5)
   }
+
+  test("exactRefinedChain is bit-identical to percentile() on a continuous domain") {
+    // Near-unique continuous values (a ratio of integers): no
+    // quantization-aligned single bucket exists — the chain's second
+    // level keeps the leaf bounded instead.
+    val cont = (0 until 4000).map { i =>
+      (if (i % 2 == 0) "x" else "y", (i * 37 % 997 + 1).toDouble / (i % 13 + 3))
+    }.toDF("g", "v")
+    val ours = Percentiles.exactRefinedChain(cont, Seq("g"), "v",
+        qs.zipWithIndex.map { case (q, i) => q -> s"p$i" },
+        buckets = Seq(Percentiles.widthBucket(64), Percentiles.widthBucket(0.25)))
+      .orderBy("g").collect()
+    val ref = cont.groupBy("g")
+      .agg(qs.map(q => expr(s"percentile(v, $q)")).head,
+        qs.map(q => expr(s"percentile(v, $q)")).tail: _*)
+      .orderBy("g").collect()
+    ours.zip(ref).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      qs.indices.foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(1 + i)) ===
+          java.lang.Double.doubleToRawLongBits(b.getDouble(1 + i)),
+          s"group ${a.getString(0)} q=${qs(i)}")
+      }
+    }
+  }
+
+  test("exactRefinedChain with one level degenerates to exactRefined exactly") {
+    val one = Percentiles.exactRefinedChain(data, Seq("g"), "v",
+        Seq(0.5 -> "med", 0.9 -> "p90"), buckets = Seq(Percentiles.centsBucket))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val ref = Percentiles.exactRefined(data, Seq("g"), "v",
+        Seq(0.5 -> "med", 0.9 -> "p90"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(one.toSeq === ref.toSeq)
+  }
+
+  test("exactRefinedChain: three levels and shuffle-join targets still match") {
+    val cont = (0 until 2000).map(i => ("t", (i * 97 % 1009).toDouble / 7))
+      .toDF("g", "v")
+    val ours = Percentiles.exactRefinedChain(cont, Seq("g"), "v",
+        Seq(0.25 -> "q1", 0.75 -> "q3"),
+        buckets = Seq(Percentiles.widthBucket(32), Percentiles.widthBucket(4),
+          Percentiles.widthBucket(0.5)),
+        broadcastTargets = false)
+      .collect().head
+    val ref = cont.groupBy("g")
+      .agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.75)"))
+      .collect().head
+    assert(java.lang.Double.doubleToRawLongBits(ours.getDouble(1)) ===
+      java.lang.Double.doubleToRawLongBits(ref.getDouble(1)))
+    assert(java.lang.Double.doubleToRawLongBits(ours.getDouble(2)) ===
+      java.lang.Double.doubleToRawLongBits(ref.getDouble(2)))
+  }
 }

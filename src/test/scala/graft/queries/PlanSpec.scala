@@ -221,6 +221,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("a21_pct_chain: continuous-domain percentiles never build a percentile() buffer") {
+    val p = plan("a21_pct_chain")
+    assert(!p.contains("percentile("), p)
+    // each refinement level is a real partial aggregation before its
+    // window — no task ever holds a group's raw rows
+    assert(p.contains("partial_count"), p)
+  }
+
   test("a20_mad: exact MAD is histogram-based — no percentile() value buffer") {
     val p = plan("a20_mad")
     // Spark's exact percentile buffers every distinct value per group in
