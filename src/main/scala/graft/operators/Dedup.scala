@@ -69,6 +69,38 @@ object Dedup {
         concat_ws(" ", col("w") +: (1 until n).map(k => col(s"__w$k")): _*).as("gram"))
   }
 
+  /** Cross-document repeated-span statistics — the span-level companion
+    * to the document-level dedup family (training-data "exact substring"
+    * dedup: spans repeated verbatim across documents are memorization and
+    * benchmark-leak hot spots that doc-level signatures miss). Every
+    * sliding n-token span is counted by the DISTINCT documents containing
+    * it corpus-wide; a span present in >= `minDocs` documents is flagged,
+    * and each document reports its total span positions, how many are
+    * flagged, and the flagged ratio. Documents with fewer than n tokens
+    * have no spans and emit no row.
+    *
+    * Scale shape: [[ngramRows]] is one exchange on the doc id; spans
+    * shuffle as md5 keys, never as text; the distinct-doc count is a
+    * two-level aggregate with map-side combine; and the flag set joins
+    * back on the same compact key. No all-pairs anything — cost is linear
+    * in corpus token count.
+    */
+  def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2 — 1 flags every span")
+    val grams = ngramRows(df, idCol, textCol, n)
+      .select(col(idCol), md5(col("gram")).as("__h"))
+    val flagged = grams.distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(1L).as("__dup"))
+    grams.join(flagged, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total_spans"),
+        sum(coalesce(col("__dup"), lit(0L))).as("dup_spans"))
+      .withColumn("dup_ratio", col("dup_spans").cast("double") / col("total_spans"))
+  }
+
   /** MinHash signature table: `idCol`, h0..h{k-1} over word-bigram
     * shingles. Portable md5-based hash family (seed-prefixed).
     */

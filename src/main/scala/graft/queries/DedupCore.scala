@@ -66,6 +66,22 @@ private[queries] object DedupCoreQueries {
         "SELECT id_a, id_b, (id_a < 250) AS is_cross FROM full_pairs " +
         "WHERE NOT (id_a < 250 AND id_b < 250) ORDER BY id_a, id_b")),
 
+    // Span-level "exact substring" dedup: 8-token spans repeated verbatim
+    // across >= 2 distinct documents, reported per doc as flagged-position
+    // counts. The oracle recomputes the same md5 span keys closed-form, so
+    // a hash match proves the flag set — not just the totals — agrees.
+    Q("dedup_substring",
+      (s, d) => graft.operators.Dedup
+        .repeatedNgramStats(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, unnest([md5(array_to_string(ws[i:i+7], ' ')) for i in generate_series(1, len(ws)-7)]) AS h FROM t), " +
+        "f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h) WHERE nd >= 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans, " +
+        "CAST(count(*) FILTER (WHERE h IN (SELECT h FROM f)) AS BIGINT) AS dup_spans, " +
+        "CAST(count(*) FILTER (WHERE h IN (SELECT h FROM f)) AS DOUBLE) / count(*) AS dup_ratio " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id")),
+
     // N-gram (bigram-shingle) Jaccard similarity for same-source pairs.
     // jaccard = shared / (na + nb - shared): single double division of exact
     // integers — deterministic cross-engine.

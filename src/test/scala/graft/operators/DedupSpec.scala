@@ -232,4 +232,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(grams === Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e")))
   }
+
+  test("repeatedNgramStats flags cross-doc spans, not within-doc repeats") {
+    import spark.implicits._
+    // Docs 1 and 2 share the span "a b c"; doc 3 repeats "p q r" TWICE
+    // within itself only (one distinct doc — must not be flagged); doc 4
+    // is too short for any span.
+    val docs = Seq(
+      (1L, "a b c d"),       // spans: "a b c"*, "b c d"
+      (2L, "z a b c"),       // spans: "z a b", "a b c"*
+      (3L, "p q r p q r"),   // spans: p q r, q r p, r p q, p q r (4 total, 0 flagged)
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgramStats(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 4L, 0L, 0.0)))
+  }
 }

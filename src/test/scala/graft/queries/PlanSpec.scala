@@ -221,6 +221,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_substring: span stats are aggregate+join — no cartesian, no all-pairs") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct-doc count must partially aggregate before the shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("a21_pct_chain: continuous-domain percentiles never build a percentile() buffer") {
     val p = plan("a21_pct_chain")
     assert(!p.contains("percentile("), p)
