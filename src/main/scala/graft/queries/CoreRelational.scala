@@ -418,6 +418,32 @@ private[queries] object CoreRelational {
       },
       Some("SELECT p.event_id, strftime(date_trunc('microseconds', min(v.ts)), '%Y-%m-%d %H:%M:%S') AS next_view FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON v.user_id = p.user_id AND v.ts >= p.ts GROUP BY p.event_id ORDER BY p.event_id")),
 
+    // Keyless point-in-interval range join, bucket-decomposed: every
+    // error event opens a 10-minute incident window; find all events
+    // inside any window. Naively this is a nested-loop filter
+    // (|events| × |incidents|); RangeJoin explodes each window to its
+    // ≤ 2 covering 600 s buckets and equi-joins on the bucket id.
+    // Epoch seconds floor on both sides (unix_timestamp ≡
+    // epoch(date_trunc('second', ts))).
+    Q("j10_range_bucket",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("sec").as("lo"),
+            (col("sec") + 600).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("event_id"), col("sec")), "sec",
+          incidents, "lo", "hi", bucketWidth = 600)
+          .select(col("incident_id"), col("event_id"),
+            (col("sec") - col("lo")).as("offset_s"))
+          .orderBy("incident_id", "event_id")
+      },
+      Some("WITH e AS (SELECT event_id, event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events), " +
+        "inc AS (SELECT event_id AS incident_id, sec AS lo, sec + 600 AS hi FROM e WHERE event_type = 'error') " +
+        "SELECT i.incident_id, e.event_id, e.sec - i.lo AS offset_s FROM inc i " +
+        "JOIN e ON e.sec >= i.lo AND e.sec < i.hi ORDER BY incident_id, event_id")),
+
     // J4: name→key→rows chain lookup (app.py:269-301).
     Q("j4_chain_lookup",
       (s, d) => Tables.orders(s, d)
