@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -33,17 +33,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp —
-    * the only cross-engine-safe precision.
+  /** `events.ts` needs normalizing to a session-zone TIMESTAMP whatever
+    * physical type the generator wrote:
+    *  - nanosecond int64 (older generations): Spark's vectorized reader
+    *    rejects it ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos
+    *    (legacy.parquet.nanosAsLong), then rebuilt at microsecond
+    *    precision — the only cross-engine-safe precision;
+    *  - timestamp[us] without timezone (current generation): reads as
+    *    TIMESTAMP_NTZ, which streaming watermarks reject
+    *    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The session zone is
+    *    pinned to UTC everywhere here, so the NTZ→LTZ cast is
+    *    wall-clock-preserving and the DuckDB oracle sees identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = raw(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
