@@ -94,8 +94,28 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    // The driver records only the LAST ~2000 chars of stdout and parses a
+    // JSON line out of them. The full per-query line is ~5 KB for a
+    // 130-query catalog, so its head ("metric"/"value") fell outside the
+    // window every round (BENCH_r01..r07 all show parsed:null). Print the
+    // full line first for humans/BENCH.json diffing, then a LAST line
+    // guaranteed to fit: same schema, per-query map truncated to the
+    // slowest entries that fit the window (the sub-second tail is noise;
+    // the full map is always in BENCH.json).
+    println(json)
+    val budget = 1800
+    def compact(entries: Seq[(String, Double)]): String = {
+      val qj = entries.map { case (k, v) => f""""$k":${v}%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${mins.size},"queries_shown":${entries.size},"queries":$qj,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val bySlowest = mins.filter(_._2 >= 0).sortBy(-_._2)
+    val shown = (bySlowest.size to 0 by -1).view
+      .map(n => compact(bySlowest.take(n)))
+      .find(_.length <= budget)
+      .getOrElse(compact(Nil))
+    println(shown)
     spark.stop()
   }
 }

@@ -81,6 +81,38 @@ private[queries] object AggScalarQueries {
       },
       Some("SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // HDR-histogram quantile sketch ([[graft.functions.Hdr]]): per-group
+    // p50/p90/p99 lower-bound estimates over exact price cents, subBits=7
+    // (≤ 1/128 relative error by construction). Unlike the two bound-gate
+    // queries above, the sketch ESTIMATE itself is hash-compared: the
+    // bucket index is integer-exact (binary length, shifts, masks — no
+    // transcendental log), so DuckDB reproduces every estimate
+    // bit-for-bit from the same closed-form bucket math.
+    Q("hdr_quantiles",
+      (s, d) => {
+        import graft.functions.Hdr
+        Hdr.quantileEstimates(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), cents(col("l_extendedprice")).cast("long").as("c")),
+          Seq("l_returnflag"), "c", 7,
+          Seq((1L, 2L, "p50_lb"), (9L, 10L, "p90_lb"), (99L, 100L, "p99_lb")))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        import graft.functions.Hdr
+        val bexp = Hdr.bucketSqlDuck("c", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        def est(num: Int, den: Int, alias: String) =
+          s"CAST(MIN(CASE WHEN cum >= (n * $num + ${den - 1}) // $den THEN $lb END) AS BIGINT) AS $alias"
+        "WITH v AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c FROM lineitem), " +
+          s"bk AS (SELECT l_returnflag, $bexp AS b FROM v), " +
+          "cnt AS (SELECT l_returnflag, b, count(*) AS cb FROM bk GROUP BY 1, 2), " +
+          "w AS (SELECT l_returnflag, b, SUM(cb) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum, SUM(cb) OVER (PARTITION BY l_returnflag) AS n FROM cnt) " +
+          "SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n, " +
+          est(1, 2, "p50_lb") + ", " + est(9, 10, "p90_lb") + ", " + est(99, 100, "p99_lb") +
+          " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
+      }),
+
     // A3: dedup by key (c12/c14/c16 unique_ones set).
     Q("a3_dedup_distinct",
       (s, d) => Tables.events(s, d)
