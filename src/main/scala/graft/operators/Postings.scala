@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segmented inverted-index build: token → positional posting lists,
+  * sharded by document-id segment the way search engines shard posting
+  * lists (one bounded list per (token, segment), Lucene-segment style —
+  * never "the whole corpus's postings for 'the' in one row").
+  *
+  * Scale shape: two hash aggregations, both with map-side partial
+  * combine — (token, segment, doc) → positions, then (token, segment) →
+  * postings. List sizes are bounded by construction: positions by a
+  * document's length, postings by segSize documents. A corpus-frequency
+  * hot token therefore produces docs/segSize bounded rows, not one
+  * unbounded row — the skew story is structural, not salted after the
+  * fact. Token-level stats (global df) aggregate the already-small
+  * (token, segment) relation.
+  *
+  * Postings render as deterministic strings ("doc:p1|p2,doc:…", docs
+  * ascending, positions ascending) so the index is byte-comparable
+  * across engines and stable for delta-diffing between builds.
+  */
+object Postings {
+
+  /** Per-(token, segment) positional postings.
+    *
+    * @param docs    (idCol: bigint, textCol: string) relation
+    * @param segSize documents per segment (posting-list shard bound)
+    */
+  def segmented(docs: DataFrame, idCol: String, textCol: String, segSize: Int): DataFrame = {
+    require(segSize >= 1, s"segSize ($segSize) must be >= 1")
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"$idCol div $segSize").as("seg"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+    val perDoc = tok
+      .groupBy("w", "seg", "doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(pos)), x -> cast(x as string)), '|')")
+        .as("pos_list"))
+      .withColumn("posting", concat(col("doc_id").cast("string"), lit(":"), col("pos_list")))
+    perDoc
+      .groupBy("w", "seg")
+      .agg(
+        count(lit(1)).as("seg_df"),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, posting))), x -> x.posting), ',')")
+          .as("postings"))
+  }
+
+  /** Global document frequency per token from the segmented index —
+    * aggregates the (token, segment) relation, not the raw tokens.
+    */
+  def tokenDf(segmentedIndex: DataFrame): DataFrame =
+    segmentedIndex.groupBy("w").agg(sum("seg_df").as("df"))
+
+  /** Lookup-side helper: the positions of one token inside one document,
+    * decoded from the rendered posting string (driver/UDF-free — pure
+    * column ops; used by specs to round-trip the encoding).
+    */
+  def positionsOf(index: DataFrame, token: String, docId: Long): DataFrame =
+    index
+      .filter(col("w") === token)
+      .select(explode(split(col("postings"), ",")).as("p"))
+      .filter(split(col("p"), ":").getItem(0) === docId.toString)
+      .select(explode(split(split(col("p"), ":").getItem(1), "\\|")).as("pos_str"))
+      .select(col("pos_str").cast("long").as("pos"))
+}

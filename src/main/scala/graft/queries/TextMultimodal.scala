@@ -160,6 +160,30 @@ private[queries] object TextMultimodalQueries {
         .limit(100),
       Some("SELECT word, df FROM (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) ORDER BY df DESC, word LIMIT 100")),
 
+    // Segmented inverted index ([[graft.operators.Postings]]): positional
+    // posting lists sharded by doc-id segment (Lucene-segment style — a
+    // hot token yields docs/segSize bounded rows, never one corpus-sized
+    // list). Top-50 tokens by global df via TakeOrdered on the small
+    // token-level relation, then an equi-join back to the segment rows;
+    // postings render as canonical "doc:p1|p2,…" strings, so the entire
+    // index — positions included — is byte-compared against DuckDB.
+    Q("text_postings",
+      (s, d) => {
+        import graft.operators.Postings
+        val idx = Postings.segmented(Tables.documents(s, d), "doc_id", "text", 128)
+        val top = Postings.tokenDf(idx)
+          .orderBy(col("df").desc, col("w")).limit(50)
+        idx.join(top, "w")
+          .select(col("w").as("token"), col("df"), col("seg"),
+            col("seg_df"), col("postings"))
+          .orderBy(col("df").desc, col("token"), col("seg"))
+      },
+      Some("WITH tok AS (SELECT doc_id, doc_id // 128 AS seg, ws[i] AS w, i - 1 AS pos FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)), " +
+        "pd AS (SELECT w, seg, doc_id, CAST(doc_id AS VARCHAR) || ':' || string_agg(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS posting FROM tok GROUP BY w, seg, doc_id), " +
+        "ps AS (SELECT w, seg, CAST(count(*) AS BIGINT) AS seg_df, string_agg(posting, ',' ORDER BY doc_id) AS postings FROM pd GROUP BY w, seg), " +
+        "top AS (SELECT w, CAST(SUM(seg_df) AS BIGINT) AS df FROM ps GROUP BY w ORDER BY df DESC, w LIMIT 50) " +
+        "SELECT ps.w AS token, top.df, CAST(ps.seg AS BIGINT) AS seg, ps.seg_df, ps.postings FROM ps JOIN top ON ps.w = top.w ORDER BY top.df DESC, token, seg")),
+
     // Skip-gram co-occurrence (window ±2): pairs come from lead() over
     // (doc, pos) — one shuffle, NO position self-join. Pairs normalized
     // (least, greatest) so (a,b) and (b,a) accumulate together.
