@@ -239,7 +239,34 @@ private[queries] object TrainingQueries {
         s"z AS (SELECT o_custkey, d_days, ${mortonSql("o_custkey", "d_days")} AS zkey FROM b) " +
         "SELECT zkey >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows, " +
         "min(o_custkey) AS ck_min, max(o_custkey) AS ck_max, min(d_days) AS d_min, max(d_days) AS d_max " +
-        "FROM z GROUP BY 1 ORDER BY bucket")))
+        "FROM z GROUP BY 1 ORDER BY bucket")),
+
+    // Snapshot content-hash diff ([[graft.operators.Snapshot]]): the
+    // incremental-ingest bookkeeping step — classify every doc across
+    // two corpus snapshots as added/removed/changed/unchanged from one
+    // full-outer join of (key, md5) projections. The two snapshots are
+    // derived deterministically from `documents`: the old build is
+    // missing doc_id%10==7 (added since) and carries a stale " v0" text
+    // for doc_id%5==0 (changed); the new build dropped doc_id%10==3
+    // (removed).
+    Q("snapshot_diff",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val oldSnap = base.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v0")))
+              .otherwise(col("text")))
+        val newSnap = base.filter(col("doc_id") % 10 =!= 3)
+        Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+          .select("doc_id", "status")
+          .orderBy("doc_id")
+      },
+      Some("WITH o AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END) AS oh FROM documents WHERE doc_id % 10 <> 7), " +
+        "n AS (SELECT doc_id, md5(text) AS nh FROM documents WHERE doc_id % 10 <> 3) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.oh IS NULL THEN 'added' WHEN n.nh IS NULL THEN 'removed' WHEN o.oh <> n.nh THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id")))
 
   val all: Seq[Q] = training ++ layoutRanking
 }
