@@ -67,6 +67,27 @@ private[queries] object StreamingQueries {
       Some("SELECT event_id, user_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents " +
         "FROM events WHERE event_id < 1500 ORDER BY event_id")),
 
+    // END-TO-END stream-static enrichment: 3 micro-batches each join the
+    // BROADCAST customer dimension (left join — unknown keys pass through
+    // with nulls rather than dropping events) into a parquet append sink;
+    // the drained sink must equal the batch join exactly.
+    Q("stream_enrich_drain",
+      (s, d) => {
+        val slice = Tables.events(s, d).filter(col("event_id") < 1500)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.streaming.EventStream
+          .drainEnrich(s, slice, dim, "user_id", "c_custkey", nFiles = 3)
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("c_mktsegment"), lit("?")).as("segment"),
+            cents(col("value")).as("value_cents"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, e.user_id, COALESCE(c.c_mktsegment, '?') AS segment, " +
+        "CAST(floor(e.value*100 + 0.5) AS BIGINT) AS value_cents " +
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
+        "WHERE e.event_id < 1500 ORDER BY e.event_id")),
+
     // END-TO-END stateful counting: mapGroupsWithState accumulates
     // per-user counts across 3 AvailableNow micro-batches into an
     // update-mode memory sink; the final state must equal the batch

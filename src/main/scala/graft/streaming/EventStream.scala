@@ -118,6 +118,42 @@ object EventStream {
       .select(col("view_id"), col("purchase_id"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * looks up a STATIC dimension (the classic "enrich events with the
+    * user/customer table" step). The static side is explicitly
+    * `broadcast()` — the stream never shuffles for the lookup, and each
+    * micro-batch re-evaluates the dimension plan, which is exactly
+    * Structured Streaming's stream-static contract. Left join so an
+    * unknown key passes through with nulls (an inner join would silently
+    * drop events on dimension lag — a data-loss footgun in a pipeline).
+    *
+    * At 100 TB the dimension side is the small one by construction
+    * (users/customers vs events); for a dimension too big to broadcast,
+    * the same plan minus the hint degrades to a per-batch shuffled join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
+  /** End-to-end stream-static enrichment drain: rows flow as `nFiles`
+    * micro-batches, each joining the broadcast dimension, into a parquet
+    * append sink. Row-level (no aggregation), so append mode needs no
+    * watermark and the result must equal the batch join exactly.
+    */
+  def drainEnrich(spark: SparkSession, rows: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, nFiles: Int = 3): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich_")
+    try {
+      val out = base.resolve("out").toString
+      val stream = feedStream(spark, rows, base, nFiles)
+      val q = parquetSink(enrichWithDim(stream, dim, streamKey, dimKey),
+        out, base.resolve("ckpt").toString).start()
+      awaitDrained(q)
+      spark.read.parquet(out).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
+  }
+
   /** Sink: parquet append with checkpointing, AvailableNow trigger (drain
     * whatever has arrived, then stop — the batch-friendly trigger).
     */

@@ -257,6 +257,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join; unknown keys pass through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // users 0..4 in the fixture; the dim only knows 0..3 → user 4's
+    // events must survive with a null segment (left join, no data loss)
+    val dim = Seq((0L, "A"), (1L, "B"), (2L, "C"), (3L, "D"))
+      .toDF("cust_id", "segment")
+    val rows = spark.read.schema(EventStream.eventSchema).json(srcDir)
+    val got = EventStream.drainEnrich(spark, rows, dim, "user_id", "cust_id", nFiles = 2)
+      .select($"event_id", $"segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val want = rows.join(broadcast(dim), rows("user_id") === dim("cust_id"), "left")
+      .select($"event_id", $"segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === want)
+    assert(got.size === 100)
+    // user 4 (event_id % 5 == 4) is unknown to the dim
+    assert(got(4L) === None)
+    assert(got(0L) === Some("A"))
+  }
+
   test("parquet sink drains available data with AvailableNow") {
     val out = tmpDir("evout")
     val ckpt = tmpDir("evckpt")
