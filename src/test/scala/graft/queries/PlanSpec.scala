@@ -281,6 +281,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("hdr_quantiles: bucket counts aggregate partially; no percentile() buffer") {
+    val p = plan("hdr_quantiles")
+    // the two-phase hash aggregation to bucket counts is the scale story:
+    // map-side combine bounds the shuffle at O(tasks × buckets-per-group)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("percentile"), p)
+    // the window runs over bucket rows, partitioned by the group key
+    assert(p.contains("hashpartitioning(l_returnflag"), p)
+  }
+
+  test("text_postings: segment shards aggregate on keys — no cartesian, no global window") {
+    val p = plan("text_postings")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // token-level top-50 is a distributed top-k, not a global sort+limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("snapshot_diff: both sides reduce to (key, hash) before the full-outer join") {
+    val p = plan("snapshot_diff")
+    // the join must move 16-byte hashes, not documents: md5 is computed
+    // below the join (in each side's project), so no `text` column
+    // appears in any exchange's output schema
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(l => assert(!l.contains("text#"), l))
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
