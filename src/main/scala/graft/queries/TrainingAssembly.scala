@@ -268,5 +268,55 @@ private[queries] object TrainingQueries {
         "CASE WHEN o.oh IS NULL THEN 'added' WHEN n.nh IS NULL THEN 'removed' WHEN o.oh <> n.nh THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id")))
 
-  val all: Seq[Q] = training ++ layoutRanking
+  private val funnel = Seq(
+    // Pipeline yield funnel: per-source survivor counts through the
+    // curation chain — raw → quality gate → exact-dup canonical →
+    // train/val/test split — the yield-tracking report a production
+    // pipeline publishes per build. Composes the already-verified
+    // operators (token gate, min-doc_id-per-hash canonical pick,
+    // [[graft.operators.Sampling.splitByGroup]]); duplicates are
+    // synthesized deterministically (every 7th doc re-keyed +100000) so
+    // the dedup stage has real work at any sf. Stage labels carry an
+    // ordinal prefix so (source, stage) is a total order.
+    Q("pipeline_funnel",
+      (s, d) => {
+        import graft.operators.Sampling
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val copies = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val tagged = base.unionByName(copies)
+          .withColumn("source",
+            when(col("doc_id") % 3 === 0, "web")
+              .when(col("doc_id") % 3 === 1, "books")
+              .otherwise("code"))
+        val quality = tagged.filter(size(split(col("text"), " ")) >= 30)
+        val canon = quality
+          .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        val unique = quality.withColumn("h", md5(col("text")))
+          .join(canon, Seq("h", "doc_id"), "left_semi")
+        val splits = Sampling.splitByGroup(unique, "doc_id",
+          Seq("4_train" -> 0.8, "5_val" -> 0.1, "6_test" -> 0.1))
+        def stageCount(df: DataFrame, stage: Column) = df
+          .groupBy(col("source"), stage.as("stage"))
+          .agg(count(lit(1)).as("n"))
+        stageCount(tagged, lit("1_raw"))
+          .unionByName(stageCount(quality, lit("2_quality")))
+          .unionByName(stageCount(unique, lit("3_unique")))
+          .unionByName(stageCount(splits, col("split")))
+          .orderBy("source", "stage")
+      },
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0), " +
+        "t AS (SELECT doc_id, text, CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS source FROM corpus), " +
+        "q AS (SELECT * FROM t WHERE len(string_split(text, ' ')) >= 30), " +
+        "c AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1), " +
+        "u AS (SELECT q.* FROM q JOIN c ON md5(q.text) = c.h AND q.doc_id = c.doc_id), " +
+        "sp AS (SELECT source, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN '4_train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN '5_val' ELSE '6_test' END AS stage FROM u) " +
+        "SELECT source, stage, CAST(n AS BIGINT) AS n FROM (" +
+        "SELECT source, '1_raw' AS stage, count(*) AS n FROM t GROUP BY 1 " +
+        "UNION ALL SELECT source, '2_quality', count(*) FROM q GROUP BY 1 " +
+        "UNION ALL SELECT source, '3_unique', count(*) FROM u GROUP BY 1 " +
+        "UNION ALL SELECT source, stage, count(*) FROM sp GROUP BY 1, 2" +
+        ") ORDER BY source, stage")))
+
+  val all: Seq[Q] = training ++ layoutRanking ++ funnel
 }
