@@ -113,6 +113,39 @@ private[queries] object AggScalarQueries {
           " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
       }),
 
+    // KMV distinct-count sketch ([[graft.functions.KmvSketch]]): like
+    // hdr_quantiles, the ESTIMATE is the oracle target, not just a bound
+    // boolean — u_k is the 52-bit md5 prefix of the k-th smallest
+    // distinct hash, u_k/2^52 is an exact power-of-two-divisor double,
+    // and (k-1)/u is ONE correctly-rounded IEEE division — so DuckDB
+    // recomputes the estimate bit-for-bit from the same closed form.
+    // The exact countDistinct rides along as the gate's comparison side.
+    Q("sketch_kmv",
+      (s, d) => {
+        val k = 64
+        val kmv = udaf(graft.functions.KmvSketch(k))
+        val u52 = expr("cast(conv(substring(md5(cast(user_id as string)), 1, 13), 16, 10) as bigint)")
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(kmv(u52).as("uk"),
+            countDistinct(col("user_id")).as("nd"))
+          .filter(col("uk") > 0)
+          .select(col("event_type"), col("nd"),
+            expr(s"cast(floor(${k - 1}.0 / (cast(uk as double) / 4503599627370496.0) * 1000000.0 + 0.5) as bigint)")
+              .as("est_micro"))
+          .withColumn("within_bound",
+            abs(col("est_micro") - col("nd") * 1000000L) <= col("nd") * 500000L)
+          .orderBy("event_type")
+      },
+      Some("WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+        "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+        "u AS (SELECT event_type, list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16.0 ^ (13 - i) for i in generate_series(1, 13)]) AS uk FROM r WHERE rn = 64), " +
+        "x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd FROM events GROUP BY 1) " +
+        "SELECT x.event_type, x.nd, " +
+        "CAST(floor(63.0 / (CAST(u.uk AS DOUBLE) / 4503599627370496.0) * 1000000.0 + 0.5) AS BIGINT) AS est_micro, " +
+        "(abs(CAST(floor(63.0 / (CAST(u.uk AS DOUBLE) / 4503599627370496.0) * 1000000.0 + 0.5) AS BIGINT) - x.nd * 1000000) <= x.nd * 500000) AS within_bound " +
+        "FROM x JOIN u ON x.event_type = u.event_type ORDER BY x.event_type")),
+
     // A3: dedup by key (c12/c14/c16 unique_ones set).
     Q("a3_dedup_distinct",
       (s, d) => Tables.events(s, d)
