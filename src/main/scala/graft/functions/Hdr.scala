@@ -111,19 +111,28 @@ object Hdr {
     * (`(n·num + den - 1) div den`), never FP.
     *
     * @param qs (numerator, denominator, outputAlias) per requested quantile
+    * @param weightCol optional non-negative INTEGER row weight — buckets
+    *   then accumulate weight instead of count and ranks run over total
+    *   weight (weighted quantiles, e.g. "token-weighted p50 doc length");
+    *   integer weights keep every rank computation exact
     */
   def quantileEstimates(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       m: Int,
-      qs: Seq[(Long, Long, String)]): DataFrame = {
+      qs: Seq[(Long, Long, String)],
+      weightCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
+    val wProj = weightCol.map(w => col(w).cast("long").as("hdr_w")).toSeq
+    val aggExpr = weightCol
+      .map(_ => sum(col("hdr_w")))
+      .getOrElse(count(lit(1)))
     val counts = df
-      .select(gcols :+ expr(bucketSqlSpark(valueCol, m)).as("hdr_b"): _*)
+      .select(gcols ++ Seq(expr(bucketSqlSpark(valueCol, m)).as("hdr_b")) ++ wProj: _*)
       .groupBy(gcols :+ col("hdr_b"): _*)
-      .agg(count(lit(1)).as("hdr_c"))
+      .agg(aggExpr.as("hdr_c"))
     val wOrd = Window.partitionBy(gcols: _*).orderBy("hdr_b")
     val wAll = Window.partitionBy(gcols: _*)
     val lb = expr(lowerBoundSqlSpark("hdr_b", m))

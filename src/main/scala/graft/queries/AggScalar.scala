@@ -113,6 +113,38 @@ private[queries] object AggScalarQueries {
           " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
       }),
 
+    // Weighted variant of the HDR sketch: buckets accumulate integer
+    // WEIGHT (l_quantity) instead of row count, ranks run over total
+    // weight — "which price does the median shipped UNIT sit at", not
+    // "the median line item". Same integer-exact closed form, so the
+    // weighted estimates hash-match DuckDB too.
+    Q("hdr_weighted",
+      (s, d) => {
+        import graft.functions.Hdr
+        Hdr.quantileEstimates(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"),
+              cents(col("l_extendedprice")).cast("long").as("c"),
+              col("l_quantity").cast("long").as("w")),
+          Seq("l_returnflag"), "c", 7,
+          Seq((1L, 2L, "p50_lb"), (9L, 10L, "p90_lb")), Some("w"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        import graft.functions.Hdr
+        val bexp = Hdr.bucketSqlDuck("c", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        def est(num: Int, den: Int, alias: String) =
+          s"CAST(MIN(CASE WHEN cum >= (n * $num + ${den - 1}) // $den THEN $lb END) AS BIGINT) AS $alias"
+        "WITH v AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c, CAST(l_quantity AS BIGINT) AS w FROM lineitem), " +
+          s"bk AS (SELECT l_returnflag, $bexp AS b, w FROM v), " +
+          "cnt AS (SELECT l_returnflag, b, SUM(w) AS cb FROM bk GROUP BY 1, 2), " +
+          "w AS (SELECT l_returnflag, b, SUM(cb) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum, SUM(cb) OVER (PARTITION BY l_returnflag) AS n FROM cnt) " +
+          "SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n, " +
+          est(1, 2, "p50_lb") + ", " + est(9, 10, "p90_lb") +
+          " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
+      }),
+
     // KMV distinct-count sketch ([[graft.functions.KmvSketch]]): like
     // hdr_quantiles, the ESTIMATE is the oracle target, not just a bound
     // boolean — u_k is the 52-bit md5 prefix of the k-th smallest

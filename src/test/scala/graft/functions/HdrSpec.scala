@@ -94,6 +94,23 @@ class HdrSpec extends SparkSpec {
     }
   }
 
+  test("weighted estimates equal unweighted estimates over the expanded multiset") {
+    // weight w ≡ repeating the row w times: the weighted sketch over
+    // (v, w) must equal the unweighted sketch over v repeated w times
+    val weighted = Seq(("a", 10L, 3L), ("a", 500L, 1L), ("a", 200L, 6L),
+      ("b", 7L, 2L), ("b", 9L, 5L)).toDF("g", "v", "w")
+    val expanded = weighted.as[(String, Long, Long)].collect()
+      .flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+      .toSeq.toDF("g", "v")
+    val got = Hdr.quantileEstimates(weighted, Seq("g"), "v", m, qs, Some("w"))
+      .orderBy("g").collect()
+    val want = Hdr.quantileEstimates(expanded, Seq("g"), "v", m, qs)
+      .orderBy("g").collect()
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
   test("sketch merge over shards equals the global sketch") {
     val s = HdrSketch(m)
     val values = grouped.filter($"g" === "a").collect().map(_.getLong(1))
