@@ -113,6 +113,33 @@ private[queries] object AggScalarQueries {
           " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
       }),
 
+    // Time-series gap fill ([[graft.operators.Resample]]): regularize the
+    // irregular event stream onto a daily spine (sequence + explode —
+    // never driver-side) and forward-fill missing days with the last
+    // observed daily aggregate. The fill window is bounded by spine
+    // length (30 days), not event volume. Exact integer day-cents.
+    Q("ts_gapfill",
+      (s, d) => {
+        import graft.operators.Resample
+        Resample.gapFillDaily(
+          Tables.events(s, d).filter(col("user_id") < 10),
+          "user_id", "ts", cents(col("value")),
+          v => sum(v).cast("long"),
+          "2024-01-01", "2024-01-30")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("observed"), col("day_agg").as("day_cents"), col("filled"))
+          .orderBy("user_id", "day")
+      },
+      Some("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events WHERE user_id < 10), " +
+        "daily AS (SELECT user_id, day, CAST(SUM(vc) AS BIGINT) AS day_cents FROM ev GROUP BY 1, 2), " +
+        "u AS (SELECT DISTINCT user_id FROM daily), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day FROM u), " +
+        "j AS (SELECT s.user_id, s.day, d.day_cents FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day) " +
+        "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_cents IS NOT NULL AS observed, day_cents, " +
+        "last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM j ORDER BY user_id, day")),
+
     // Weighted variant of the HDR sketch: buckets accumulate integer
     // WEIGHT (l_quantity) instead of row count, ranks run over total
     // weight — "which price does the median shipped UNIT sit at", not
