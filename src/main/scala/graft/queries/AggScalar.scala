@@ -113,6 +113,31 @@ private[queries] object AggScalarQueries {
           " FROM w GROUP BY l_returnflag ORDER BY l_returnflag"
       }),
 
+    // Percentile-trimmed robust aggregate: drop the tails outside
+    // [p01, p99] (refinement-exact bounds — bit-identical to
+    // quantile_cont on both engines, so the trim predicate cannot
+    // disagree), then exact integer sums over the kept rows. The robust
+    // alternative to mean when a feed has fat-tailed junk values.
+    Q("a22_trimmed_agg",
+      (s, d) => {
+        import graft.operators.Percentiles
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).cast("long").as("c"))
+        val bounds = Percentiles.exactRefined(
+          li.select(col("l_returnflag"), col("c").cast("double").as("cd")),
+          Seq("l_returnflag"), "cd", Seq(0.01 -> "lo", 0.99 -> "hi"))
+        li.join(bounds, "l_returnflag")
+          .filter(col("c") >= col("lo") && col("c") <= col("hi"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("sum_kept_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH v AS (SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c FROM lineitem), " +
+        "b AS (SELECT l_returnflag, quantile_cont(CAST(c AS DOUBLE), 0.01) AS lo, quantile_cont(CAST(c AS DOUBLE), 0.99) AS hi FROM v GROUP BY 1) " +
+        "SELECT v.l_returnflag, CAST(count(*) AS BIGINT) AS n_kept, CAST(SUM(c) AS BIGINT) AS sum_kept_cents " +
+        "FROM v JOIN b ON v.l_returnflag = b.l_returnflag WHERE c >= lo AND c <= hi " +
+        "GROUP BY v.l_returnflag ORDER BY v.l_returnflag")),
+
     // Time-series gap fill ([[graft.operators.Resample]]): regularize the
     // irregular event stream onto a daily spine (sequence + explode —
     // never driver-side) and forward-fill missing days with the last

@@ -310,6 +310,21 @@ class PlanSpec extends SparkSpec {
     exchanges.foreach(l => assert(!l.contains("text#"), l))
   }
 
+  test("sketch_kmv: the bounded sketch aggregates partially before the exchange") {
+    val p = plan("sketch_kmv")
+    // KmvSketch is an object aggregator: partial ObjectHashAggregate on
+    // the map side is what makes it a sketch (each task reduces to <=k
+    // values) rather than a disguised exact-distinct shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmvsketch") || p.contains("partial_KmvSketch"), p)
+  }
+
+  test("ts_gapfill: fill window is entity-partitioned; spine join is never a cartesian") {
+    val p = plan("ts_gapfill")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
