@@ -26,13 +26,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * values before the exchange, and merge is a bounded sorted-union.
   * That is the whole point vs `countDistinct`'s per-group hash set.
   */
-class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
-  require(k >= 2, s"k ($k) must be >= 2 — the estimator divides by u_k with k-1 on top")
-
-  override def zero: Seq[Long] = Vector.empty
-
-  // buffer invariant: sorted ascending, distinct, size <= k
-  override def reduce(buf: Seq[Long], v: Long): Seq[Long] =
+private[functions] object KmvOps {
+  /** Insert preserving the sorted-distinct-bounded invariant. */
+  def reduce(k: Int, buf: Seq[Long], v: Long): Seq[Long] =
     if (buf.size >= k && v >= buf.last) buf
     else {
       val i = searchInsert(buf, v)
@@ -40,15 +36,8 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
       else ((buf.take(i) :+ v) ++ buf.drop(i)).take(k)
     }
 
-  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+  def merge(k: Int, b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
     (b1 ++ b2).distinct.sorted.take(k)
-
-  /** The k-th smallest distinct hash (the estimator's u_k numerator), or
-    * -1 when fewer than k distinct values were seen — the caller filters
-    * (fewer than k distinct means exact counting was cheap anyway).
-    */
-  override def finish(reduction: Seq[Long]): Long =
-    if (reduction.size < k) -1L else reduction.last
 
   private def searchInsert(buf: Seq[Long], v: Long): Int = {
     var lo = 0; var hi = buf.size
@@ -58,6 +47,24 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
     }
     lo
   }
+}
+
+class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
+  require(k >= 2, s"k ($k) must be >= 2 — the estimator divides by u_k with k-1 on top")
+
+  override def zero: Seq[Long] = Vector.empty
+
+  // buffer invariant: sorted ascending, distinct, size <= k
+  override def reduce(buf: Seq[Long], v: Long): Seq[Long] = KmvOps.reduce(k, buf, v)
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = KmvOps.merge(k, b1, b2)
+
+  /** The k-th smallest distinct hash (the estimator's u_k numerator), or
+    * -1 when fewer than k distinct values were seen — the caller filters
+    * (fewer than k distinct means exact counting was cheap anyway).
+    */
+  override def finish(reduction: Seq[Long]): Long =
+    if (reduction.size < k) -1L else reduction.last
 
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder()
@@ -65,4 +72,26 @@ class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
 
 object KmvSketch {
   def apply(k: Int): KmvSketch = new KmvSketch(k)
+}
+
+/** Same bounded sketch, but FINISHES with the whole k-min buffer instead
+  * of just u_k — the form KMV set algebra needs: union of two sets is
+  * `merge` of their buffers; with K the k smallest of the union and
+  * ρ = |{x ∈ K : x ∈ A's buffer ∧ x ∈ B's buffer}|, the intersection
+  * estimate is (ρ/k) · D̂_union (Beyer et al., SIGMOD 2007 §4). Buffers
+  * are tiny (k longs per group), so the set algebra itself runs as plain
+  * array expressions over one row per group.
+  */
+class KmvBuffer(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 2, s"k ($k) must be >= 2")
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], v: Long): Seq[Long] = KmvOps.reduce(k, buf, v)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = KmvOps.merge(k, b1, b2)
+  override def finish(reduction: Seq[Long]): Seq[Long] = reduction
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+object KmvBuffer {
+  def apply(k: Int): KmvBuffer = new KmvBuffer(k)
 }

@@ -230,6 +230,58 @@ private[queries] object AggScalarQueries {
         "(abs(CAST(floor(63.0 / (CAST(u.uk AS DOUBLE) / 4503599627370496.0) * 1000000.0 + 0.5) AS BIGINT) - x.nd * 1000000) <= x.nd * 500000) AS within_bound " +
         "FROM x JOIN u ON x.event_type = u.event_type ORDER BY x.event_type")),
 
+    // KMV set algebra ([[graft.functions.KmvBuffer]]): union and
+    // intersection cardinality of two user sets estimated from their
+    // k-min sketches alone — merge the buffers for the union, count the
+    // k-min survivors present in BOTH buffers for the ρ intersection
+    // estimator (Beyer et al., SIGMOD 2007 §4). Buffers are k longs, so
+    // the algebra itself is array expressions over two one-row frames;
+    // exact counts ride along as the gate, and the estimates hash-match
+    // DuckDB's identical closed form.
+    Q("sketch_kmv_setops",
+      (s, d) => {
+        val k = 64
+        val kb = udaf(graft.functions.KmvBuffer(k))
+        val u52 = expr("cast(conv(substring(md5(cast(user_id as string)), 1, 13), 16, 10) as bigint)")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+        val bufs = ev.select(col("event_type").as("t"), u52.as("u"))
+          .groupBy("t").agg(kb(col("u")).as("buf"))
+        val a = bufs.filter(col("t") === "click").select(col("buf").as("a"))
+        val b = bufs.filter(col("t") === "view").select(col("buf").as("b"))
+        val exact = ev.select("event_type", "user_id").distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("nt"))
+          .agg(count(lit(1)).as("n_union"),
+            sum(when(col("nt") === 2, 1L).otherwise(0L)).as("n_inter"))
+        val estU = s"(${k - 1}.0 / (cast(uk as double) / 4503599627370496.0))"
+        a.crossJoin(b)
+          .select(expr(s"slice(array_sort(array_distinct(concat(a, b))), 1, $k)").as("m"),
+            col("a"), col("b"))
+          .filter(size(col("m")) >= k)
+          .select(expr(s"element_at(m, $k)").as("uk"),
+            expr("size(filter(m, x -> array_contains(a, x) AND array_contains(b, x)))").as("rho"))
+          .crossJoin(exact)
+          .select(col("n_union"), col("n_inter"),
+            expr(s"cast(floor($estU * 1000000.0 + 0.5) as bigint)").as("est_union_micro"),
+            expr(s"cast(floor(cast(rho as double) / $k.0 * $estU * 1000000.0 + 0.5) as bigint)")
+              .as("est_inter_micro"))
+      },
+      Some {
+        val dig = "list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16.0 ^ (13 - i) for i in generate_series(1, 13)])"
+        val estU = "(63.0 / (CAST(uk AS DOUBLE) / 4503599627370496.0))"
+        "WITH hs AS (SELECT DISTINCT event_type AS t, md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE event_type IN ('click', 'view')), " +
+          s"ua AS (SELECT DISTINCT $dig AS u FROM hs WHERE t = 'click' ORDER BY u LIMIT 64), " +
+          s"ub AS (SELECT DISTINCT $dig AS u FROM hs WHERE t = 'view' ORDER BY u LIMIT 64), " +
+          "ba AS (SELECT list(u ORDER BY u) AS a FROM ua), " +
+          "bb AS (SELECT list(u ORDER BY u) AS b FROM ub), " +
+          "m AS (SELECT (list_sort(list_distinct(a || b)))[1:64] AS m, a, b FROM ba, bb), " +
+          "x AS (SELECT m[64] AS uk, len(list_filter(m, x -> list_contains(a, x) AND list_contains(b, x))) AS rho FROM m WHERE len(m) >= 64), " +
+          "e AS (SELECT CAST(count(*) AS BIGINT) AS n_union, CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter FROM (SELECT user_id, count(DISTINCT event_type) AS nt FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)) " +
+          s"SELECT e.n_union, e.n_inter, CAST(floor($estU * 1000000.0 + 0.5) AS BIGINT) AS est_union_micro, " +
+          s"CAST(floor(CAST(x.rho AS DOUBLE) / 64.0 * $estU * 1000000.0 + 0.5) AS BIGINT) AS est_inter_micro " +
+          "FROM e, x"
+      }),
+
     // A3: dedup by key (c12/c14/c16 unique_ones set).
     Q("a3_dedup_distinct",
       (s, d) => Tables.events(s, d)

@@ -46,6 +46,27 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - 5000) / 5000 < 0.4, s"estimate $est too far from 5000")
   }
 
+  test("set algebra: union-merge + rho intersection estimator land near truth") {
+    // A = 0..2999, B = 2000..5999 → |A∪B| = 6000, |A∩B| = 1000
+    def h(i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(7).map("%02x".format(_)).mkString.take(13), 16)
+    }
+    val kk = 64
+    val s64 = KmvBuffer(kk)
+    def sketch(ids: Range) = ids.foldLeft(s64.zero)((b, i) => s64.reduce(b, h(i)))
+    val a = sketch(0 until 3000)
+    val b = sketch(2000 until 6000)
+    val union = s64.merge(a, b)
+    val uk = union.last
+    val estU = (kk - 1).toDouble / (uk.toDouble / 4503599627370496.0)
+    val rho = union.count(x => a.contains(x) && b.contains(x))
+    val estI = rho.toDouble / kk * estU
+    assert(math.abs(estU - 6000) / 6000 < 0.4, s"union estimate $estU")
+    assert(math.abs(estI - 1000) / 1000 < 0.8, s"intersection estimate $estI (rho=$rho)")
+  }
+
   test("k below 2 is rejected") {
     intercept[IllegalArgumentException] { KmvSketch(1) }
   }
