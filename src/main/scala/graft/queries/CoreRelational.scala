@@ -80,6 +80,37 @@ private[queries] object CoreRelational {
     // so the oracle computes every count arithmetically from
     // generate_series without parsing any JSON: a hash match checks the
     // whole pipeline's semantics, not a re-run of it.
+    // Parquet schema evolution across corpus builds: an old batch written
+    // WITHOUT the `lang` column and a new batch WITH it, read together
+    // via mergeSchema — the heterogeneous-history read a years-old 100 TB
+    // corpus store forces on every consumer. Old rows surface lang=NULL
+    // (reported '<missing>'); the oracle recomputes the expected
+    // distribution closed-form from `documents` and never sees a parquet
+    // byte, so the hash match proves the merged read, not a re-run.
+    Q("s9_schema_evolution",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_evo_")
+        try {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+          docs.filter(col("doc_id") % 2 === 0)
+            .write.mode("overwrite").parquet(base.resolve("b1").toString)
+          docs.filter(col("doc_id") % 2 === 1)
+            .withColumn("lang",
+              when(col("doc_id") % 3 === 0, "en").otherwise("xx"))
+            .write.mode("overwrite").parquet(base.resolve("b2").toString)
+          s.read.option("mergeSchema", "true")
+            .parquet(base.resolve("b1").toString, base.resolve("b2").toString)
+            .groupBy(coalesce(col("lang"), lit("<missing>")).as("lang"))
+            .agg(count(lit(1)).as("n"),
+              min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+            .orderBy("lang")
+            .localCheckpoint()
+        } finally graft.util.Paths.deleteRecursively(base)
+      },
+      Some("SELECT CASE WHEN doc_id % 2 = 0 THEN '<missing>' WHEN doc_id % 3 = 0 THEN 'en' ELSE 'xx' END AS lang, " +
+        "CAST(count(*) AS BIGINT) AS n, min(doc_id) AS id_min, max(doc_id) AS id_max " +
+        "FROM documents GROUP BY 1 ORDER BY lang")),
+
     Q("ref_golden_search",
       (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft_golden_")
