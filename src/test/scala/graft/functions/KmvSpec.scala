@@ -67,6 +67,21 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(estI - 1000) / 1000 < 0.8, s"intersection estimate $estI (rho=$rho)")
   }
 
+  test("registered SQL surface matches the DataFrame path") {
+    graft.functions.Registry.register(spark)
+    spark.range(2000).selectExpr("id % 4 as g",
+      "cast(conv(substring(md5(cast(id as string)), 1, 13), 16, 10) as bigint) as u")
+      .createOrReplaceTempView("kmv_sql_probe")
+    val sql = spark.sql(
+      "SELECT g, kmv_uk(u) AS uk FROM kmv_sql_probe GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kmv = udaf(KmvSketch(graft.functions.Registry.KmvK))
+    val df = spark.table("kmv_sql_probe").groupBy("g").agg(kmv(col("u")).as("uk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql === df)
+    assert(sql.values.forall(_ > 0))
+  }
+
   test("k below 2 is rejected") {
     intercept[IllegalArgumentException] { KmvSketch(1) }
   }
