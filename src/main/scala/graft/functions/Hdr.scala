@@ -47,7 +47,13 @@ object Hdr {
     val e = s"(length(bin($v)) - 1)"
     val shifted =
       if (spark) s"shiftright($v, $e - $m)" else s"($v >> ($e - $m))"
-    s"(CASE WHEN $v < $p THEN $v ELSE (($e - ${m - 1}) * $p) + ($shifted & ${p - 1}) END)"
+    // domain guard mirroring bucketOf's require: a negative value must
+    // FAIL, not silently take the v < P branch and emit a garbage
+    // "bucket" that lowerBoundSql then misinterprets
+    val raise =
+      if (spark) "cast(raise_error('Hdr bucket: negative value') as bigint)"
+      else "CAST(error('Hdr bucket: negative value') AS BIGINT)"
+    s"(CASE WHEN $v < 0 THEN $raise WHEN $v < $p THEN $v ELSE (($e - ${m - 1}) * $p) + ($shifted & ${p - 1}) END)"
   }
 
   /** Spark SQL text of a bucket's lower bound, from bucket expression `b`. */

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** md5 over the concatenated content columns, U+0001-separated (the
-    * separator guards against column-boundary ambiguity; any engine with
-    * md5/concat_ws reproduces it byte-for-byte — DuckDB: `chr(1)`).
+  /** md5 over the concatenated content columns, U+0001-separated, with a
+    * NULL-distinguishing per-column encoding: NULL → U+0002, non-null
+    * value → U+0003 ++ value. The separator guards against
+    * column-boundary ambiguity; the prefix makes the encoding injective —
+    * ("a", NULL) vs (NULL, "a"), NULL vs '', and a literal U+0002 value
+    * all hash differently (bare `concat_ws` silently SKIPS null inputs,
+    * which would classify real content changes as 'unchanged'). Any
+    * engine with md5/concat_ws reproduces it byte-for-byte — DuckDB:
+    * `md5(concat_ws(chr(1), CASE WHEN c IS NULL THEN chr(2) ELSE chr(3) ||
+    * c END, …))`.
     */
   def contentHash(contentCols: Seq[String]): org.apache.spark.sql.Column =
-    md5(concat_ws("\u0001", contentCols.map(col): _*))
+    md5(concat_ws("\u0001", contentCols.map(c =>
+      when(col(c).isNull, lit("\u0002"))
+        .otherwise(concat(lit("\u0003"), col(c).cast("string")))): _*))
 
   /** Classify every key across two snapshots as added / removed /
     * changed / unchanged. Output: (key, status, old_hash, new_hash) —

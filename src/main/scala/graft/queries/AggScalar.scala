@@ -156,14 +156,17 @@ private[queries] object AggScalarQueries {
             col("observed"), col("day_agg").as("day_cents"), col("filled"))
           .orderBy("user_id", "day")
       },
-      Some("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events WHERE user_id < 10), " +
+      Some("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events WHERE user_id < 10 AND CAST(ts AS DATE) <= DATE '2024-01-30'), " +
         "daily AS (SELECT user_id, day, CAST(SUM(vc) AS BIGINT) AS day_cents FROM ev GROUP BY 1, 2), " +
+        "iw AS (SELECT * FROM daily WHERE day >= DATE '2024-01-01'), " +
+        "sd AS (SELECT user_id, arg_max(day_cents, day) AS seed FROM daily WHERE day < DATE '2024-01-01' GROUP BY 1), " +
         "u AS (SELECT DISTINCT user_id FROM daily), " +
         "spine AS (SELECT user_id, CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day FROM u), " +
-        "j AS (SELECT s.user_id, s.day, d.day_cents FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day) " +
-        "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_cents IS NOT NULL AS observed, day_cents, " +
-        "last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
-        "FROM j ORDER BY user_id, day")),
+        "j AS (SELECT s.user_id, s.day, d.day_cents FROM spine s LEFT JOIN iw d ON s.user_id = d.user_id AND s.day = d.day), " +
+        "f AS (SELECT user_id, day, day_cents, last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM j) " +
+        "SELECT f.user_id, strftime(f.day, '%Y-%m-%d') AS day, f.day_cents IS NOT NULL AS observed, f.day_cents, " +
+        "COALESCE(f.ff, sd.seed) AS filled " +
+        "FROM f LEFT JOIN sd USING (user_id) ORDER BY user_id, day")),
 
     // Weighted variant of the HDR sketch: buckets accumulate integer
     // WEIGHT (l_quantity) instead of row count, ranks run over total
@@ -221,9 +224,15 @@ private[queries] object AggScalarQueries {
             abs(col("est_micro") - col("nd") * 1000000L) <= col("nd") * 500000L)
           .orderBy("event_type")
       },
+      // The oracle dedups and ranks on the computed 52-bit PREFIX value
+      // (as KmvSketch itself does), not on the full 32-hex md5 string —
+      // two of the 64 smallest full hashes sharing a 13-hex prefix would
+      // otherwise make rn=64 pick a different u_k than the sketch's 64th
+      // distinct prefix (same convention as sketch_kmv_setops's ua/ub).
       Some("WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
-        "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
-        "u AS (SELECT event_type, list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16.0 ^ (13 - i) for i in generate_series(1, 13)]) AS uk FROM r WHERE rn = 64), " +
+        "p AS (SELECT DISTINCT event_type, list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16.0 ^ (13 - i) for i in generate_series(1, 13)]) AS u FROM h), " +
+        "r AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM p), " +
+        "u AS (SELECT event_type, u AS uk FROM r WHERE rn = 64), " +
         "x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd FROM events GROUP BY 1) " +
         "SELECT x.event_type, x.nd, " +
         "CAST(floor(63.0 / (CAST(u.uk AS DOUBLE) / 4503599627370496.0) * 1000000.0 + 0.5) AS BIGINT) AS est_micro, " +

@@ -125,5 +125,12 @@ class HdrSpec extends SparkSpec {
 
   test("negative values are rejected (the sketch's domain is cents-like)") {
     intercept[IllegalArgumentException] { Hdr.bucketOf(-1L, m) }
+    // the SQL face mirrors the JVM guard: a negative input must FAIL,
+    // not silently take the v < P branch and emit a negative "bucket"
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT ${Hdr.bucketSqlSpark("v", m)} AS b FROM VALUES (-1L) AS t(v)")
+        .collect()
+    }
+    assert(err.getMessage.contains("Hdr bucket: negative value"))
   }
 }

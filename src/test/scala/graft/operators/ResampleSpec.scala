@@ -37,6 +37,26 @@ class ResampleSpec extends SparkSpec {
     assert(filled.filter($"e" === "b").count() === 5)
   }
 
+  test("pre-start state seeds the fill; post-end events are excluded") {
+    val ev = Seq(
+      ("c", "2024-02-27 08:00:00", 42L),  // pre-start: becomes the seed
+      ("c", "2024-02-28 09:00:00", 77L),  // later pre-start obs wins the seed
+      ("c", "2024-03-03 10:00:00", 9L),
+      ("c", "2024-03-09 10:00:00", 1000L) // after end: must not appear or fill
+    ).toDF("e", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val got = Resample.gapFillDaily(ev, "e", "ts", $"v", c => sum(c).cast("long"),
+      "2024-03-01", "2024-03-05")
+      .orderBy("day")
+      .select("observed", "filled").collect()
+      .map(r => (r.getBoolean(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (false, Some(77L)),  // 03-01: filled from the last pre-start observation
+      (false, Some(77L)),  // 03-02
+      (true, Some(9L)),    // 03-03: in-window observation takes over
+      (false, Some(9L)),   // 03-04
+      (false, Some(9L))))  // 03-05: the 03-09 event never leaks in
+  }
+
   test("day_agg is null exactly on unobserved days") {
     val rows = filled.collect()
     rows.foreach { r =>

@@ -33,6 +33,24 @@ class SnapshotSpec extends SparkSpec {
     assert(st === "changed")
   }
 
+  test("nulls are distinguished from empty strings and from shifted values") {
+    // ("a", NULL) vs (NULL, "a"): bare concat_ws would skip the null and
+    // hash both sides to md5("a") — the encoding must keep them apart
+    val a = Seq((1L, Some("a"), Option.empty[String]),
+      (2L, Option.empty[String], Option.empty[String])).toDF("id", "x", "y")
+    val b = Seq((1L, Option.empty[String], Some("a")),
+      (2L, Some(""), Some(""))).toDF("id", "x", "y")
+    val got = Snapshot.diff(a, b, "id", Seq("x", "y"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+    // and a value equal to the NULL sentinel still differs from NULL
+    val c = Seq((1L, Some(""))).toDF("id", "x")
+    val n = Seq((1L, Option.empty[String])).toDF("id", "x")
+    val st = Snapshot.diff(c, n, "id", Seq("x"))
+      .select("status").head.getString(0)
+    assert(st === "changed")
+  }
+
   test("diffSummary reports counts and key envelopes per class") {
     val got = Snapshot.diffSummary(oldSnap, newSnap, "id", Seq("body", "meta"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
