@@ -133,6 +133,45 @@ private[queries] object CatalogShared {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id " +
       "UNION SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)"
 
+  /** DuckDB twin of [[graft.operators.Bpe]]: the same `rounds` merge
+    * rounds unrolled as CTEs (the k-means/PageRank oracle pattern). Each
+    * round: adjacent-pair counts over the wrapped-symbol strings, top-1
+    * by (cnt DESC, lft, rgt), one literal `replace` applying the merge —
+    * `replace` is leftmost-first non-overlapping on both engines, so the
+    * greedy merge order matches exactly. Returns the CTE prefix; callers
+    * append a final SELECT over `m1..m<rounds>` (train) or `w<rounds>`
+    * (encode).
+    */
+  def bpeCtes(rounds: Int): String = {
+    val ss = "chr(1)||chr(1)"
+    val base =
+      "toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> regexp_matches(t, '^[a-z0-9]+$'))) AS word FROM documents), " +
+        "v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1), " +
+        "w0 AS (SELECT word, freq, chr(1) || array_to_string([word[i] for i in generate_series(1, length(word))], " + ss + ") || chr(1) AS w FROM v0)"
+    val roundsSql = (1 to rounds).map { r =>
+      s"p$r AS (SELECT sy[i] AS lft, sy[i+1] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt " +
+        s"FROM (SELECT string_split(substr(w, 2, length(w)-2), $ss) AS sy, freq FROM w${r - 1}), " +
+        "LATERAL unnest(generate_series(1, len(sy)-1)) AS t(i) GROUP BY 1, 2), " +
+        s"m$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1), " +
+        s"w$r AS (SELECT word, freq, replace(w, chr(1)||lft||$ss||rgt||chr(1), chr(1)||lft||rgt||chr(1)) AS w FROM w${r - 1}, m$r)"
+    }.mkString(", ")
+    s"WITH $base, $roundsSql"
+  }
+
+  /** Full DuckDB twin of the `text_bpe_train` merge table. */
+  def bpeTrainSql(rounds: Int): String =
+    bpeCtes(rounds) + " " +
+      (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, lft, rgt, cnt FROM m$r")
+        .mkString(" UNION ALL ") +
+      " ORDER BY round"
+
+  /** Full DuckDB twin of the `text_bpe_encode` segmentation table. */
+  def bpeEncodeSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      s" SELECT word, CAST(len(sy) AS BIGINT) AS n_pieces, array_to_string(sy, ' ') AS pieces " +
+      s"FROM (SELECT word, string_split(substr(w, 2, length(w)-2), chr(1)||chr(1)) AS sy FROM w$rounds) ORDER BY word"
+
   /** Hub-capped band-join pair SQL (8 hubs per bucket) — the DuckDB twin
     * of [[graft.operators.Dedup.lshCandidatePairsBounded]]: only the 8
     * smallest ids of a bucket pair with the rest, bounding a hot bucket's

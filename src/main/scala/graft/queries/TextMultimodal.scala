@@ -149,6 +149,46 @@ private[queries] object TextMultimodalQueries {
       },
       Some("SELECT word, cnt, rn AS token_id FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (ORDER BY count(*) DESC, word) AS rn FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) WHERE rn <= 200 ORDER BY token_id")),
 
+    // Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
+    // learn 8 subword merges from the corpus — corpus collapses ONCE to
+    // the (word, freq) vocab, then every round is one bounded pair
+    // aggregation + one literal replace (the unrolled-rounds oracle
+    // pattern of k-means/PageRank). Integer counts, binary string
+    // tie-breaks — the merge table hash-matches DuckDB's identical
+    // 8 unrolled rounds.
+    Q("text_bpe_train",
+      (s, d) => {
+        import graft.operators.Bpe
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z0-9]+$"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val (merges, _) = Bpe.train(vocab, "word", "freq", rounds = 8)
+        s.createDataFrame(merges)
+          .select(col("round").cast("long").as("round"),
+            col("lft"), col("rgt"), col("cnt"))
+          .orderBy("round")
+      },
+      Some(bpeTrainSql(8))),
+
+    // BPE inference over the trained vocab: every word's final
+    // segmentation after the 8 learned merges (piece count + the pieces
+    // themselves) — the encode face of the trainer, same unrolled twin.
+    Q("text_bpe_encode",
+      (s, d) => {
+        import graft.operators.Bpe
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z0-9]+$"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val (_, words) = Bpe.train(vocab, "word", "freq", rounds = 8)
+        words.select(col("word"),
+          size(Bpe.symbols(col("w"))).cast("long").as("n_pieces"),
+          array_join(Bpe.symbols(col("w")), " ").as("pieces"))
+          .orderBy("word")
+      },
+      Some(bpeEncodeSql(8))),
+
     // Document frequency (how many docs contain each word — the IDF
     // numerator, distinct from text_vocab's collection frequency).
     Q("text_df",
