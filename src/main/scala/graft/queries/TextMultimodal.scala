@@ -149,6 +149,61 @@ private[queries] object TextMultimodalQueries {
       },
       Some("SELECT word, cnt, rn AS token_id FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (ORDER BY count(*) DESC, word) AS rn FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) GROUP BY word) WHERE rn <= 200 ORDER BY token_id")),
 
+    // Bigram LM perplexity quality score (the CCNet/C4-style signal):
+    // train add-1-smoothed bigram counts on the 80% held-in slice
+    // (doc_id%10<8), score EVERY doc by its summed negative log2
+    // probability. The log is [[graft.functions.ILog]]'s Mitchell
+    // piecewise-linear fixed-point log2 — pure integer shift/mul/floor-
+    // div, so the scores hash-match DuckDB exactly (a libm ln would
+    // drift in the last ulp). Scale shape: count tables are
+    // vocab-bounded; the scoring joins are equi-keyed (u,v)/(u) with
+    // map-side partial aggregation; nothing iterates the corpus twice.
+    Q("text_lm_score",
+      (s, d) => {
+        import graft.functions.ILog
+        val ws = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        val bi = ws.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (l, r) => struct(l.as("u"), r.as("v")))).as("p"))
+          .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+        val tb = bi.filter(col("doc_id") % 10 < 8)
+        val cuv = tb.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        val cu = tb.groupBy("u").agg(count(lit(1)).as("cu"))
+        val vs = ws.filter(col("doc_id") % 10 < 8)
+          .select(explode(col("ws")).as("w"))
+          .agg(countDistinct(col("w")).as("vsz"))
+        bi.join(cuv, Seq("u", "v"), "left")
+          .join(cu, Seq("u"), "left")
+          .crossJoin(broadcast(vs))
+          .withColumn("den", coalesce(col("cu"), lit(0L)) + col("vsz"))
+          .withColumn("num", coalesce(col("cuv"), lit(0L)) + lit(1L))
+          .withColumn("nll",
+            expr(ILog.qlogSqlSpark("den")) - expr(ILog.qlogSqlSpark("num")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_fp20"))
+          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+            col("n_bigrams"), col("nll_fp20"),
+            expr("nll_fp20 div n_bigrams").as("avg_fp20"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.ILog
+        "WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+          "bi AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v FROM ws, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)), " +
+          "tb AS (SELECT u, v FROM bi WHERE doc_id % 10 < 8), " +
+          "cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM tb GROUP BY 1, 2), " +
+          "cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM tb GROUP BY 1), " +
+          "vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM (SELECT unnest(ws) AS w FROM ws WHERE doc_id % 10 < 8)), " +
+          "j AS (SELECT bi.doc_id, COALESCE(cu.cu, 0) + vsz AS den, COALESCE(cuv.cuv, 0) + 1 AS num FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u) CROSS JOIN vs), " +
+          s"sc AS (SELECT doc_id, ${ILog.qlogSqlDuck("den")} - ${ILog.qlogSqlDuck("num")} AS nll FROM j) " +
+          "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+          "CAST(sum(nll) AS BIGINT) AS nll_fp20, CAST(sum(nll) // count(*) AS BIGINT) AS avg_fp20 " +
+          "FROM sc GROUP BY doc_id ORDER BY doc_id"
+      }),
+
     // Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
     // learn 8 subword merges from the corpus — corpus collapses ONCE to
     // the (word, freq) vocab, then every round is one bounded pair
