@@ -483,7 +483,35 @@ private[queries] object CoreRelational {
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey"),
-      Some("SELECT o_orderkey, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_name = 'Customer#000000042' ORDER BY o_orderkey")))
+      Some("SELECT o_orderkey, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_name = 'Customer#000000042' ORDER BY o_orderkey")),
+
+    // J11: large-large join — BOTH sides exceed any broadcast threshold
+    // at 100 TB (lineitem ⋈ orders is the canonical fact-fact case), so
+    // the production path is a shuffled sort-merge join on the order
+    // key. The `merge` hints pin that exact plan at test scale too
+    // (where AQE would legitimately broadcast the small side) so the
+    // SMJ path — the 100 TB default — is what's exercised and
+    // plan-locked (PlanSpec asserts SortMergeJoin). Map-side partial
+    // aggregation follows the join, bounding the second exchange at
+    // groups × tasks.
+    Q("j11_sortmerge",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        li.hint("merge")
+          .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, SUM(l_quantity) AS sum_qty, " +
+        "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")))
 
 
   val all: Seq[Q] = scans ++ filters ++ joins

@@ -325,6 +325,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j11: fact-fact join takes the sort-merge path (the 100 TB default)") {
+    val p = plan("j11_sortmerge")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // and the post-join aggregation still combines map-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
