@@ -25,6 +25,10 @@ object ILog {
   /** JVM twin. */
   def qlog2Fp20(n: Long): Long = {
     require(n >= 1, s"qlog2 needs n >= 1, got $n")
+    // Above 2^44 − 1 the mantissa product (n − 2^e)·2^20 would wrap a
+    // Long SILENTLY here while the SQL faces fail loudly (Spark ANSI /
+    // DuckDB overflow checks) — fail the same way they do.
+    require(n < (1L << 44), s"qlog2 domain is n < 2^44, got $n")
     val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
     val p = 1L << e
     e.toLong * 1048576L + ((n - p) * 1048576L) / p

@@ -19,10 +19,16 @@ object Snapshot {
   /** md5 over the concatenated content columns, U+0001-separated, with a
     * NULL-distinguishing per-column encoding: NULL → U+0002, non-null
     * value → U+0003 ++ value. The separator guards against
-    * column-boundary ambiguity; the prefix makes the encoding injective —
-    * ("a", NULL) vs (NULL, "a"), NULL vs '', and a literal U+0002 value
-    * all hash differently (bare `concat_ws` silently SKIPS null inputs,
-    * which would classify real content changes as 'unchanged'). Any
+    * column-boundary ambiguity; the prefix distinguishes NULL from every
+    * non-null value — ("a", NULL) vs (NULL, "a"), NULL vs '', and a
+    * literal U+0002 value all hash differently (bare `concat_ws` silently
+    * SKIPS null inputs, which would classify real content changes as
+    * 'unchanged'). Residual assumption: content values themselves don't
+    * contain U+0001–U+0003 — e.g. ("a<U+0001><U+0003>b", "c") and
+    * ("a", "b<U+0001><U+0003>c") still encode identically. True injectivity
+    * would need per-value escaping or length prefixes; for the text/binary
+    * corpora here the control-character assumption is the cheaper, honest
+    * contract. Any
     * engine with md5/concat_ws reproduces it byte-for-byte — DuckDB:
     * `md5(concat_ws(chr(1), CASE WHEN c IS NULL THEN chr(2) ELSE chr(3) ||
     * c END, …))`.

@@ -153,7 +153,12 @@ private[queries] object CatalogShared {
         s"FROM (SELECT string_split(substr(w, 2, length(w)-2), $ss) AS sy, freq FROM w${r - 1}), " +
         "LATERAL unnest(generate_series(1, len(sy)-1)) AS t(i) GROUP BY 1, 2), " +
         s"m$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1), " +
-        s"w$r AS (SELECT word, freq, replace(w, chr(1)||lft||$ss||rgt||chr(1), chr(1)||lft||rgt||chr(1)) AS w FROM w${r - 1}, m$r)"
+        // LEFT JOIN ON TRUE + CASE so an EMPTY m$r (merges exhausted before
+        // `rounds` — Bpe.train stops early and keeps the final vocab) passes
+        // w through unchanged instead of cross-join-annihilating every word.
+        s"w$r AS (SELECT word, freq, CASE WHEN lft IS NULL THEN w ELSE " +
+        s"replace(w, chr(1)||lft||$ss||rgt||chr(1), chr(1)||lft||rgt||chr(1)) END AS w " +
+        s"FROM w${r - 1} LEFT JOIN m$r ON TRUE)"
     }.mkString(", ")
     s"WITH $base, $roundsSql"
   }

@@ -34,6 +34,13 @@ class ILogSpec extends SparkSpec {
     }
   }
 
+  test("domain top: 2^44 - 1 computes, 2^44 is rejected (no silent Long wrap)") {
+    val top = (1L << 44) - 1
+    // At the domain edge the mantissa product is (2^43 - 1)·2^20 < 2^63.
+    assert(ILog.qlog2Fp20(top) === 43L * 1048576L + ((top - (1L << 43)) * 1048576L) / (1L << 43))
+    intercept[IllegalArgumentException] { ILog.qlog2Fp20(1L << 44) }
+  }
+
   test("values below 1 are rejected on both faces") {
     intercept[IllegalArgumentException] { ILog.qlog2Fp20(0L) }
     val err = intercept[Exception] {
