@@ -40,6 +40,34 @@ object ILog {
   /** DuckDB text of the same (bit-identical) expression. */
   def qlogSqlDuck(v: String): String = qlogSql(v, spark = false)
 
+  /** Fixed-point probability: ⌊num·2^34 / den⌋ — the quantized ratio
+    * both engines compute identically (one integer multiply + one floor
+    * divide). 2^34 scale keeps the add-1 unigram floor non-zero up to
+    * ~17 G training bigrams while the product num·2^34 stays under 2^63
+    * for num < 2^29 — enforced LOUDLY on both engines (the guard below
+    * raises; Spark's non-ANSI multiply would otherwise wrap silently
+    * while DuckDB errors — the same JVM-vs-SQL divergence [[qlog2Fp20]]
+    * guards against). Corpora past 2^29 occurrences of one bigram shard
+    * their LM counts first.
+    */
+  def pFp34Spark(num: String, den: String): String = pFp34(num, den, spark = true)
+  def pFp34Duck(num: String, den: String): String = pFp34(num, den, spark = false)
+
+  /** JVM twin of the SQL faces. */
+  def pFp34(num: Long, den: Long): Long = {
+    require(num >= 1 && den >= 1, s"pFp34 needs num, den >= 1, got $num / $den")
+    require(num < (1L << 29), s"pFp34 domain is num < 2^29, got $num")
+    (num << 34) / den
+  }
+
+  private def pFp34(num: String, den: String, spark: Boolean): String = {
+    val raise =
+      if (spark) "cast(raise_error('pFp34: numerator >= 2^29') as bigint)"
+      else "CAST(error('pFp34: numerator >= 2^29') AS BIGINT)"
+    val divOp = if (spark) "div" else "//"
+    s"(CASE WHEN ($num) >= 536870912 THEN $raise ELSE (($num) * 17179869184 $divOp ($den)) END)"
+  }
+
   private def qlogSql(v: String, spark: Boolean): String = {
     val e = s"(length(bin($v)) - 1)"
     // BIGINT base: shiftleft on an INT literal wraps at 32 bits (e ≥ 31)

@@ -204,6 +204,79 @@ private[queries] object TextMultimodalQueries {
           "FROM sc GROUP BY doc_id ORDER BY doc_id"
       }),
 
+    // Jelinek-Mercer interpolated LM score (λ = 1/2): the back-off
+    // upgrade of text_lm_score — P_mix(v|u) = (P_bi + P_uni)/2 with
+    // add-1 faces P_bi = (cuv+1)/(cu+|V|), P_uni = (cv+1)/(N+|V|), the
+    // CCNet-style smoothing that stops one unseen bigram from dominating
+    // a document's score. Exactness: each probability is quantized ONCE
+    // to 2^-34 fixed point ([[graft.functions.ILog.pFp34Spark]] — one
+    // multiply + one floor divide, identical on both engines), the sum
+    // of the two fp probabilities feeds the same Mitchell integer log2,
+    // and −log2((a+b)/2^35) = 35·2^20 − qlog2(a+b) exactly (dividing by
+    // a power of two is an exact exponent shift in qlog2). Scale shape
+    // identical to text_lm_score: three vocab-bounded count tables,
+    // equi-keyed scoring joins on (u,v)/(u)/(v), two 1-row broadcasts
+    // (N, |V|); per-34-bit quantization floors stay positive up to ~17 G
+    // training bigrams, and the 2^29 numerator domain raises loudly on
+    // both engines past it.
+    Q("text_lm_interp",
+      (s, d) => {
+        import graft.functions.ILog
+        val ws = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        val bi = ws.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (l, r) => struct(l.as("u"), r.as("v")))).as("p"))
+          .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+        val tb = bi.filter(col("doc_id") % 10 < 8)
+        val cuv = tb.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        val cu = tb.groupBy("u").agg(count(lit(1)).as("cu"))
+        val cv = tb.groupBy("v").agg(count(lit(1)).as("cv"))
+        val gl = tb.agg(count(lit(1)).as("nbi"))
+        val vs = ws.filter(col("doc_id") % 10 < 8)
+          .select(explode(col("ws")).as("w"))
+          .agg(countDistinct(col("w")).as("vsz"))
+        bi.join(cuv, Seq("u", "v"), "left")
+          .join(cu, Seq("u"), "left")
+          .join(cv, Seq("v"), "left")
+          .crossJoin(broadcast(gl))
+          .crossJoin(broadcast(vs))
+          .withColumn("a_fp", expr(ILog.pFp34Spark(
+            "coalesce(cuv, 0) + 1", "coalesce(cu, 0) + vsz")))
+          .withColumn("b_fp", expr(ILog.pFp34Spark(
+            "coalesce(cv, 0) + 1", "nbi + vsz")))
+          .withColumn("mix_fp", col("a_fp") + col("b_fp"))
+          .withColumn("nll",
+            lit(36700160L) - expr(ILog.qlogSqlSpark("mix_fp")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_fp20"))
+          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+            col("n_bigrams"), col("nll_fp20"),
+            expr("nll_fp20 div n_bigrams").as("avg_fp20"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.ILog
+        "WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+          "bi AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v FROM ws, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)), " +
+          "tb AS (SELECT u, v FROM bi WHERE doc_id % 10 < 8), " +
+          "cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM tb GROUP BY 1, 2), " +
+          "cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM tb GROUP BY 1), " +
+          "cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM tb GROUP BY 1), " +
+          "gl AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM tb), " +
+          "vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM (SELECT unnest(ws) AS w FROM ws WHERE doc_id % 10 < 8)), " +
+          "j AS (SELECT bi.doc_id, COALESCE(cuv.cuv, 0) + 1 AS anum, COALESCE(cu.cu, 0) + vsz AS aden, " +
+          "COALESCE(cv.cv, 0) + 1 AS bnum, nbi + vsz AS bden " +
+          "FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u) LEFT JOIN cv USING (v) CROSS JOIN gl CROSS JOIN vs), " +
+          s"f AS (SELECT doc_id, ${ILog.pFp34Duck("anum", "aden")} + ${ILog.pFp34Duck("bnum", "bden")} AS mix_fp FROM j), " +
+          s"sc AS (SELECT doc_id, 36700160 - ${ILog.qlogSqlDuck("mix_fp")} AS nll FROM f) " +
+          "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+          "CAST(sum(nll) AS BIGINT) AS nll_fp20, CAST(sum(nll) // count(*) AS BIGINT) AS avg_fp20 " +
+          "FROM sc GROUP BY doc_id ORDER BY doc_id"
+      }),
+
     // Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
     // learn 8 subword merges from the corpus — corpus collapses ONCE to
     // the (word, freq) vocab, then every round is one bounded pair
