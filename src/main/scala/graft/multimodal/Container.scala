@@ -391,6 +391,94 @@ object Container extends Serializable {
     * a hash match proves the box walk / page walk inverts both layouts
     * (offsets, endianness, fixed-point splits, version variants, CRC).
     */
+  /** Malformed-input audit — the reject face of
+    * [[syntheticContainerStats]]: each id's payload is deterministically
+    * either left intact or corrupted by one of three realistic damage
+    * classes, then pushed through the REAL parser; the row records
+    * whether the walk accepted it (and the parsed part count when it
+    * did). mode = (id / 2) % 4:
+    *
+    *   0 — intact (must accept; n_parts from the parse)
+    *   1 — magic clobber: 'ftyp' / 'OggS' capture byte overwritten
+    *   2 — mid-structure tail truncation (5 bytes): the last box /
+    *       page claims more bytes than remain
+    *   3 — MP4: moov size32 inflated past EOF (crafted size overrun);
+    *       Ogg: one body byte XOR-flipped (the page CRC must catch it)
+    *
+    * All three damage classes MUST reject — the oracle pins
+    * accepted = (mode = 0) closed-form, so a parser that believes a
+    * clobbered magic, walks past EOF, or skips the CRC hash-mismatches.
+    * Honest boundary: ISO BMFF has no payload checksum, so an mdat
+    * byte flip is undetectable by design (ContainerSpec documents it);
+    * the flip class therefore targets Ogg, whose CRC detects every
+    * single-byte error, and MP4 gets the size-overrun class instead.
+    */
+  def rejectCorpusStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("container", StringType),
+      StructField("mode", LongType),
+      StructField("accepted", BooleanType),
+      StructField("n_parts", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        require(id >= 0, s"rejectCorpusStats needs a non-negative id (got $id)")
+        val mode = (id / 2) % 4
+        val isMp4 = id % 2 == 0
+        val bytes = encodeForId(id)
+        val corrupted = corrupt(bytes, mode, isMp4)
+        val parsed: Option[Long] =
+          if (isMp4) parseMp4(corrupted).map(_.nTopBoxes.toLong)
+          else parseOggOpus(corrupted).map(_.nPages.toLong)
+        Row(id, if (isMp4) "mp4" else "ogg", mode, parsed.isDefined,
+          parsed.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** The deterministic per-id payload both container stats share (the
+    * same parameter derivations as [[syntheticContainerStats]]).
+    */
+  def encodeForId(id: Long): Array[Byte] =
+    if (id % 2 == 0) {
+      val version = if (id % 4 == 0) 1 else 0
+      val timescale = 600L * (1 + id % 5)
+      val duration = if (version == 1) (1L << 32) + 977L * id else 10000L + 977L * id
+      encodeMp4("isom", timescale, duration,
+        (16 * (4 + id % 9)).toInt, (16 * (3 + id % 5)).toInt, version)
+    } else {
+      val preSkip = (312 + id % 100).toInt
+      encodeOggOpus(1000L + id, if (id % 4 == 1) 1 else 2, preSkip,
+        8000L * (1 + id % 6), preSkip + 960L * (50 + id % 300), (3 + id % 4).toInt)
+    }
+
+  /** Apply one damage class (see [[rejectCorpusStats]]); mode 0 returns
+    * the payload untouched.
+    */
+  def corrupt(bytes: Array[Byte], mode: Long, isMp4: Boolean): Array[Byte] =
+    mode match {
+      case 0 => bytes
+      case 1 =>
+        val b = bytes.clone()
+        b(if (isMp4) 4 else 0) = 'X'.toByte
+        b
+      case 2 => java.util.Arrays.copyOf(bytes, bytes.length - 5)
+      case 3 =>
+        val b = bytes.clone()
+        if (isMp4) {
+          // ftyp is 16 bytes, so moov's size32 sits at offset 16: inflate
+          // it 1000 bytes past what remains — the walk must refuse
+          val size = ((b(16) & 0xffL) << 24) | ((b(17) & 0xffL) << 16) |
+            ((b(18) & 0xffL) << 8) | (b(19) & 0xffL)
+          putBe32(b, 16, size + 1000)
+        } else b(b.length / 2) = (b(b.length / 2) ^ 0x5a).toByte
+        b
+      case m => throw new IllegalArgumentException(s"corrupt mode $m")
+    }
+
   def syntheticContainerStats(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -405,24 +493,13 @@ object Container extends Serializable {
         val id = r.getLong(idx)
         require(id >= 0, s"syntheticContainerStats needs a non-negative id (got $id)")
         if (id % 2 == 0) {
-          val version = if (id % 4 == 0) 1 else 0
-          val timescale = 600L * (1 + id % 5)
-          val duration = if (version == 1) (1L << 32) + 977L * id else 10000L + 977L * id
-          val width = (16 * (4 + id % 9)).toInt
-          val height = (16 * (3 + id % 5)).toInt
-          val m = parseMp4(encodeMp4("isom", timescale, duration, width, height, version))
+          val m = parseMp4(encodeForId(id))
             .getOrElse(throw new IllegalStateException(s"mp4 round-trip failed for id $id"))
           Row(id, "mp4", m.brand, m.timescale, m.duration,
             m.duration * 1000 / m.timescale, m.width.toLong, m.height.toLong,
             null, null, null, m.nTopBoxes.toLong)
         } else {
-          val channels = if (id % 4 == 1) 1 else 2
-          val preSkip = (312 + id % 100).toInt
-          val durUnits = 960L * (50 + id % 300)
-          val rate = 8000L * (1 + id % 6)
-          val nPages = (3 + id % 4).toInt
-          val m = parseOggOpus(encodeOggOpus(
-            1000L + id, channels, preSkip, rate, preSkip + durUnits, nPages))
+          val m = parseOggOpus(encodeForId(id))
             .getOrElse(throw new IllegalStateException(s"ogg round-trip failed for id $id"))
           val units = m.lastGranule - m.preSkip
           Row(id, "ogg", null, 48000L, units, units * 1000 / 48000,

@@ -478,7 +478,28 @@ private[queries] object TextMultimodalQueries {
         "CAST(CASE WHEN doc_id % 2 = 1 THEN 312 + doc_id % 100 END AS BIGINT) AS preskip, " +
         "CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 6) END AS BIGINT) AS sample_rate, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END AS BIGINT) AS n_parts " +
-        "FROM documents WHERE doc_id < 100 ORDER BY doc_id")))
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id")),
+
+    // Malformed-container audit — the reject corpus: each payload is
+    // intact or damaged by one of three deterministic classes (magic
+    // clobber, mid-structure truncation, size-overrun / CRC byte flip)
+    // and pushed through the REAL parsers. The oracle pins
+    // accepted = (mode = 0) closed-form, so a parser that believes a
+    // clobbered magic, walks a box past EOF, or skips the Ogg CRC
+    // hash-mismatches — malformed-input behavior is now oracle-locked,
+    // not just fuzz-survival (ContainerSpec's never-throws).
+    Q("mm_container_reject",
+      (s, d) => graft.multimodal.Container
+        .rejectCorpusStats(
+          Tables.documents(s, d).filter(col("doc_id") < 200).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'ogg' END AS container, " +
+        "CAST((doc_id // 2) % 4 AS BIGINT) AS mode, " +
+        "(doc_id // 2) % 4 = 0 AS accepted, " +
+        "CAST(CASE WHEN (doc_id // 2) % 4 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END) END AS BIGINT) AS n_parts " +
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id")))
 
 
   val all: Seq[Q] = textual

@@ -123,6 +123,29 @@ class ContainerSpec extends AnyFunSuite {
       Container.parseOggOpus(o)
     }
   }
+
+  test("reject corpus: every damage class rejects, intact accepts (ids 0..79)") {
+    (0L until 80L).foreach { id =>
+      val mode = (id / 2) % 4
+      val isMp4 = id % 2 == 0
+      val damaged = Container.corrupt(Container.encodeForId(id), mode, isMp4)
+      val accepted =
+        if (isMp4) Container.parseMp4(damaged).isDefined
+        else Container.parseOggOpus(damaged).isDefined
+      assert(accepted === (mode == 0L), s"id=$id mode=$mode mp4=$isMp4")
+    }
+  }
+
+  test("honest boundary: an mdat payload flip is UNDETECTABLE in BMFF (no checksum)") {
+    // ISO BMFF carries no payload CRC — flipping a byte inside mdat's
+    // body leaves every parsed field intact and the file accepted. This
+    // is why the reject corpus gives MP4 the size-overrun class and Ogg
+    // (whose CRC-32 detects every single-byte error) the flip class.
+    val bytes = Container.encodeMp4("isom", 600, 1000, 64, 48)
+    val flipped = bytes.clone()
+    flipped(bytes.length - 1) = (flipped(bytes.length - 1) ^ 0x5a).toByte
+    assert(Container.parseMp4(flipped) === Container.parseMp4(bytes))
+  }
 }
 
 /** The Spark face: synthetic stats shape + partitioning invariance. */
