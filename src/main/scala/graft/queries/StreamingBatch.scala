@@ -100,6 +100,58 @@ private[queries] object StreamingQueries {
       Some("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events " +
         "WHERE event_id < 1500 GROUP BY user_id ORDER BY user_id")),
 
+    // END-TO-END late-data accounting: on-time rows (ts >= Jan 25) drain
+    // first and commit watermark W = max(on-time ts) - 2h; a second drain
+    // over the same checkpoint feeds rows from hours before W — and the
+    // progress metrics surface exactly what the watermark silently
+    // discarded: numInputRows (late rows delivered) and
+    // numRowsDroppedByWatermark (state groups dropped — the metric sits
+    // after the shuffle merge, one row per (window, event_type) group).
+    // Output: the finalized windows the sink emitted (end < W) plus two
+    // audit rows carrying the metrics. The batch twin recomputes W
+    // closed-form (ms-floored max minus 7_200_000), the late row count
+    // as a plain filter, and the dropped groups as a distinct count — a
+    // dropped-row miscount, a wrong watermark, or an emit-predicate bug
+    // all hash-mismatch.
+    Q("stream_late_audit",
+      (s, d) => {
+        // The event_id slice is ts-correlated and spans a DIFFERENT date
+        // range per scale factor, so the on-time/late split is relative
+        // to the slice's min(ts): late = first 6 h, on-time = 12 h on —
+        // cutoffs both engines compute closed-form. One-row bounded
+        // collect (the skew-probe precedent), never data-proportional.
+        val ev = Tables.events(s, d).filter(col("event_id") < 3000)
+        val lo = ev.agg(min(col("ts"))).head.getTimestamp(0)
+        val (sink, lateRows, droppedGroups) =
+          graft.streaming.EventStream.drainLateAudit(s,
+            ev.filter(col("ts") >= lit(lo) + expr("INTERVAL 12 HOURS")),
+            ev.filter(col("ts") < lit(lo) + expr("INTERVAL 6 HOURS")))
+        sink
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("event_type"), col("cnt"), col("sum_value_cents"))
+          .unionByName(s.range(1).select(
+            lit("LATE_INPUT_ROWS").as("window_start"), lit("*").as("event_type"),
+            lit(lateRows).as("cnt"), lit(0L).as("sum_value_cents")))
+          .unionByName(s.range(1).select(
+            lit("LATE_DROPPED_GROUPS").as("window_start"), lit("*").as("event_type"),
+            lit(droppedGroups).as("cnt"), lit(0L).as("sum_value_cents")))
+          .orderBy("window_start", "event_type")
+      },
+      Some("WITH sl AS (SELECT * FROM events WHERE event_id < 3000), " +
+        "b AS (SELECT min(ts) AS lo FROM sl), " +
+        "ot AS (SELECT sl.* FROM sl, b WHERE ts >= lo + INTERVAL 12 HOUR), " +
+        "wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM ot), " +
+        "w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM ot GROUP BY 1, 2), " +
+        "kept AS (SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type, cnt, sum_value_cents " +
+        "FROM w, wm WHERE epoch_us(ws + INTERVAL '1 hour') // 1000 < wm_ms), " +
+        "lt AS (SELECT 'LATE_INPUT_ROWS' AS window_start, '*' AS event_type, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(0 AS BIGINT) AS sum_value_cents FROM sl, b WHERE ts < lo + INTERVAL 6 HOUR), " +
+        "lg AS (SELECT 'LATE_DROPPED_GROUPS' AS window_start, '*' AS event_type, " +
+        "CAST(count(DISTINCT (time_bucket(INTERVAL '1 hour', ts), event_type)) AS BIGINT) AS cnt, " +
+        "CAST(0 AS BIGINT) AS sum_value_cents FROM sl, b WHERE ts < lo + INTERVAL 6 HOUR) " +
+        "SELECT * FROM kept UNION ALL SELECT * FROM lt UNION ALL SELECT * FROM lg ORDER BY window_start, event_type")),
+
     // Cohort retention: users grouped by first-seen week; how many are
     // active k weeks later. Pure date/int arithmetic (week truncation is
     // ISO Monday-start in both engines; offsets are integer day

@@ -222,6 +222,69 @@ object EventStream {
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
+  /** Late-data accounting drain: the watermark's silent row drops made
+    * OBSERVABLE. On-time rows flow through [[windowedAgg]] in a first
+    * AvailableNow drain — committing watermark W = max(on-time ts) − delay
+    * into the checkpoint — then `late` rows arrive in a SECOND drain over
+    * the same checkpoint, where the aggregation's watermark filter drops
+    * every row whose window closed before W. Returns the finalized-window
+    * sink plus TWO audit numbers from the second drain's progress
+    * metrics — the numbers an SLO dashboard alarms on, which the bare
+    * pipeline never surfaces:
+    *
+    *  - `lateInputRows`: `numInputRows` summed over the late drain's
+    *    batches — every late row the source delivered;
+    *  - `droppedGroups`: the state operators' `numRowsDroppedByWatermark`.
+    *    For an aggregation this metric sits AFTER the shuffle merge, so
+    *    it counts dropped per-GROUP state candidates (one row per
+    *    (window, key) per batch), not input rows — which is why both
+    *    numbers are surfaced; a batch twin computes the first as a plain
+    *    filter count and the second as a distinct-group count.
+    *
+    * Determinism (what makes this oracle-able by a batch twin): the two
+    * batches are separate drains, so batch order is not a file-listing
+    * race; the watermark is ms-floored max(on-time ts) − delay, which a
+    * batch engine computes closed-form; and callers pick `late` rows
+    * whose windows sit far below W, so every late row is dropped
+    * regardless of the emit predicate's < vs ≤ edge (window ends are
+    * whole hours, W carries microsecond-random offsets — never equal).
+    */
+  def drainLateAudit(spark: SparkSession, onTime: DataFrame, late: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): (DataFrame, Long, Long) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_late_")
+    try {
+      val feed = base.resolve("feed")
+      java.nio.file.Files.createDirectories(feed)
+      val out = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      def addFile(df: DataFrame, name: String): Unit = {
+        val stage = base.resolve(name + "_stage")
+        df.coalesce(1).write.mode("overwrite")
+          .option("timestampFormat", tsFmt).json(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        require(part.length == 1, s"expected 1 json part, got ${part.length}")
+        java.nio.file.Files.move(part.head.toPath, feed.resolve(name))
+      }
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = spark.readStream.schema(eventSchema)
+          .option("timestampFormat", tsFmt).json(feed.toString)
+        val q = parquetSink(windowedAgg(stream, windowLen, watermark), out, ckpt).start()
+        awaitDrained(q)
+        q
+      }
+      addFile(onTime, "batch0.json")
+      drain() // commits watermark = max(on-time ts) - delay
+      addFile(late, "batch1.json")
+      val progress = drain().recentProgress
+      val lateInputRows = progress.map(_.numInputRows).sum
+      val droppedGroups = progress
+        .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      (spark.read.parquet(out).localCheckpoint(), lateInputRows, droppedGroups)
+    } finally graft.util.Paths.deleteRecursively(base)
+  }
+
   /** Waits for an AvailableNow query to fully drain, FAILING LOUDLY on
     * timeout: silently stopping a half-drained query and reading its sink
     * would return a plausible-but-wrong partial result — a correctness

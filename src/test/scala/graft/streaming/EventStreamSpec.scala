@@ -173,6 +173,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drainLateAudit surfaces late input rows and dropped state groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ev(id: Long, hhmm: String, et: String) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, et, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // on-time: max ts 18:00 → watermark 16:00; only the 12:00 window
+    // (end 13:00 < 16:00) finalizes — 18:00's own window stays open
+    val onTime = Seq(ev(1, "12:00", "view"), ev(2, "12:30", "view"),
+      ev(3, "18:00", "view")).toDF(cols: _*)
+    // late: 3 rows in 3 distinct (window, type) groups, all far below W
+    val late = Seq(ev(4, "00:10", "view"), ev(5, "00:20", "click"),
+      ev(6, "01:10", "view")).toDF(cols: _*)
+    val (sink, lateRows, droppedGroups) =
+      EventStream.drainLateAudit(spark, onTime, late)
+    assert(lateRows === 3L)   // numInputRows: every late row delivered
+    assert(droppedGroups === 3L) // numRowsDroppedByWatermark: post-merge groups
+    val wins = sink.select(date_format($"window_start", "HH:mm"), $"cnt")
+      .as[(String, Long)].collect().toMap
+    assert(wins === Map("12:00" -> 2L), wins.toString)
+  }
+
   test("upsert sink maintains a keyed snapshot across micro-batches (CDC apply)") {
     val dir = tmpDir("evupsrc")
     val snap = tmpDir("evupsnap") + "/state"
