@@ -351,6 +351,32 @@ private[queries] object ClusterPipelineQueries {
         .orderBy("shard"),
       Some("SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1")),
 
+    // Small-file compaction rewrite ([[graft.operators.Shards.compact]]):
+    // the corpus is deliberately fragmented into 48 small parquet files,
+    // then bin-packed (first-fit decreasing over file METADATA, Delta
+    // OPTIMIZE granularity) into ~256 KiB pack partitions with one
+    // shuffle, and read back. The oracle is row-level content
+    // preservation against the ORIGINAL table — a compaction that drops,
+    // duplicates, or mutates a single row hash-mismatches. Size envelope
+    // and file-count reduction are pinned in ShardsSpec (disk-dependent,
+    // not oracle-able cross-engine).
+    Q("compact_roundtrip",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+        try {
+          val in = tmp.resolve("small").toString
+          val out = tmp.resolve("packed").toString
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .repartition(48).write.mode("overwrite").parquet(in)
+          graft.operators.Shards.compact(s, in, out, targetBytes = 256 * 1024)
+          s.read.parquet(out)
+            .select(col("doc_id"), md5(col("text")).as("text_md5"))
+            .orderBy("doc_id")
+            .localCheckpoint() // pull rows off disk before the cleanup
+        } finally graft.util.Paths.deleteRecursively(tmp)
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id")),
+
     // Symmetric int8 scalar quantization of embeddings (4× ANN memory
     // cut). Fixed per-element IEEE tree — exact cross-engine.
     Q("emb_quantize",
