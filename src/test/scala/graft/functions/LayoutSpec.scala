@@ -46,6 +46,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout PRUNES parquet row groups a 1-D sort cannot (scan metrics)") {
+    // The actual-skip proof behind the envelope argument: a 256×256 grid
+    // written twice — range-partitioned+sorted by x alone vs by the
+    // morton2(x, y) key (64 files each; a z-range of 1024 keys is one
+    // 32×32 tile). A y-only slice predicate then hits the pushed-filter
+    // row-group stats: every x-sorted file spans all of y (nothing
+    // skips), while only the 8 z-tiles intersecting the slice are read.
+    // Measured on the scan's own numOutputRows metric — rows the parquet
+    // reader actually surfaced after row-group/page pruning.
+    val base = tmpDir("zprune")
+    val grid = (for { x <- 0L until 256L; y <- 0L until 256L } yield (x, y))
+      .toDF("x", "y")
+    val byX = s"$base/by_x"; val byZ = s"$base/by_z"
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(byX)
+    grid.withColumn("z", Layout.morton2(col("x"), col("y")))
+      .repartitionByRange(64, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(byZ)
+    def rowsRead(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("y") >= 100 && col("y") <= 115)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+      assert(scans.head.metadata("PushedFilters").contains("GreaterThanOrEqual(y,"),
+        scans.head.metadata("PushedFilters"))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val xRows = rowsRead(byX)
+    val zRows = rowsRead(byZ)
+    // x-sorted: no file can skip a y predicate; z-ordered: ≥ 4× fewer
+    // rows surface from the scan (measured ~8× — 8 of 64 tiles touched)
+    assert(xRows >= 60000L, s"x-sorted layout unexpectedly skipped: $xRows")
+    assert(zRows * 4 <= xRows, s"z-ordered read $zRows rows vs x-sorted $xRows")
+  }
+
   test("z-ordering bounds both dimensions per key-prefix bucket") {
     // 64x64 grid; bucket by the top 4 bits of the 12-bit morton key:
     // each bucket must cover at most a 16x32 (or 32x16) rectangle,
