@@ -68,10 +68,22 @@ private[queries] object CatalogShared {
     * dot products are sequential list_sum folds matching the codegen
     * DotProduct's left-to-right loop.
     */
-  lazy val ivfAnnSql: String = {
-    val dim = 64
-    def dotL(a: String, b: String): String =
-      s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${dim - 1})])"
+  private val ivfDim = 64
+
+  /** Sequential list_sum dot-product fold — the exact twin of the codegen
+    * [[graft.functions.DotProduct]] left-to-right loop.
+    */
+  def ivfDotL(a: String, b: String): String =
+    s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${ivfDim - 1})])"
+
+  /** CTE chain learning the Ivf.train(k=8, iters=2) model and the final
+    * assignment: `e` (vec_id, v double-widened), `c2` (cid, c — final
+    * centroids), `asg3` (vec_id, v, cid — final assignment). Shared by
+    * the ANN oracle and the semantic-dedup oracle, which both run the
+    * SAME two unrolled Lloyd rounds.
+    */
+  lazy val ivfModelCtes: String = {
+    def dotL = ivfDotL _
     // twin of Ivf.negSqDist: ((dot*2) - |v|²) - |c|²
     def negSqDist(v: String, c: String): String =
       s"((2 * ${dotL(v, c)} - ${dotL(v, v)}) - ${dotL(c, c)})"
@@ -87,20 +99,44 @@ private[queries] object CatalogShared {
       s"$name AS (SELECT $prev.cid, coalesce(nc.c, $prev.c) AS c FROM $prev LEFT JOIN " +
         s"(SELECT cid, list(m ORDER BY pos) AS c FROM " +
         s"(SELECT cid, i AS pos, CAST(SUM(CAST(floor(v[i+1] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS m " +
-        s"FROM $asg, LATERAL unnest(generate_series(0, ${dim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
-    // twin of Ivf.queryAndProbes: -((|q|² - 2·c·q) + |c|²), ties toward
-    // the SMALLER cid (Scala's stable sortBy keeps ascending-cid order)
-    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
-    "WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+        s"FROM $asg, LATERAL unnest(generate_series(0, ${ivfDim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
+    "e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
       "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
       assignCte("asg1", "c0") + ", " + updateCte("c1", "asg1", "c0") + ", " +
       assignCte("asg2", "c1") + ", " + updateCte("c2", "asg2", "c1") + ", " +
-      assignCte("asg3", "c2") + ", " +
+      assignCte("asg3", "c2")
+  }
+
+  lazy val ivfAnnSql: String = {
+    def dotL = ivfDotL _
+    // twin of Ivf.queryAndProbes: -((|q|² - 2·c·q) + |c|²), ties toward
+    // the SMALLER cid (Scala's stable sortBy keeps ascending-cid order)
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH " + ivfModelCtes + ", " +
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
       "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
       s"ds AS (SELECT f.vec_id, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q) " +
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
+  /** DuckDB twin of [[graft.operators.SemDedup.markDuplicates]] over the
+    * shared k-means model ([[ivfModelCtes]]): rank within cluster by
+    * ascending cosine-to-centroid, join each member against all
+    * earlier-ranked same-cluster members, flag cosine > τ. τ = 0.396
+    * sits in an empirically-verified gap of the within-cluster
+    * pair-cosine distribution at BOTH verification scales (nearest pair
+    * cosine ≥ 8.0e-4 away at sf0.01, ≥ 2.0e-4 at sf0.1 — and both
+    * engines run the identical sequential-fold expression tree anyway).
+    */
+  lazy val semDedupSql: String = {
+    def dotL = ivfDotL _
+    "WITH " + ivfModelCtes + ", " +
+      s"s AS (SELECT a.vec_id, a.v, a.cid, ${dotL("a.v", "c.c")} / (sqrt(${dotL("a.v", "a.v")}) * sqrt(${dotL("c.c", "c.c")})) AS csim FROM asg3 a JOIN c2 c USING (cid)), " +
+      "r AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY cid ORDER BY csim, vec_id) AS rk FROM s), " +
+      s"p AS (SELECT DISTINCT b.vec_id AS dup_id FROM r a JOIN r b ON a.cid = b.cid AND a.rk < b.rk WHERE ${dotL("a.v", "b.v")} / (sqrt(${dotL("a.v", "a.v")}) * sqrt(${dotL("b.v", "b.v")})) > 0.396) " +
+      "SELECT r.vec_id, CAST(r.cid AS INTEGER) AS cid, (p.dup_id IS NOT NULL) AS dup " +
+      "FROM r LEFT JOIN p ON r.vec_id = p.dup_id ORDER BY r.vec_id"
   }
 
   /** SimHash fingerprint SQL: votes per bit from md5 hex digits, packed

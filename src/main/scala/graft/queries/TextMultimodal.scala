@@ -123,6 +123,67 @@ private[queries] object TextMultimodalQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, 1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*) AS rep_ratio FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) WHERE len(ws) >= 2) GROUP BY doc_id ORDER BY doc_id")),
 
+    // PII masking ([[graft.functions.Pii]], Dolma-style): the corpus has
+    // no organic PII, so the query injects synthetic email / IPv4 / phone
+    // tokens derived deterministically from doc_id (the snapshot_diff
+    // derivation pattern), then counts and redacts them. Both engines run
+    // the SAME portable regexes (no lookaround/backrefs) verbatim.
+    Q("text_pii_scrub",
+      (s, d) => {
+        import graft.functions.Pii
+        val id = col("doc_id")
+        val injected = when(id % 7 === 1,
+            concat(col("text"), lit(" contact user"), id.cast("string"), lit("@example.com please")))
+          .when(id % 7 === 3,
+            concat(col("text"), lit(" server 10.42."), (id % 250).cast("string"),
+              lit("."), ((id % 199) + 1).cast("string"), lit(" up")))
+          .when(id % 7 === 5,
+            concat(col("text"), lit(" call +1-555-"), lpad((id % 1000).cast("string"), 3, "0"),
+              lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        Tables.documents(s, d).select(id, injected.as("t"))
+          .select(id,
+            Pii.count(col("t"), Pii.EmailRe).as("n_email"),
+            Pii.count(col("t"), Pii.Ipv4Re).as("n_ip"),
+            Pii.count(col("t"), Pii.PhoneRe).as("n_phone"),
+            Pii.redact(col("t")).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 7 = 1 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com please' " +
+        "WHEN doc_id % 7 = 3 THEN text || ' server 10.42.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 199 + 1 AS VARCHAR) || ' up' " +
+        "WHEN doc_id % 7 = 5 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+        "ELSE text END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, " +
+        "CAST(len(regexp_extract_all(t, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phone, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean " +
+        "FROM t ORDER BY doc_id")),
+
+    // Gopher per-doc repetition signals ([[graft.operators.Repetition]]):
+    // most-frequent-2-gram coverage + duplicate-3-gram coverage, all
+    // integer (count × length products; the flag compares integer
+    // cross-products, never a double). Tie on the top 2-gram count is
+    // common — broken by (cnt, coverage, gram) on both engines.
+    Q("text_repetition",
+      (s, d) => graft.operators.Repetition
+        .signals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS g FROM t), " +
+        "c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g), " +
+        "top2 AS (SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top2_chars FROM (SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cnt * length(g) DESC, g) AS rn FROM c2) WHERE rn = 1), " +
+        "g3 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]) AS g FROM t), " +
+        "c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g), " +
+        "dup3 AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0) AS BIGINT) AS dup3_chars FROM c3 GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(top2.top2_chars, 0) AS top2_chars, COALESCE(dup3.dup3_chars, 0) AS dup3_chars, " +
+        "CAST(length(t.text) AS BIGINT) AS total_chars, " +
+        "(COALESCE(top2.top2_chars, 0) * 8 > length(t.text) OR COALESCE(dup3.dup3_chars, 0) * 10 > length(t.text)) AS rep_flag " +
+        "FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id) ORDER BY doc_id")),
+
     // Context-window chunking: 50-token windows, stride 40 (10-token
     // overlap) — map-side posexplode+slice, no shuffle.
     Q("text_chunks",
