@@ -341,6 +341,36 @@ private[queries] object ClusterPipelineQueries {
       },
       Some("SELECT * FROM (SELECT c_custkey, c_name, CASE WHEN c_custkey <= 100 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal FROM customer UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 5) ORDER BY c_custkey")),
 
+    // Incremental materialized-view maintenance ([[graft.operators.Mv]],
+    // the Z-set/DBSP weighted-changelog formulation): a per-customer
+    // (count, cents) view over pre-2001 orders is refreshed by a delta
+    // changelog — every 2001+ order as a +1 insert, every 97th base
+    // order as a −1 retraction — WITHOUT rescanning the base facts:
+    // delta-sized partial agg, one key-equi full-outer merge, zeroed
+    // keys drop out. The oracle is the FULL RECOMPUTE over
+    // (base ∖ retracted) ∪ inserted — hash equality with the
+    // incremental path is the IVM correctness statement.
+    Q("mv_incremental",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            cents(col("o_totalprice")).cast("long").as("c"))
+        val base = o.filter(col("o_orderdate") < "2001-01-01")
+        val view = graft.operators.Mv.counters(
+          base.withColumn("w", lit(1L)), Seq("o_custkey"), "w", Seq("c"))
+        val changelog = o.filter(col("o_orderdate") >= "2001-01-01")
+          .withColumn("w", lit(1L))
+          .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("w", lit(-1L)))
+        val delta = graft.operators.Mv.counters(
+          changelog, Seq("o_custkey"), "w", Seq("c"))
+        graft.operators.Mv.merge(view, delta, Seq("o_custkey"), Seq("c"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' OR o_orderkey % 97 <> 0 " +
+        "GROUP BY o_custkey ORDER BY o_custkey")),
+
     // Deterministic shard assignment: per-shard row counts (the training
     // shard-balance report; assignment is engine-portable md5, not
     // Spark-specific murmur hash).

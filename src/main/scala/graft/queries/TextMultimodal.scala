@@ -560,7 +560,56 @@ private[queries] object TextMultimodalQueries {
         "CAST((doc_id // 2) % 4 AS BIGINT) AS mode, " +
         "(doc_id // 2) % 4 = 0 AS accepted, " +
         "CAST(CASE WHEN (doc_id // 2) % 4 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END) END AS BIGINT) AS n_parts " +
-        "FROM documents WHERE doc_id < 200 ORDER BY doc_id")))
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id")),
+
+    // Token-entropy quality signal ([[graft.operators.InfoStats]]): the
+    // per-doc Shannon entropy numerator N·qlog2(N) − Σ c·qlog2(c) in
+    // 2^-20-bit fixed point (Mitchell log2 — all-integer, hash-exact
+    // cross-engine). Distributional-collapse complement of
+    // text_repetition's single-n-gram coverage flags.
+    Q("text_entropy",
+      (s, d) => graft.operators.InfoStats
+        .tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        import graft.functions.ILog
+        "WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM " +
+          "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY doc_id, w), " +
+          "a AS (SELECT doc_id, SUM(c) AS n_tokens, " +
+          s"SUM(c * ${ILog.qlogSqlDuck("c")}) AS s FROM c GROUP BY doc_id) " +
+          "SELECT doc_id, n_tokens, " +
+          s"n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s AS ent_fp20, " +
+          s"(n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s) // n_tokens AS avg_fp20 " +
+          "FROM a ORDER BY doc_id"
+      }),
+
+    // DSIR hashed-unigram importance weights ([[graft.operators.Dsir]],
+    // Xie et al. NeurIPS 2023): score every doc by how target-like its
+    // token distribution is (target = the English slice), via two
+    // 256-bucket md5-hashed count models, add-1 smoothed, telescoped to
+    // an all-integer fixed-point log2 sum. Bucket models broadcast;
+    // scoring is map-side + one doc_id agg.
+    Q("dsir_weights",
+      (s, d) => graft.operators.Dsir
+        .importanceWeights(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", buckets = 256)
+        .orderBy("doc_id"),
+      Some {
+        import graft.functions.ILog
+        val b = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256"
+        "WITH f AS (SELECT doc_id, lang = 'en' AS is_target, " + b + " AS b FROM " +
+          "(SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)), " +
+          "ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f WHERE is_target GROUP BY b), " +
+          "cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b), " +
+          "tot AS (SELECT CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 256 AS BIGINT) AS ntb, CAST(count(*) + 256 AS BIGINT) AS nrb FROM f), " +
+          "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+          s"SUM(${ILog.qlogSqlDuck("(COALESCE(ct, 0) + 1)")} - ${ILog.qlogSqlDuck("(COALESCE(cr, 0) + 1)")}) AS sd " +
+          "FROM f LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) GROUP BY doc_id) " +
+          "SELECT doc_id, n_tok, " +
+          s"sd + n_tok * (${ILog.qlogSqlDuck("nrb")} - ${ILog.qlogSqlDuck("ntb")}) AS logw_fp20, " +
+          s"(sd + n_tok * (${ILog.qlogSqlDuck("nrb")} - ${ILog.qlogSqlDuck("ntb")})) // n_tok AS avg_fp20 " +
+          "FROM sc, tot ORDER BY doc_id"
+      }))
 
 
   val all: Seq[Q] = textual
