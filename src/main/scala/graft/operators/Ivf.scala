@@ -44,6 +44,43 @@ object Ivf {
     df.withColumn("centroid_id", array_max(scored).getField("c"))
   }
 
+  /** Row-based twin of [[assign]] for LARGE k: the centroid model as a
+    * k-row BROADCAST DataFrame, scored with one equi-structured
+    * `max(struct(score, cid))` aggregation instead of a k-wide literal
+    * expression array. [[assign]] inlines k × dim literals into ONE
+    * generated expression — perfect map-side zero-shuffle code at the
+    * IVF design point (k ≤ a few dozen), but at k in the hundreds-plus
+    * (SemDeDup scales k with the corpus) the generated method explodes
+    * past JIT limits and Catalyst optimization time grows with the tree.
+    * Here the model stays data: n·k scored rows flow through a map-side
+    * partial max, so the shuffle is n rows however large k grows.
+    *
+    * Bit-compatibility with [[assign]] is deliberate and load-bearing:
+    * the score is the same left-to-right IEEE tree
+    * `dot(v,c)·2 − |v|² − |c|²` (|c|² precomputed with the same Scala
+    * left fold the literal path embeds), and `max(struct(s, c))` breaks
+    * score ties toward the larger centroid id exactly like the literal
+    * path's `array_max` — so both paths (and the DuckDB twin) yield the
+    * identical assignment and either can serve any caller.
+    */
+  def assignByJoin(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cents = broadcast(centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("__c", "__cv", "__cn2"))
+    val v = col(vecCol)
+    val best = df.select(col(idCol), v, Vectors.dot(v, v).as("__vn2"))
+      .crossJoin(cents)
+      .select(col(idCol),
+        struct((Vectors.dot(v, col("__cv")) * 2 - col("__vn2") - col("__cn2")).as("s"),
+          col("__c").as("c")).as("__sc"))
+      .groupBy(idCol).agg(max(col("__sc")).as("__m"))
+      .select(col(idCol), col("__m.c").as("centroid_id"))
+    df.join(best, idCol)
+  }
+
   /** Fixed-point scale for the centroid update: multiplying by a power
     * of two is EXACT in IEEE doubles, so `floor(x * 2^24 + 0.5)` is a
     * deterministic integer any engine reproduces bit-for-bit.
@@ -68,7 +105,10 @@ object Ivf {
       .select(Vectors.toDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0).toArray)
     (1 to iters).foreach { _ =>
-      val assigned = assign(df, vecCol, centroids)
+      // row-based assignment ([[assignByJoin]], bit-identical to
+      // [[assign]]) so training scales to the hundreds-of-centroids
+      // models SemDeDup asks for, not just the IVF few-dozen
+      val assigned = assignByJoin(df, idCol, vecCol, centroids)
       val means = assigned
         .select(col("centroid_id"), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")

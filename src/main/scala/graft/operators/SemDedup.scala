@@ -43,22 +43,26 @@ object SemDedup {
     */
   def markDuplicates(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
     val v = col(vecCol)
-    // Cosine to own centroid. The centroid norm is a driver-side literal
-    // folded left-to-right over the centroid components — the same
-    // sequence of IEEE ops as the oracle's sqrt(list_sum(...)), so csim
-    // is bit-identical cross-engine and safe to RANK on (it is never
-    // emitted).
-    val csim = {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        struct(lit(i).as("c"),
-          (Vectors.dot(v, typedlit(c.toSeq)) / (sqrt(Vectors.dot(v, v)) * lit(cn))).as("s"))
-      }.toSeq: _*)
-      element_at(scored, col("centroid_id") + 1).getField("s")
-    }
-    val ranked = Ivf.assign(df, vecCol, centroids)
+    // Assignment is the row-based path ([[Ivf.assignByJoin]]) because
+    // SemDeDup's k SCALES with the corpus (k ∝ n / cell_target keeps
+    // per-cell pair volume constant) — a literal-array assign at k in
+    // the hundreds would blow generated-code limits. Cosine to own
+    // centroid comes from a broadcast join against the same k-row
+    // centroid model; the centroid norm is a driver-side Scala left
+    // fold — the same sequence of IEEE ops as the oracle's
+    // sqrt(list_sum(...)) — so csim is bit-identical cross-engine and
+    // safe to RANK on (it is never emitted).
+    val cents = broadcast(centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("centroid_id", "__cv", "__cn"))
+    val csim = Vectors.dot(v, col("__cv")) / (sqrt(Vectors.dot(v, v)) * col("__cn"))
+    val ranked = Ivf.assignByJoin(df, idCol, vecCol, centroids)
+      .join(cents, "centroid_id")
       .withColumn("__csim", csim)
+      .drop("__cv", "__cn")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("centroid_id").orderBy(col("__csim"), col(idCol))))
     val a = ranked.select(col("centroid_id"), col(vecCol).as("__va"), col("__rk").as("__rka"))

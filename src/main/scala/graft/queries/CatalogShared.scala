@@ -82,7 +82,14 @@ private[queries] object CatalogShared {
     * the ANN oracle and the semantic-dedup oracle, which both run the
     * SAME two unrolled Lloyd rounds.
     */
-  lazy val ivfModelCtes: String = {
+  lazy val ivfModelCtes: String = ivfModelCtesSeeded("vec_id < 8")
+
+  /** [[ivfModelCtes]] with a caller-chosen seed predicate — the
+    * semantic-dedup twin scales k with the corpus
+    * (GREATEST(8, ⌈count(*)/512⌉), the Spark side's exact formula),
+    * while the ANN oracles keep the fixed k = 8 design point.
+    */
+  def ivfModelCtesSeeded(seedPred: String): String = {
     def dotL = ivfDotL _
     // twin of Ivf.negSqDist: ((dot*2) - |v|²) - |c|²
     def negSqDist(v: String, c: String): String =
@@ -101,7 +108,7 @@ private[queries] object CatalogShared {
         s"(SELECT cid, i AS pos, CAST(SUM(CAST(floor(v[i+1] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS m " +
         s"FROM $asg, LATERAL unnest(generate_series(0, ${ivfDim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
     "e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
-      "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8), " +
+      s"c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE $seedPred), " +
       assignCte("asg1", "c0") + ", " + updateCte("c1", "asg1", "c0") + ", " +
       assignCte("asg2", "c1") + ", " + updateCte("c2", "asg2", "c1") + ", " +
       assignCte("asg3", "c2")
@@ -131,7 +138,8 @@ private[queries] object CatalogShared {
     */
   lazy val semDedupSql: String = {
     def dotL = ivfDotL _
-    "WITH " + ivfModelCtes + ", " +
+    "WITH " + ivfModelCtesSeeded(
+      "vec_id < (SELECT GREATEST(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) FROM e)") + ", " +
       s"s AS (SELECT a.vec_id, a.v, a.cid, ${dotL("a.v", "c.c")} / (sqrt(${dotL("a.v", "a.v")}) * sqrt(${dotL("c.c", "c.c")})) AS csim FROM asg3 a JOIN c2 c USING (cid)), " +
       "r AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY cid ORDER BY csim, vec_id) AS rk FROM s), " +
       s"p AS (SELECT DISTINCT b.vec_id AS dup_id FROM r a JOIN r b ON a.cid = b.cid AND a.rk < b.rk WHERE ${dotL("a.v", "b.v")} / (sqrt(${dotL("a.v", "a.v")}) * sqrt(${dotL("b.v", "b.v")})) > 0.396) " +

@@ -13,6 +13,71 @@ import graft.functions.{Text, Vectors}
 private[queries] object TextMultimodalQueries {
   import CatalogShared._
 
+  /** Per-doc Jelinek-Mercer interpolated LM scores (λ = 1/2, add-1
+    * faces, all-integer fixed-point log2) — the text_lm_interp plan,
+    * shared so ccnet_buckets composes the identical scorer. Columns:
+    * (doc_id, held_out, n_bigrams, nll_fp20, avg_fp20). Unordered.
+    */
+  private def lmInterpDocScores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ILog
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val bi = ws.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (l, r) => struct(l.as("u"), r.as("v")))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val tb = bi.filter(col("doc_id") % 10 < 8)
+    val cuv = tb.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    val cu = tb.groupBy("u").agg(count(lit(1)).as("cu"))
+    val cv = tb.groupBy("v").agg(count(lit(1)).as("cv"))
+    val gl = tb.agg(count(lit(1)).as("nbi"))
+    val vs = ws.filter(col("doc_id") % 10 < 8)
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    bi.join(cuv, Seq("u", "v"), "left")
+      .join(cu, Seq("u"), "left")
+      .join(cv, Seq("v"), "left")
+      .crossJoin(broadcast(gl))
+      .crossJoin(broadcast(vs))
+      .withColumn("a_fp", expr(ILog.pFp34Spark(
+        "coalesce(cuv, 0) + 1", "coalesce(cu, 0) + vsz")))
+      .withColumn("b_fp", expr(ILog.pFp34Spark(
+        "coalesce(cv, 0) + 1", "nbi + vsz")))
+      .withColumn("mix_fp", col("a_fp") + col("b_fp"))
+      .withColumn("nll",
+        lit(36700160L) - expr(ILog.qlogSqlSpark("mix_fp")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_fp20"))
+      .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+        col("n_bigrams"), col("nll_fp20"),
+        expr("nll_fp20 div n_bigrams").as("avg_fp20"))
+  }
+
+  /** DuckDB CTE chain twin of [[lmInterpDocScores]]: ends in `lmdoc`
+    * with the same five columns. Splice as `WITH $lmInterpCtes …`.
+    */
+  private val lmInterpCtes: String = {
+    import graft.functions.ILog
+    "ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+      "bi AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v FROM ws, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)), " +
+      "tb AS (SELECT u, v FROM bi WHERE doc_id % 10 < 8), " +
+      "cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM tb GROUP BY 1, 2), " +
+      "cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM tb GROUP BY 1), " +
+      "cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM tb GROUP BY 1), " +
+      "gl AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM tb), " +
+      "vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM (SELECT unnest(ws) AS w FROM ws WHERE doc_id % 10 < 8)), " +
+      "j AS (SELECT bi.doc_id, COALESCE(cuv.cuv, 0) + 1 AS anum, COALESCE(cu.cu, 0) + vsz AS aden, " +
+      "COALESCE(cv.cv, 0) + 1 AS bnum, nbi + vsz AS bden " +
+      "FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u) LEFT JOIN cv USING (v) CROSS JOIN gl CROSS JOIN vs), " +
+      s"f AS (SELECT doc_id, ${ILog.pFp34Duck("anum", "aden")} + ${ILog.pFp34Duck("bnum", "bden")} AS mix_fp FROM j), " +
+      s"sc AS (SELECT doc_id, 36700160 - ${ILog.qlogSqlDuck("mix_fp")} AS nll FROM f), " +
+      "lmdoc AS (SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(nll) AS BIGINT) AS nll_fp20, CAST(sum(nll) // count(*) AS BIGINT) AS avg_fp20 " +
+      "FROM sc GROUP BY doc_id)"
+  }
+
   // --------------------------------------------------------------------
   // Keyword analytics + text pipeline (SURVEY §2.4 A1/A2, §2.8 C5-C8;
   // beyond-reference text analysis)
@@ -281,62 +346,100 @@ private[queries] object TextMultimodalQueries {
     // training bigrams, and the 2^29 numerator domain raises loudly on
     // both engines past it.
     Q("text_lm_interp",
+      (s, d) => lmInterpDocScores(s, d).orderBy("doc_id"),
+      Some(s"WITH $lmInterpCtes SELECT doc_id, held_out, n_bigrams, nll_fp20, avg_fp20 " +
+        "FROM lmdoc ORDER BY doc_id")),
+
+    // PMI collocation mining (Church & Hanks, CL 1990): the top bigram
+    // collocations by pointwise mutual information — the classic
+    // phrase-extraction / tokenizer-seeding primitive (high-PMI pairs
+    // are the multi-word units worth fusing before BPE training). All
+    // counts are vocab-bounded aggs (map-side combined); N is a 1-row
+    // broadcast; the min-count floor (≥3) is applied BEFORE the unigram
+    // joins so only surviving pairs shuffle. PMI in fp20 integer bits
+    // via the four-term telescoped form qlog2(N)+qlog2(cuv)−qlog2(cu)
+    // −qlog2(cv) — each argument stays far inside qlog2's 2^43 domain
+    // (the fused N·cuv form would overflow it at corpus scale), and the
+    // Mitchell log is bit-identical on both engines.
+    Q("text_pmi",
       (s, d) => {
         import graft.functions.ILog
         val ws = Tables.documents(s, d)
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        val bi = ws.select(col("doc_id"),
+        val bi = ws.select(
           explode(zip_with(
             slice(col("ws"), lit(1), size(col("ws")) - 1),
             slice(col("ws"), lit(2), size(col("ws")) - 1),
             (l, r) => struct(l.as("u"), r.as("v")))).as("p"))
-          .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-        val tb = bi.filter(col("doc_id") % 10 < 8)
-        val cuv = tb.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
-        val cu = tb.groupBy("u").agg(count(lit(1)).as("cu"))
-        val cv = tb.groupBy("v").agg(count(lit(1)).as("cv"))
-        val gl = tb.agg(count(lit(1)).as("nbi"))
-        val vs = ws.filter(col("doc_id") % 10 < 8)
-          .select(explode(col("ws")).as("w"))
-          .agg(countDistinct(col("w")).as("vsz"))
-        bi.join(cuv, Seq("u", "v"), "left")
-          .join(cu, Seq("u"), "left")
-          .join(cv, Seq("v"), "left")
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+        val cuv = bi.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+          .filter(col("cuv") >= 3)
+        val cu = bi.groupBy("u").agg(count(lit(1)).as("cu"))
+        val cv = bi.groupBy("v").agg(count(lit(1)).as("cv"))
+        val gl = bi.agg(count(lit(1)).as("nbi"))
+        cuv.join(cu, "u").join(cv, "v")
           .crossJoin(broadcast(gl))
-          .crossJoin(broadcast(vs))
-          .withColumn("a_fp", expr(ILog.pFp34Spark(
-            "coalesce(cuv, 0) + 1", "coalesce(cu, 0) + vsz")))
-          .withColumn("b_fp", expr(ILog.pFp34Spark(
-            "coalesce(cv, 0) + 1", "nbi + vsz")))
-          .withColumn("mix_fp", col("a_fp") + col("b_fp"))
-          .withColumn("nll",
-            lit(36700160L) - expr(ILog.qlogSqlSpark("mix_fp")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_fp20"))
-          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
-            col("n_bigrams"), col("nll_fp20"),
-            expr("nll_fp20 div n_bigrams").as("avg_fp20"))
-          .orderBy("doc_id")
+          .select(col("u"), col("v"), col("cuv"),
+            (expr(ILog.qlogSqlSpark("nbi")) + expr(ILog.qlogSqlSpark("cuv"))
+              - expr(ILog.qlogSqlSpark("cu"))
+              - expr(ILog.qlogSqlSpark("cv"))).as("pmi_fp20"))
+          .orderBy(col("pmi_fp20").desc, col("u"), col("v"))
+          .limit(50)
       },
       Some {
         import graft.functions.ILog
         "WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
-          "bi AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS v FROM ws, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)), " +
-          "tb AS (SELECT u, v FROM bi WHERE doc_id % 10 < 8), " +
-          "cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM tb GROUP BY 1, 2), " +
-          "cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM tb GROUP BY 1), " +
-          "cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM tb GROUP BY 1), " +
-          "gl AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM tb), " +
-          "vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM (SELECT unnest(ws) AS w FROM ws WHERE doc_id % 10 < 8)), " +
-          "j AS (SELECT bi.doc_id, COALESCE(cuv.cuv, 0) + 1 AS anum, COALESCE(cu.cu, 0) + vsz AS aden, " +
-          "COALESCE(cv.cv, 0) + 1 AS bnum, nbi + vsz AS bden " +
-          "FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u) LEFT JOIN cv USING (v) CROSS JOIN gl CROSS JOIN vs), " +
-          s"f AS (SELECT doc_id, ${ILog.pFp34Duck("anum", "aden")} + ${ILog.pFp34Duck("bnum", "bden")} AS mix_fp FROM j), " +
-          s"sc AS (SELECT doc_id, 36700160 - ${ILog.qlogSqlDuck("mix_fp")} AS nll FROM f) " +
-          "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-          "CAST(sum(nll) AS BIGINT) AS nll_fp20, CAST(sum(nll) // count(*) AS BIGINT) AS avg_fp20 " +
-          "FROM sc GROUP BY doc_id ORDER BY doc_id"
+          "bi AS (SELECT ws[i] AS u, ws[i+1] AS v FROM ws, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)), " +
+          "cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv FROM bi GROUP BY 1, 2 HAVING count(*) >= 3), " +
+          "cu AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM bi GROUP BY 1), " +
+          "cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM bi GROUP BY 1), " +
+          "gl AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM bi) " +
+          "SELECT u, v, cuv, " +
+          s"${ILog.qlogSqlDuck("nbi")} + ${ILog.qlogSqlDuck("cuv")} - ${ILog.qlogSqlDuck("cu")} - ${ILog.qlogSqlDuck("cv")} AS pmi_fp20 " +
+          "FROM cuv JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN gl " +
+          "ORDER BY pmi_fp20 DESC, u, v LIMIT 50"
       }),
+
+    // CCNet-style perplexity-tercile partitioning (Wenzek et al., LREC
+    // 2020): per LANGUAGE, split the corpus into head/middle/tail thirds
+    // by the Jelinek-Mercer LM score above — the standard recipe for
+    // quality-stratified sampling (train mostly on the head, keep the
+    // tail for diversity). The thresholds are per-language EXACT type-7
+    // terciles of the integer fp20 scores computed with
+    // [[graft.operators.Percentiles.exactRefinedChain]] — a bounded
+    // two-level histogram refinement (65536-wide then unit buckets), so
+    // no task ever sorts a language's whole score list (the naive
+    // per-lang ntile window is exactly the single-task-per-language plan
+    // that dies at 100 TB). Bucketing itself is a broadcast join of the
+    // ≤|langs| threshold rows + a map-side CASE. Cross-engine exactness:
+    // scores are integers, and the type-7 interpolation tree is the
+    // bit-identical quantile_cont twin proven since round 2; the
+    // quantile literals are IEEE doubles on both sides (CAST(1 AS
+    // DOUBLE)/3, not DuckDB's decimal 1.0/3).
+    Q("ccnet_buckets",
+      (s, d) => {
+        val scored = lmInterpDocScores(s, d)
+          .select(col("doc_id"), col("avg_fp20"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        val th = graft.operators.Percentiles.exactRefinedChain(
+          scored, Seq("lang"), "avg_fp20",
+          Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+          Seq(graft.operators.Percentiles.widthBucket(65536),
+            graft.operators.Percentiles.widthBucket(1)))
+        scored.join(broadcast(th), "lang")
+          .select(col("doc_id"), col("lang"), col("avg_fp20"),
+            when(col("avg_fp20") <= col("t1"), "head")
+              .when(col("avg_fp20") <= col("t2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $lmInterpCtes, " +
+        "scored AS (SELECT doc_id, lang, avg_fp20 FROM lmdoc JOIN documents USING (doc_id)), " +
+        "th AS (SELECT lang, quantile_cont(avg_fp20, CAST(1 AS DOUBLE)/3) AS t1, " +
+        "quantile_cont(avg_fp20, CAST(2 AS DOUBLE)/3) AS t2 FROM scored GROUP BY lang) " +
+        "SELECT doc_id, lang, avg_fp20, CASE WHEN avg_fp20 <= t1 THEN 'head' " +
+        "WHEN avg_fp20 <= t2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM scored JOIN th USING (lang) ORDER BY doc_id")),
 
     // Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
     // learn 8 subword merges from the corpus — corpus collapses ONCE to

@@ -67,6 +67,34 @@ private[queries] object TrainingQueries {
           "SELECT doc_id, pr FROM p3 ORDER BY doc_id"
       }),
 
+    // Degree-ordered triangle counting ([[graft.operators.Graph]], Suri
+    // & Vassilvitskii WWW 2011): per-part triangle participation in the
+    // co-purchase graph (parts sharing an order, over a 1-in-10 order
+    // slice so edge density stays realistic). Orientation by (degree,
+    // id) bounds every vertex's out-degree at O(sqrt(m)), so wedge
+    // volume is O(m^1.5) however skewed the hubs — the naive shared-
+    // endpoint self-join is quadratic in the hottest part's degree. The
+    // oracle enumerates the SAME triangles with a plain id-ordered
+    // 3-way join (orientation changes the plan's worst case, never the
+    // result set).
+    Q("graph_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("s"), col("b.p").as("t"))
+        graft.operators.Graph.triangleCounts(e, "s", "t", idCol = "part_id")
+          .orderBy("part_id")
+      },
+      Some("WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p), " +
+        "t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), " +
+        "n AS (SELECT x AS part_id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
+        "SELECT part_id, CAST(count(*) AS BIGINT) AS tri FROM n GROUP BY part_id ORDER BY part_id")),
+
     // Misra-Gries heavy hitters over the event-type stream: O(capacity)
     // state per partition, mergeable partials — the one-pass way to FIND
     // hot keys (to decide salting/AQE skew hints) without the full
