@@ -686,6 +686,51 @@ private[queries] object TextMultimodalQueries {
           "FROM a ORDER BY doc_id"
       }),
 
+    // Top-p-by-MASS quality selection: per language, keep the
+    // highest-entropy documents that together carry the top ~60% of
+    // TOKEN mass (the curation question is "what fraction of training
+    // tokens survive", not "what fraction of documents"). The threshold
+    // is the token-WEIGHTED p40 of the per-doc entropy score from the
+    // mergeable HDR sketch ([[graft.functions.Hdr.quantileEstimates]],
+    // weighted variant): bucket counts bound the shuffle at
+    // O(tasks × buckets), the per-lang cumulative runs over ≤ a few
+    // hundred bucket rows, and selection is a broadcast threshold join +
+    // map-side compare — never a per-language sort. The sketch's bucket
+    // lower bound makes the cut deterministic and conservative (keeps
+    // slightly MORE than the target mass, never less); integer ranks
+    // and Mitchell-log scores are bit-identical cross-engine.
+    Q("quality_topp",
+      (s, d) => {
+        import graft.functions.Hdr
+        val scored = graft.operators.InfoStats
+          .tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
+          Seq((2L, 5L, "t_lb")), Some("n_tokens"))
+        scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
+          .select(col("doc_id"), col("lang"), col("avg_fp20"), col("n_tokens"),
+            (col("avg_fp20") >= col("t_lb")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.{Hdr, ILog}
+        val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        "WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM " +
+          "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY doc_id, w), " +
+          "a AS (SELECT doc_id, SUM(c) AS n_tokens, " +
+          s"SUM(c * ${ILog.qlogSqlDuck("c")}) AS s FROM c GROUP BY doc_id), " +
+          "e AS (SELECT doc_id, n_tokens, " +
+          s"(n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s) // n_tokens AS avg_fp20 FROM a), " +
+          "scored AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM e JOIN documents USING (doc_id)), " +
+          s"bk AS (SELECT lang, $bexp AS b, n_tokens FROM scored), " +
+          "cnt AS (SELECT lang, b, SUM(n_tokens) AS cb FROM bk GROUP BY 1, 2), " +
+          "wq AS (SELECT lang, b, SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS cum, SUM(cb) OVER (PARTITION BY lang) AS n FROM cnt), " +
+          s"th AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wq GROUP BY lang) " +
+          "SELECT doc_id, lang, avg_fp20, n_tokens, avg_fp20 >= t_lb AS kept " +
+          "FROM scored JOIN th USING (lang) ORDER BY doc_id"
+      }),
+
     // DSIR hashed-unigram importance weights ([[graft.operators.Dsir]],
     // Xie et al. NeurIPS 2023): score every doc by how target-like its
     // token distribution is (target = the English slice), via two

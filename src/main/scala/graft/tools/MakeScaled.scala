@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   *  - fact keys shift by k·OFFSET so copies never collide:
   *    orders/lineitem on orderkey, events on event_id + user_id,
   *    documents on doc_id, embeddings on vec_id;
+  *  - `events.ts` shifts by k·(span rounded up to whole days): event
+  *    streams grow time-EXTENSIVELY (a 100× corpus covers ~100× the
+  *    wall-clock), not by density-stacking 100 copies onto the same
+  *    instants. Density stacking makes every point-in-interval /
+  *    windowed-join ANSWER quadratic in the scale factor by
+  *    construction (100× incidents × 100× events inside each window =
+  *    10,000× output — measured as a disk-full spill on j10 at sf10),
+  *    which benchmarks an artifact, not the operator;
   *  - `documents.text` gets a per-copy SUFFIX on every token (copy
   *    k ≥ 1: "word" → "wordck"): the token bijection makes each copy's
   *    shingle graph exactly ISOMORPHIC to the original — bucket sizes
@@ -67,9 +75,16 @@ object MakeScaled {
     stack("lineitem") { (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + k * 100000000L)
     }
+    val evShiftSec = {
+      val span = graft.Tables(spark, src, "events")
+        .agg(expr("max(unix_timestamp(ts)) - min(unix_timestamp(ts))"))
+        .collect().head.getLong(0)
+      (span / 86400 + 1) * 86400
+    }
     stack("events") { (df, k) =>
       df.withColumn("event_id", col("event_id") + k * 10000000L)
         .withColumn("user_id", col("user_id") + k * 1000000L)
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * evShiftSec} SECONDS"))
     }
     stack("documents") { (df, k) =>
       val d = df.withColumn("doc_id", col("doc_id") + k * 1000000L)

@@ -333,6 +333,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("dedup_semantic: pair join is centroid-keyed — never a cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    // The ONLY nested-loop join allowed is the k-row broadcast centroid
+    // model inside the row-based assignment (bounded side by
+    // construction). The ranked subplan feeds the pair join's a-side,
+    // b-side, and the final classification join, so that one bounded
+    // BNLJ appears up to three times in the printed tree; the
+    // corpus-sized duplicate-candidate join itself must stay equi-keyed
+    // on centroid_id (no cartesian above).
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3, p)
+  }
+
   test("f3: language filter prunes partitions on a lang-partitioned table") {
     import graft.ingest.TweetIngest
     import java.nio.file.{Files, Paths}
