@@ -371,6 +371,80 @@ object Multimodal extends Serializable {
     }(enc)
   }
 
+  /** 12-bit average-hash over a decoded luminance plane: a 4×3 block
+    * grid (block (bi,bj) covers x·4 div w = bi, y·3 div h = bj — every
+    * block non-empty for w ≥ 4, h ≥ 3), bit set iff the block's mean
+    * luma strictly exceeds the image mean. All-integer: the comparison
+    * cross-multiplies (blockSum·nTotal > totalSum·nBlock), so no
+    * division, no FP, and any engine reproduces the hash bit-for-bit.
+    * `luma` is top-left row-major (index i = x + w·y).
+    */
+  def aHash12(w: Int, h: Int, luma: Array[Int]): Long = {
+    require(w >= 4 && h >= 3, s"aHash12 needs w >= 4 and h >= 3, got ${w}x$h")
+    val bSum = new Array[Long](12)
+    val bCnt = new Array[Long](12)
+    var total = 0L
+    var i = 0
+    while (i < luma.length) {
+      val x = i % w; val y = i / w
+      val b = (y * 3 / h) * 4 + (x * 4 / w)
+      bSum(b) += luma(i); bCnt(b) += 1
+      total += luma(i)
+      i += 1
+    }
+    val n = luma.length.toLong
+    var hash = 0L
+    var b = 0
+    while (b < 12) {
+      if (bSum(b) * n > total * bCnt(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Synthesize → encode → REAL-decode a BMP per row (the
+    * [[syntheticBmpStats]] pixel function) and emit its [[aHash12]]
+    * perceptual fingerprint plus the set-bit count. The hash is the
+    * standard pre-filter for image near-dup dedup — downstream it
+    * composes with exactly the hamming-distance pigeonhole blocking the
+    * text side uses for SimHash (`operators.Dedup.simhashPairs`): 12
+    * bits → band on bit segments, verify inside buckets only. Same
+    * per-partition codec boundary as [[syntheticBmpStats]]: one
+    * iterator pass, constant memory, no driver collect.
+    */
+  def syntheticBmpAHash(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("w", "h", "ahash", "n_on").map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val payload = encodeBmp24(w, h,
+          (x, y) => (((id + 7 * x + 13 * y) % 256).toInt,
+            ((2 * id + 11 * x + 3 * y) % 256).toInt,
+            ((3 * id + 5 * x + 17 * y) % 256).toInt),
+          topDown = id % 2 == 1)
+        val img = decodeBmp24(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        val luma = new Array[Int](img.rgb.length)
+        var i = 0
+        while (i < img.rgb.length) {
+          val p = img.rgb(i)
+          luma(i) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+            (p & 0xff) * 114) / 1000
+          i += 1
+        }
+        val hash = aHash12(w, h, luma)
+        Row.fromSeq(Seq(id, w.toLong, h.toLong, hash,
+          java.lang.Long.bitCount(hash).toLong))
+      }
+    }(enc)
+  }
+
   /** Per-partition decode / feature-extract boundary. Batch shape: one
     * iterator pass, constant memory, no driver collect. BMP payloads get
     * REAL pixel features from [[decodeBmp24]] — mean R/G/B plus a

@@ -592,6 +592,32 @@ private[queries] object TextMultimodalQueries {
           s"CAST(sum(CASE WHEN luma // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS lb$i").mkString(", ") +
         " FROM l GROUP BY doc_id ORDER BY doc_id")),
 
+    // Perceptual image fingerprint over the REAL BMP codec
+    // ([[graft.multimodal.Multimodal.aHash12]]): a 12-bit average-hash
+    // from the DECODED pixels — 4×3 block grid, bit = block mean luma
+    // strictly above image mean, compared by integer cross-multiply (no
+    // division, no FP). The pre-filter for image near-dup dedup; 12-bit
+    // hamming banding downstream reuses the SimHash pigeonhole pattern.
+    // The oracle computes the hash closed-form from the pixel function
+    // without seeing a BMP byte, so a match proves decode + hash
+    // together.
+    Q("mm_image_ahash",
+      (s, d) => graft.multimodal.Multimodal
+        .syntheticBmpAHash(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
+        "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b FROM px), " +
+        "l AS (SELECT doc_id, w, h, (y*3//h)*4 + (x*4//w) AS blk, (r*299 + g*587 + b*114) // 1000 AS luma FROM c), " +
+        "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
+        "g AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1) " +
+        "SELECT doc_id, w, h, " +
+        "CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash, " +
+        "CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN 1 ELSE 0 END) AS BIGINT) AS n_on " +
+        "FROM bs JOIN g USING (doc_id) GROUP BY doc_id, w, h ORDER BY doc_id")),
+
     // REAL audio decode — the WAV twin of mm_pixel_stats: synthesize a
     // deterministic mono PCM16 waveform per doc (sample i of doc k is
     // (31k + 7i² + 13i) mod 65536 − 32768; n = 64 + k%37 samples at

@@ -225,4 +225,41 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_offset").collect().map(_.getLong(0))
     assert(offs.sorted === Array(0L, 2L, 5L, 8L))
   }
+
+  test("aHash12: flat image hashes to 0 (no block strictly above the mean)") {
+    assert(Multimodal.aHash12(4, 3, Array.fill(12)(100)) === 0L)
+    assert(Multimodal.aHash12(8, 6, Array.fill(48)(0)) === 0L)
+  }
+
+  test("aHash12: left-bright image sets exactly the left block columns") {
+    // 8x3: x < 4 bright (200), x >= 4 dark (0) → blocks bi=0,1 above
+    // the mean in every row bj; bi=2,3 below
+    val luma = Array.tabulate(24)(i => if (i % 8 < 4) 200 else 0)
+    val h = Multimodal.aHash12(8, 3, luma)
+    val expected = (0 until 3).flatMap(bj => Seq(0, 1).map(bi => 1L << (bj * 4 + bi))).sum
+    assert(h === expected)
+  }
+
+  test("aHash12: bit index is bj*4+bi (single bright block pins the layout)") {
+    // 4x3, one pixel per block: only (x=2, y=1) bright → bit bj=1,bi=2 → 6
+    val luma = Array.tabulate(12)(i => if (i == 1 * 4 + 2) 255 else 0)
+    assert(Multimodal.aHash12(4, 3, luma) === (1L << 6))
+  }
+
+  test("syntheticBmpAHash: deterministic, 12-bit range, popcount consistent") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.syntheticBmpAHash(ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 40)
+    rows.foreach { case (id, hash, nOn) =>
+      assert(hash >= 0L && hash < 4096L, s"id $id hash $hash out of 12-bit range")
+      assert(java.lang.Long.bitCount(hash).toLong === nOn, s"id $id popcount")
+    }
+    val again = Multimodal.syntheticBmpAHash(ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // hashes must actually discriminate across ids (not collapse to one value)
+    assert(rows.map(_._2).distinct.length > 5)
+  }
 }
