@@ -445,6 +445,27 @@ object Multimodal extends Serializable {
     }(enc)
   }
 
+  /** Image near-dup pairs: the [[syntheticBmpAHash]] fingerprint's
+    * consumer. Hamming-≤-`maxHamming` pairs over the 12-bit aHash via
+    * the SimHash pigeonhole blocking
+    * ([[graft.operators.Dedup.simhashPairsFromSignatures]]): split the
+    * hash into maxHamming+1 disjoint bit segments — any pair within the
+    * radius agrees exactly on one segment — so candidates come from
+    * equi-joins on segment keys and exact popcount verifies inside
+    * buckets only, never an all-pairs cartesian. The signature table is
+    * materialized once (localCheckpoint) so the codec boundary runs a
+    * single pass however many band-joins read it. At 100 TB the
+    * signature table is ~16 bytes/image — the bands shuffle signatures,
+    * not pixels.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+      maxHamming: Int = 2): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSignatures(
+      syntheticBmpAHash(df, idCol)
+        .select(col(idCol), col("ahash").as("simhash"))
+        .localCheckpoint(),
+      idCol, maxHamming, bits = 12)
+
   /** Per-partition decode / feature-extract boundary. Batch shape: one
     * iterator pass, constant memory, no driver collect. BMP payloads get
     * REAL pixel features from [[decodeBmp24]] — mean R/G/B plus a

@@ -105,10 +105,14 @@ object Ivf {
       .select(Vectors.toDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0).toArray)
     (1 to iters).foreach { _ =>
-      // row-based assignment ([[assignByJoin]], bit-identical to
-      // [[assign]]) so training scales to the hundreds-of-centroids
-      // models SemDeDup asks for, not just the IVF few-dozen
-      val assigned = assignByJoin(df, idCol, vecCol, centroids)
+      // dispatch on k (the two paths are documented + spec'd as
+      // bit-identical): small-k IVF models keep the zero-shuffle
+      // map-side literal [[assign]]; large-k (SemDeDup scales k with
+      // the corpus) takes [[assignByJoin]], whose shuffle stays n rows
+      // while the literal path's generated code blows past JIT limits
+      val assigned =
+        if (centroids.length <= 32) assign(df, vecCol, centroids)
+        else assignByJoin(df, idCol, vecCol, centroids)
       val means = assigned
         .select(col("centroid_id"), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")

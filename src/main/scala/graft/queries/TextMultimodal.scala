@@ -83,6 +83,18 @@ private[queries] object TextMultimodalQueries {
   // beyond-reference text analysis)
   // --------------------------------------------------------------------
 
+  /** Shared oracle CTE chain computing the closed-form BMP pixel
+    * function, per-block and per-image luma sums for the 12-bit aHash
+    * (consumed by `mm_image_ahash` and `mm_image_neardup`).
+    */
+  private val bmpAHashCtes: String =
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
+      "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+      "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b FROM px), " +
+      "l AS (SELECT doc_id, w, h, (y*3//h)*4 + (x*4//w) AS blk, (r*299 + g*587 + b*114) // 1000 AS luma FROM c), " +
+      "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
+      "g AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1)"
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -607,16 +619,33 @@ private[queries] object TextMultimodalQueries {
           Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
           "doc_id")
         .orderBy("doc_id"),
-      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
-        "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
-        "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b FROM px), " +
-        "l AS (SELECT doc_id, w, h, (y*3//h)*4 + (x*4//w) AS blk, (r*299 + g*587 + b*114) // 1000 AS luma FROM c), " +
-        "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
-        "g AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1) " +
+      Some(s"$bmpAHashCtes " +
         "SELECT doc_id, w, h, " +
         "CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash, " +
         "CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN 1 ELSE 0 END) AS BIGINT) AS n_on " +
         "FROM bs JOIN g USING (doc_id) GROUP BY doc_id, w, h ORDER BY doc_id")),
+
+    // The aHash fingerprint's CONSUMER — image near-dup pairs within
+    // hamming radius 2, via the SimHash pigeonhole blocking
+    // ([[graft.multimodal.Multimodal.imageNearDupPairs]]): 3 disjoint
+    // 4-bit segments, candidates from segment equi-joins, exact popcount
+    // verify inside buckets. The oracle computes the hashes closed-form
+    // (never sees a BMP byte) and pairs them with the SEMANTIC all-pairs
+    // form, so a hash match proves decode + hash + the claim that
+    // pigeonhole banding loses no pair.
+    Q("mm_image_neardup",
+      (s, d) => graft.multimodal.Multimodal
+        .imageNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", maxHamming = 2)
+        .orderBy("id_a", "id_b"),
+      Some(s"$bmpAHashCtes, " +
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash " +
+        "FROM bs JOIN g USING (doc_id) GROUP BY doc_id) " +
+        "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+        "WHERE hamming <= 2 ORDER BY id_a, id_b")),
 
     // REAL audio decode — the WAV twin of mm_pixel_stats: synthesize a
     // deterministic mono PCM16 waveform per doc (sample i of doc k is
@@ -702,10 +731,13 @@ private[queries] object TextMultimodalQueries {
         .orderBy("doc_id"),
       Some {
         import graft.functions.ILog
+        // SUMs feeding output columns are CAST AS BIGINT (house pattern,
+        // q1_agg): DuckDB's SUM(BIGINT) yields HUGEINT, which the
+        // verification driver hashes as float64 → hash mismatch.
         "WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM " +
           "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY doc_id, w), " +
-          "a AS (SELECT doc_id, SUM(c) AS n_tokens, " +
-          s"SUM(c * ${ILog.qlogSqlDuck("c")}) AS s FROM c GROUP BY doc_id) " +
+          "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+          s"CAST(SUM(c * ${ILog.qlogSqlDuck("c")}) AS BIGINT) AS s FROM c GROUP BY doc_id) " +
           "SELECT doc_id, n_tokens, " +
           s"n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s AS ent_fp20, " +
           s"(n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s) // n_tokens AS avg_fp20 " +
@@ -742,16 +774,19 @@ private[queries] object TextMultimodalQueries {
         import graft.functions.{Hdr, ILog}
         val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
         val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        // SUMs are CAST AS BIGINT throughout (house pattern, q1_agg):
+        // output columns n_tokens/avg_fp20 must not reach the driver as
+        // DuckDB HUGEINT (hashed as float64 → mismatch).
         "WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM " +
           "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY doc_id, w), " +
-          "a AS (SELECT doc_id, SUM(c) AS n_tokens, " +
-          s"SUM(c * ${ILog.qlogSqlDuck("c")}) AS s FROM c GROUP BY doc_id), " +
+          "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+          s"CAST(SUM(c * ${ILog.qlogSqlDuck("c")}) AS BIGINT) AS s FROM c GROUP BY doc_id), " +
           "e AS (SELECT doc_id, n_tokens, " +
           s"(n_tokens * ${ILog.qlogSqlDuck("n_tokens")} - s) // n_tokens AS avg_fp20 FROM a), " +
           "scored AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM e JOIN documents USING (doc_id)), " +
           s"bk AS (SELECT lang, $bexp AS b, n_tokens FROM scored), " +
-          "cnt AS (SELECT lang, b, SUM(n_tokens) AS cb FROM bk GROUP BY 1, 2), " +
-          "wq AS (SELECT lang, b, SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS cum, SUM(cb) OVER (PARTITION BY lang) AS n FROM cnt), " +
+          "cnt AS (SELECT lang, b, CAST(SUM(n_tokens) AS BIGINT) AS cb FROM bk GROUP BY 1, 2), " +
+          "wq AS (SELECT lang, b, CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum, CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cnt), " +
           s"th AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wq GROUP BY lang) " +
           "SELECT doc_id, lang, avg_fp20, n_tokens, avg_fp20 >= t_lb AS kept " +
           "FROM scored JOIN th USING (lang) ORDER BY doc_id"
@@ -776,13 +811,21 @@ private[queries] object TextMultimodalQueries {
           "ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f WHERE is_target GROUP BY b), " +
           "cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b), " +
           "tot AS (SELECT CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 256 AS BIGINT) AS ntb, CAST(count(*) + 256 AS BIGINT) AS nrb FROM f), " +
+          // sd is CAST AS BIGINT (SUM → HUGEINT otherwise; house
+          // pattern, q1_agg), and avg_fp20 uses a sign-explicit
+          // TRUNCATING division: logw_fp20 goes negative for
+          // off-target docs, and DuckDB's `//` floors on newer
+          // releases but truncates on 1.0.0 — the CASE pins
+          // truncate-toward-zero (= Spark `div`) on every version.
           "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
-          s"SUM(${ILog.qlogSqlDuck("(COALESCE(ct, 0) + 1)")} - ${ILog.qlogSqlDuck("(COALESCE(cr, 0) + 1)")}) AS sd " +
-          "FROM f LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) GROUP BY doc_id) " +
-          "SELECT doc_id, n_tok, " +
-          s"sd + n_tok * (${ILog.qlogSqlDuck("nrb")} - ${ILog.qlogSqlDuck("ntb")}) AS logw_fp20, " +
-          s"(sd + n_tok * (${ILog.qlogSqlDuck("nrb")} - ${ILog.qlogSqlDuck("ntb")})) // n_tok AS avg_fp20 " +
-          "FROM sc, tot ORDER BY doc_id"
+          s"CAST(SUM(${ILog.qlogSqlDuck("(COALESCE(ct, 0) + 1)")} - ${ILog.qlogSqlDuck("(COALESCE(cr, 0) + 1)")}) AS BIGINT) AS sd " +
+          "FROM f LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) GROUP BY doc_id), " +
+          "lw AS (SELECT doc_id, n_tok, " +
+          s"sd + n_tok * (${ILog.qlogSqlDuck("nrb")} - ${ILog.qlogSqlDuck("ntb")}) AS logw_fp20 " +
+          "FROM sc, tot) " +
+          "SELECT doc_id, n_tok, logw_fp20, " +
+          "CASE WHEN logw_fp20 >= 0 THEN logw_fp20 // n_tok ELSE -((-logw_fp20) // n_tok) END AS avg_fp20 " +
+          "FROM lw ORDER BY doc_id"
       }))
 
 

@@ -262,4 +262,19 @@ class MultimodalSpec extends SparkSpec {
     // hashes must actually discriminate across ids (not collapse to one value)
     assert(rows.map(_._2).distinct.length > 5)
   }
+
+  test("imageNearDupPairs: pigeonhole banding ≡ brute-force hamming pairs") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val sig = Multimodal.syntheticBmpAHash(ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val expect = (for {
+      (ia, ha) <- sig; (ib, hb) <- sig if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb).toLong if d <= 2
+    } yield (ia, ib, d)).toSeq.sorted
+    val got = Multimodal.imageNearDupPairs(ids, "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === expect) // banding loses no pair, adds no false positive
+    assert(expect.nonEmpty, "degenerate fixture: no near-dup pairs to check")
+  }
 }

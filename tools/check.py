@@ -9,10 +9,12 @@ parquet tables, and compares: column names (sorted), dtypes (loose),
 row count, and values — both in as-written row order and value-sorted.
 """
 import json
+import re
 import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
@@ -27,6 +29,53 @@ def load_spark_result(path):
 def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
+
+
+def canon_type(t):
+    """Canonical arrow type for cross-engine compare: representation
+    variants (large_*, tz-annotated timestamps) are equivalent; WIDTH
+    and KIND differences (int64 vs decimal128/HUGEINT, int vs float)
+    are NOT — that's exactly the drift the driver's hash punishes."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(canon_type(t.value_type))
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, canon_type(f.type)) for f in t])
+    return t
+
+
+def type_problems(spark_tbl, oracle_tbl):
+    """Exact output-column type compare (round-10 lesson: DuckDB SUM()
+    returns HUGEINT=decimal128, which the driver coerces to float64 and
+    hash-fails even when every value matches as an integer)."""
+    problems = []
+    sf = {f.name: f.type for f in spark_tbl.schema}
+    of = {f.name: f.type for f in oracle_tbl.schema}
+    for name in sorted(set(sf) & set(of)):
+        a, b = canon_type(sf[name]), canon_type(of[name])
+        if a != b:
+            problems.append(f"col {name}: TYPE drift spark={sf[name]} oracle={of[name]}")
+    return problems
+
+
+UNCAST_SUM = re.compile(r"(?<!CAST\()SUM\s*\(", re.IGNORECASE)
+
+
+def lint_sql(name, sql):
+    """Advisory: uncast SUM( in the FINAL select of an oracle is the
+    signature of the round-10 HUGEINT drift. Warn-only (float SUMs and
+    internal-only sums are legitimate); the arrow-type gate above is
+    the hard fail."""
+    final = sql[sql.upper().rfind("SELECT "):]
+    hits = UNCAST_SUM.findall(final)
+    if hits:
+        print(f"WARN {name}: {len(hits)} uncast SUM( in final SELECT "
+              f"(HUGEINT risk — wrap in CAST(... AS BIGINT) if it feeds an output column)")
 
 
 def compare(name, spark_df, oracle_df):
@@ -83,19 +132,23 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        lint_sql(name, sql)
         try:
-            spark_df = load_spark_result(f"{out_dir}/{name}")
+            spark_tbl = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
+            spark_df = spark_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: no spark result ({e})")
             n_fail += 1
             continue
         try:
-            oracle_df = con.execute(sql).fetchdf()
+            oracle_tbl = con.execute(sql).fetch_arrow_table()
+            oracle_df = oracle_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        problems = compare(name, spark_df, oracle_df)
+        problems = type_problems(spark_tbl, oracle_tbl) \
+            + compare(name, spark_df, oracle_df)
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(spark_df)} rows):")
