@@ -110,9 +110,7 @@ object Ivf {
       // map-side literal [[assign]]; large-k (SemDeDup scales k with
       // the corpus) takes [[assignByJoin]], whose shuffle stays n rows
       // while the literal path's generated code blows past JIT limits
-      val assigned =
-        if (centroids.length <= 32) assign(df, vecCol, centroids)
-        else assignByJoin(df, idCol, vecCol, centroids)
+      val assigned = assignAny(df, idCol, vecCol, centroids)
       val means = assigned
         .select(col("centroid_id"), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
@@ -139,7 +137,7 @@ object Ivf {
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val (q, probed) = queryAndProbes(df, idCol, vecCol, centroids, queryId, nprobe)
     val v = col(vecCol)
-    assign(df, vecCol, centroids)
+    assignAny(df, idCol, vecCol, centroids)
       .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
         (Vectors.dot(v, typedlit(q.toSeq)) / Vectors.norm(v)).as("score"))
@@ -161,7 +159,7 @@ object Ivf {
     val (q, probed) = queryAndProbes(df, idCol, vecCol, centroids, queryId, nprobe)
     val v = col(vecCol)
     val q8d = transform(col("q8"), x => x.cast("double"))
-    val pool = assign(df, vecCol, centroids)
+    val pool = assignAny(df, idCol, vecCol, centroids)
       .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
       .withColumn("q8",
         Vectors.quantizeInt8(v, Vectors.maxAbs(v)))
@@ -175,6 +173,18 @@ object Ivf {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Assignment dispatch on k (the two paths are documented + spec'd as
+    * bit-identical): small-k models keep the zero-shuffle map-side
+    * literal [[assign]]; above a few dozen centroids (corpus-scaled
+    * nlist, SemDeDup cells) the row-based [[assignByJoin]] takes over —
+    * its shuffle stays n rows while the literal path's generated
+    * expression grows with k past JIT method limits.
+    */
+  private def assignAny(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= 32) assign(df, vecCol, centroids)
+    else assignByJoin(df, idCol, vecCol, centroids)
 
   private def queryAndProbes(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], queryId: Long,

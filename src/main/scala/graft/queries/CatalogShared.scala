@@ -76,18 +76,20 @@ private[queries] object CatalogShared {
   def ivfDotL(a: String, b: String): String =
     s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${ivfDim - 1})])"
 
-  /** CTE chain learning the Ivf.train(k=8, iters=2) model and the final
+  /** CTE chain learning the Ivf.train(k = max(8, ⌈n/512⌉), iters=2)
+    * model and the final
     * assignment: `e` (vec_id, v double-widened), `c2` (cid, c — final
     * centroids), `asg3` (vec_id, v, cid — final assignment). Shared by
     * the ANN oracle and the semantic-dedup oracle, which both run the
     * SAME two unrolled Lloyd rounds.
     */
-  lazy val ivfModelCtes: String = ivfModelCtesSeeded("vec_id < 8")
+  lazy val ivfModelCtes: String = ivfModelCtesSeeded(
+    "vec_id < (SELECT GREATEST(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) FROM e)")
 
-  /** [[ivfModelCtes]] with a caller-chosen seed predicate — the
-    * semantic-dedup twin scales k with the corpus
-    * (GREATEST(8, ⌈count(*)/512⌉), the Spark side's exact formula),
-    * while the ANN oracles keep the fixed k = 8 design point.
+  /** [[ivfModelCtes]] with a caller-chosen seed predicate. Both the
+    * ANN and semantic-dedup twins scale k with the corpus
+    * (GREATEST(8, ⌈count(*)/512⌉) — the Spark side's exact formula;
+    * round-11 audit closed the ANN side's fixed-k gap).
     */
   def ivfModelCtesSeeded(seedPred: String): String = {
     def dotL = ivfDotL _

@@ -121,10 +121,18 @@ private[queries] object DedupCoreQueries {
         .topKLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 10, planes = 2)
         .select("vec_id"),
       Some(lshAnnSql)),
+    // nlist SCALES with the corpus (the SemDeDup k=8 lesson applied
+    // proactively, round-10 audit item): k = max(8, ceil(n/512)) keeps
+    // posting lists ~512 vectors however large the corpus, so the
+    // nprobe-bounded scan stays O(nprobe · 512) per query instead of
+    // silently degrading to n/8. Identical to today's k=8 at both
+    // driver-verified scales (n ≤ 4096), so the oracle twin carries the
+    // same GREATEST(8, ⌈n/512⌉) seed predicate the SemDeDup twin uses.
     Q("sim_ivf_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
         graft.operators.Ivf.search(emb, "vec_id", "embedding", centroids, 0L, k = 10, nprobe = 2)
           .select("vec_id")
       },
