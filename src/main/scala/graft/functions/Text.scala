@@ -133,4 +133,21 @@ object Text {
       regexp_replace(text, "https?://[^ ]+", "<URL>"),
       "[0-9]{4,}", "<NUM>")
 
+  /** Count of characters of lower(text) outside [a-z0-9 ] — the
+    * punctuation-density quality signal. Computed as
+    * `length(l) − |chars deleted by translate|`… i.e.
+    * `length(translate(l, "a…z0…9 ", ""))`: translate DELETES the 37
+    * listed chars in one codegen'd char-map pass, so what remains is
+    * exactly the codepoints `[^a-z0-9 ]` matches — bit-identical to the
+    * regex count, at none of its cost. The regex form
+    * (`size(regexp_extract_all(l, "[^a-z0-9 ]", 0))`) materializes a
+    * per-match UTF8String ARRAY — measured 69 s for 500 k docs at sf10
+    * (the whole catalog's worst per-byte cost; round-11 bisection in
+    * BASELINE.md, reproducible via `graft.tools.ProfileTQ`) vs ~1 s
+    * for the translate scan.
+    */
+  def punctCount(text: Column): Column =
+    length(translate(lower(text),
+      "abcdefghijklmnopqrstuvwxyz0123456789 ", "")).cast("long")
+
 }

@@ -119,8 +119,11 @@ private[queries] object TextMultimodalQueries {
     Q("text_quality",
       (s, d) => {
         val toks = size(split(lower(col("text")), " ")).cast("long")
-        val punct = size(regexp_extract_all(lower(col("text")),
-          lit("[^a-z0-9 ]"), lit(0))).cast("long")
+        // translate char-map scan, NOT regexp_extract_all: the regex
+        // form allocates a per-match array — 69 s alone at sf10
+        // (round-11 profile); the translate form is ~1 s and
+        // bit-identical ([[Text.punctCount]]).
+        val punct = Text.punctCount(col("text"))
         Tables.documents(s, d).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
@@ -156,8 +159,7 @@ private[queries] object TextMultimodalQueries {
     Q("text_quality_gate",
       (s, d) => {
         val toks = size(split(lower(col("text")), " ")).cast("long")
-        val punct = size(regexp_extract_all(lower(col("text")),
-          lit("[^a-z0-9 ]"), lit(0))).cast("long")
+        val punct = Text.punctCount(col("text")) // see text_quality note
         val swRatio = Text.stopwordHits(col("text")).cast("double") / toks
         val cpt = length(col("text")).cast("double") / toks
         val reason =

@@ -115,6 +115,26 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) === "clean text stays")
   }
 
+  test("punctCount (translate scan) is bit-identical to the regex count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "Hello, World! 42."),          // upper→lower, ASCII punct
+      (2L, "no punct here 123 abc"),      // zero
+      (3L, "!!!,,,:::"),                  // all punct
+      (4L, "tabs\tand\nnewlines count"),  // whitespace ≠ space counts
+      (5L, "naïve café — em dash"),       // non-ASCII codepoints count
+      (6L, ""))                           // empty
+      .toDF("id", "text")
+    val got = rows.select($"id", Text.punctCount($"text").as("p"),
+      size(regexp_extract_all(lower($"text"), lit("[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, p, r) => assert(p === r, s"id $id: translate=$p regex=$r") }
+    assert(got.find(_._1 == 3L).get._2 === 9L)
+    assert(got.find(_._1 == 2L).get._2 === 0L)
+  }
+
   test("dot / norm / cosine compute correct doubles") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
