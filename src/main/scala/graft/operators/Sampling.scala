@@ -153,4 +153,48 @@ object Sampling {
     }
     df.filter(hashPrefix(col(keyCol)) < thr)
   }
+
+  /** Temperature-scaled source mixing at α = 1/2 (the multilingual-LM
+    * standard — mT5/XLM-R flatten the source distribution by sampling
+    * p_i ∝ n_i^α so head sources stop dominating without starving the
+    * tail): computes per-source target counts from the CORPUS ITSELF
+    * (unlike [[mixture]], whose rates are caller-given) and keeps each
+    * source's deterministic hash-first `target_i` rows.
+    *
+    * All-integer and engine-exact: weights are ⌊√n_i⌋ (IEEE sqrt is
+    * correctly rounded, floor makes it an integer — no order-dependent
+    * float sums anywhere), targets are `(B·w_i) div Σw` with budget
+    * B = ⌊N/2⌋, and selection is md5-rank ≤ target (reproducible across
+    * runs/engines/partitionings, monotone in the budget). A small
+    * source's target may exceed its row count — then the whole source
+    * is kept (the rank predicate saturates; true α<1 mixing would
+    * up-sample such sources by repetition, which a keep-flag operator
+    * deliberately does not do).
+    *
+    * Scale shape: one map-side-combined count per source (|sources|
+    * rows — broadcast), targets derived from a 1-row total, selection
+    * via a per-source md5-ordered rank. The rank window is the honest
+    * cost at 100 TB — a sort within each source's partitions, the same
+    * shape the stratified sampler and w2_topk_per_group already carry;
+    * a threshold-probe variant (binary-search the md5 prefix to the
+    * target quantile) trades exactness for sortlessness if a source's
+    * row count makes the sort the bottleneck.
+    */
+  def temperatureMix(df: DataFrame, srcCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(srcCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    // distinct names from cnt's __n/__w: Spark resolution is
+    // case-insensitive by default, so __N would collide with __n
+    val tot = cnt.agg(sum("__n").as("__tn"), sum("__w").as("__tw"))
+    val targets = cnt.crossJoin(broadcast(tot))
+      .select(col(srcCol),
+        expr("((__tn div 2) * __w) div __tw").as("__target"))
+    val rk = row_number().over(
+      Window.partitionBy(srcCol).orderBy(hashPrefix(col(keyCol)), col(keyCol)))
+    df.join(broadcast(targets), srcCol)
+      .withColumn("__rk", rk)
+      .withColumn("kept", col("__rk") <= col("__target"))
+      .drop("__rk", "__target")
+  }
 }

@@ -116,6 +116,70 @@ private[queries] object CatalogShared {
       assignCte("asg3", "c2")
   }
 
+  /** Generalized two-round Lloyd CTE chain — the [[ivfModelCtesSeeded]]
+    * machinery parameterized by source CTE, dimensionality and a name
+    * suffix, so the PQ oracle can learn one codebook PER SUBSPACE.
+    * `eName` must provide (vec_id, v: DOUBLE list of `dim`). Emits
+    * `c2$sfx` (cid, c — final centroids) and `asg3$sfx` (vec_id, v, cid
+    * — final codes).
+    */
+  private def lloydCtes(sfx: String, eName: String, dim: Int,
+      seedPred: String): String = {
+    def dotL(a: String, b: String): String =
+      s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${dim - 1})])"
+    def negSqDist(v: String, c: String): String =
+      s"((2 * ${dotL(v, c)} - ${dotL(v, v)}) - ${dotL(c, c)})"
+    def assignCte(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, c.cid, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${negSqDist("e.v", "c.c")} DESC, c.cid DESC) AS rn " +
+        s"FROM $eName e CROSS JOIN $cents c) WHERE rn = 1)"
+    def updateCte(name: String, asg: String, prev: String): String =
+      s"$name AS (SELECT $prev.cid, coalesce(nc.c, $prev.c) AS c FROM $prev LEFT JOIN " +
+        s"(SELECT cid, list(m ORDER BY pos) AS c FROM " +
+        s"(SELECT cid, i AS pos, CAST(SUM(CAST(floor(v[i+1] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS m " +
+        s"FROM $asg, LATERAL unnest(generate_series(0, ${dim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
+    s"c0$sfx AS (SELECT vec_id AS cid, v AS c FROM $eName WHERE $seedPred), " +
+      assignCte(s"asg1$sfx", s"c0$sfx") + ", " + updateCte(s"c1$sfx", s"asg1$sfx", s"c0$sfx") + ", " +
+      assignCte(s"asg2$sfx", s"c1$sfx") + ", " + updateCte(s"c2$sfx", s"asg2$sfx", s"c1$sfx") + ", " +
+      assignCte(s"asg3$sfx", s"c2$sfx")
+  }
+
+  /** DuckDB twin of [[graft.operators.Pq.search]] (sim_pq_ann): m=4
+    * subspaces of 16 dims, k=4 codewords each, 2 Lloyd rounds per
+    * subspace (the [[lloydCtes]] chains over SLICED vectors — Spark's
+    * `slice(v, j·16+1, 16)` ≡ DuckDB's `embedding[j·16+1 : (j+1)·16]`),
+    * ADC approximate cosine = Σ_j ⟨codeword_j, q_j⟩ / √(Σ_j |codeword_j|²)
+    * over the final codes, top-80 pool, exact full-precision re-rank to
+    * top-10. Every float op is the same IEEE tree Spark runs (list_sum
+    * ≡ the driver-side sequential fold; fixed sum order j=0..3).
+    */
+  lazy val pqAnnSql: String = {
+    val m = 4; val k = 4; val sub = ivfDim / m
+    def dotN(a: String, b: String, n: Int): String =
+      s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${n - 1})])"
+    val eDefs = (0 until m).map(j =>
+      s"e$j AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[${j * sub + 1}:${(j + 1) * sub}]] AS v FROM embeddings)")
+      .mkString(", ")
+    val chains = (0 until m).map(j =>
+      lloydCtes(s"_$j", s"e$j", sub, s"vec_id < $k")).mkString(", ")
+    val qs = (0 until m).map(j =>
+      s"q$j AS (SELECT v AS qv FROM e$j WHERE vec_id = 0)").mkString(", ")
+    val ad = (0 until m).map(j => dotN(s"co$j.c", s"q$j.qv", sub)).mkString(" + ")
+    val an = (0 until m).map(j => dotN(s"co$j.c", s"co$j.c", sub)).mkString(" + ")
+    val joins = "asg3_0 a0 JOIN c2_0 co0 ON a0.cid = co0.cid " +
+      (1 until m).map(j =>
+        s"JOIN asg3_$j a$j ON a$j.vec_id = a0.vec_id JOIN c2_$j co$j ON a$j.cid = co$j.cid ")
+        .mkString +
+      (0 until m).map(j => s"q$j").mkString(", ", ", ", "")
+    "WITH " + eDefs + ", " + chains + ", " + qs + ", " +
+      s"fin AS (SELECT a0.vec_id, ($ad) AS ad, ($an) AS an2 FROM $joins), " +
+      "ef AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+      "qf AS (SELECT v AS qv FROM ef WHERE vec_id = 0), " +
+      "pool AS (SELECT vec_id FROM fin WHERE vec_id <> 0 ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 80), " +
+      s"ds AS (SELECT ef.vec_id, ${dotN("ef.v", "qf.qv", ivfDim)} AS dot, ${dotN("ef.v", "ef.v", ivfDim)} AS nx FROM ef JOIN pool USING (vec_id), qf) " +
+      "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
   lazy val ivfAnnSql: String = {
     def dotL = ivfDotL _
     // twin of Ivf.queryAndProbes: -((|q|² - 2·c·q) + |c|²), ties toward

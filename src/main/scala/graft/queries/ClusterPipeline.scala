@@ -324,6 +324,22 @@ private[queries] object ClusterPipelineQueries {
       Some("SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
         "(CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80000000' WHEN source = 'src2' THEN '40000000' ELSE '1999999a' END) ORDER BY doc_id")),
 
+    // Temperature-scaled source mixing (α = 1/2, the mT5/XLM-R
+    // flattening; [[graft.operators.Sampling.temperatureMix]]): per-
+    // source targets B·⌊√n_i⌋ div Σ⌊√n_j⌋ computed FROM the corpus,
+    // selection by md5 rank. All-integer (correctly-rounded IEEE sqrt
+    // + floor), so the kept set is bit-identical cross-engine.
+    Q("mix_temperature",
+      (s, d) => graft.operators.Sampling
+        .temperatureMix(Tables.documents(s, d), "source", "doc_id")
+        .select("doc_id", "source", "kept").orderBy("doc_id"),
+      Some("WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cnt), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(w) AS BIGINT) AS ww FROM w), " +
+        "tgt AS (SELECT source, ((nn // 2) * w) // ww AS target FROM w, tot), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, source, rk <= target AS kept FROM r JOIN tgt USING (source) ORDER BY doc_id")),
+
     // Upsert/MERGE as a plan: keyed updates replace, new keys insert,
     // the rest passes through (what MERGE INTO compiles to on a table
     // format). Updates = doubled balances for custkey ≤ 100 plus

@@ -136,7 +136,25 @@ private[queries] object DedupCoreQueries {
         graft.operators.Ivf.search(emb, "vec_id", "embedding", centroids, 0L, k = 10, nprobe = 2)
           .select("vec_id")
       },
-      Some(ivfAnnSql)))
+      Some(ivfAnnSql)),
+
+    // Product quantization ([[graft.operators.Pq]], Jégou et al. 2011):
+    // m=4 subspace codebooks (k=4, the shared fixed-point Lloyd), ADC
+    // lookup-table scoring for the top-80 pool, exact re-rank to top-10.
+    // The memory-scale ANN representation: m bytes/vector instead of
+    // 4·d — what a billion-vector index stores at 100 TB. The oracle
+    // re-learns all four codebooks closed-form and must reproduce the
+    // identical pool and final ranking.
+    Q("sim_pq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 4, iters = 2)
+        graft.operators.Pq.search(emb, "vec_id", "embedding", books, 0L,
+          k = 10, poolFactor = 8)
+          .select("vec_id")
+      },
+      Some(pqAnnSql)))
 
   val all: Seq[Q] = dedup ++ simhashQs ++ dedupNoOracle
 }

@@ -649,6 +649,37 @@ private[queries] object TextMultimodalQueries {
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
         "WHERE hamming <= 2 ORDER BY id_a, id_b")),
 
+    // Image dedup closed end-to-end, mirroring the text trio
+    // (pairs → clusters → canonical): connected components over the
+    // hamming-banded near-dup pairs ([[graft.operators.Components]],
+    // large-star/small-star O(log n) rounds), every image labeled with
+    // its cluster (= min reachable id, singletons label themselves) and
+    // a canonical flag — the per-cluster survivor an image-dedup stage
+    // keeps. Oracle walks the SEMANTIC pair graph with a recursive CTE,
+    // so a hash match proves banding + contraction reach the same
+    // fixpoint.
+    Q("mm_image_clusters",
+      (s, d) => {
+        val imgs = Tables.documents(s, d)
+          .filter(col("doc_id") < 100).select("doc_id")
+        graft.operators.Components.clusters(
+            imgs, "doc_id",
+            graft.multimodal.Multimodal
+              .imageNearDupPairs(imgs, "doc_id", maxHamming = 2),
+            "id_a", "id_b")
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + bmpAHashCtes.stripPrefix("WITH ") + ", " +
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash " +
+        "FROM bs JOIN g USING (doc_id) GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b " +
+        "ON a.doc_id < b.doc_id AND bit_count(xor(a.ahash, b.ahash)) <= 2), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM sig UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a) " +
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id, " +
+        "id = min(r) AS is_canonical FROM reach GROUP BY id ORDER BY doc_id")),
+
     // REAL audio decode — the WAV twin of mm_pixel_stats: synthesize a
     // deterministic mono PCM16 waveform per doc (sample i of doc k is
     // (31k + 7i² + 13i) mod 65536 − 32768; n = 64 + k%37 samples at

@@ -277,4 +277,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expect) // banding loses no pair, adds no false positive
     assert(expect.nonEmpty, "degenerate fixture: no near-dup pairs to check")
   }
+
+  test("image clusters = brute-force union-find over hamming pairs") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val sig = Multimodal.syntheticBmpAHash(ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    // brute-force union-find with min-id labels
+    val parent = scala.collection.mutable.Map(sig.map(s => s._1 -> s._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (ia, ha) <- sig; (ib, hb) <- sig
+          if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2 } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = sig.map(s => (s._1, find(s._1))).toSeq.sorted
+    val got = graft.operators.Components.clusters(
+        ids, "doc_id",
+        Multimodal.imageNearDupPairs(ids, "doc_id", maxHamming = 2),
+        "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expect)
+  }
 }

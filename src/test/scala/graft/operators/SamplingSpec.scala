@@ -172,6 +172,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitByGroup(df, "cluster_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("temperatureMix: targets follow ⌊√n⌋ weights; selection deterministic") {
+    // skewed sources: 1600 / 300 / 100 rows → weights 40 / 17 / 10,
+    // budget 1000 → targets 597 / 253 / 149 (integer math, exact)
+    val skewed = ((1L to 1600L).map((_, "web")) ++
+      (2001L to 2300L).map((_, "wiki")) ++ (3001L to 3100L).map((_, "code")))
+      .toDF("id", "src")
+    val out = Sampling.temperatureMix(skewed, "src", "id")
+      .select("src", "kept").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    val keptBySrc = out.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    assert(keptBySrc("web") === 1000L * 40 / 67)  // 597
+    assert(keptBySrc("wiki") === 1000L * 17 / 67) // 253
+    // code's target (1000·10/67 = 149) exceeds its 100 rows → the whole
+    // source is kept (rank ≤ target saturates; up-sampling by repetition
+    // is the α<1 alternative this operator deliberately does not do)
+    assert(keptBySrc("code") === 100)
+    // the flattening property: head source's keep RATE < tail source's
+    assert(keptBySrc("web").toDouble / 1600 < keptBySrc("code").toDouble / 100)
+    // deterministic rerun
+    val again = Sampling.temperatureMix(skewed, "src", "id")
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(skewed, "src", "id")
+      .filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
   test("rateToHex boundary encoding") {
     assert(Sampling.rateToHex(0.0) === "00000000")
     assert(Sampling.rateToHex(0.25) === "40000000")
