@@ -57,15 +57,22 @@ object Dedup {
     * bigrams): one exchange on the doc id; the n-1 `lead` columns share
     * a single window spec, so they come out of ONE Window pass.
     */
-  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngramRowsPos(df, idCol, textCol, n).drop("pos")
+
+  /** [[ngramRows]] keeping each gram's 0-based START TOKEN position —
+    * the span-removal path needs to map a flagged gram back to the
+    * token positions it covers.
+    */
+  def ngramRowsPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span length $n must be >= 2")
     val tok = df.select(col(idCol),
       posexplode(Text.tokens(col(textCol))).as(Seq("pos", "w")))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val nexts = (1 until n).map(k => lead(col("w"), k).over(w).as(s"__w$k"))
-    tok.select(col(idCol) +: col("w") +: nexts: _*)
+    tok.select(col(idCol) +: col("pos") +: col("w") +: nexts: _*)
       .filter((1 until n).map(k => col(s"__w$k").isNotNull).reduce(_ && _))
-      .select(col(idCol),
+      .select(col(idCol), col("pos"),
         concat_ws(" ", col("w") +: (1 until n).map(k => col(s"__w$k")): _*).as("gram"))
   }
 
@@ -99,6 +106,61 @@ object Dedup {
       .agg(count(lit(1)).as("total_spans"),
         sum(coalesce(col("__dup"), lit(0L))).as("dup_spans"))
       .withColumn("dup_ratio", col("dup_spans").cast("double") / col("total_spans"))
+  }
+
+  /** Span REMOVAL — the enforcement half of [[repeatedNgramStats]]
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated spans are cut from all but one
+    * occurrence, not merely counted). Every token position covered by
+    * a cross-document repeated n-gram is dropped UNLESS this doc is the
+    * span's canonical keeper (min doc id containing it); surviving
+    * tokens reassemble in position order. Returns
+    * (idCol, n_before, n_after, scrubbed).
+    *
+    * Scale shape: gram hashing is the [[ngramRowsPos]] token-window
+    * pass; the flagged-span table aggregates to one row per repeated
+    * hash (tiny vs the corpus); coverage expansion is an equi-join on
+    * the hash + a bounded n-wide explode; removal is a (doc, pos)
+    * anti-join; reassembly is one doc-keyed sort-within-group. Nothing
+    * pairs docs with docs — span identity routes through the hash key,
+    * exactly like the counting query. (Lee et al. use suffix arrays for
+    * arbitrary-length spans; fixed-n hashed grams are the
+    * shuffle-bounded distributed form — overlapping flagged grams merge
+    * into maximal removed spans through position coverage.)
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2 — 1 flags every span")
+    val toks = df.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "w")))
+    // materialized once: both the flag aggregation and the coverage
+    // join read the gram rows
+    val grams = ngramRowsPos(df, idCol, textCol, n)
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__h"))
+      .localCheckpoint()
+    val flagged = grams.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__nd"), min(col(idCol)).as("__keeper"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h", "__keeper")
+    val covered = grams.join(flagged, "__h")
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val surv = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_after"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("scrubbed"))
+    // left join back: a fully-covered doc must still appear (empty)
+    df.select(col(idCol),
+        size(Text.tokens(col(textCol))).cast("long").as("n_before"))
+      .join(surv, Seq(idCol), "left")
+      .select(col(idCol), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
   }
 
   /** MinHash signature table: `idCol`, h0..h{k-1} over word-bigram

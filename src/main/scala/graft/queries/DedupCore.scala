@@ -82,6 +82,28 @@ private[queries] object DedupCoreQueries {
         "CAST(count(*) FILTER (WHERE h IN (SELECT h FROM f)) AS DOUBLE) / count(*) AS dup_ratio " +
         "FROM g GROUP BY doc_id ORDER BY doc_id")),
 
+    // Span REMOVAL — the enforcement half of dedup_substring (Lee et
+    // al. 2022): every token position covered by a cross-doc repeated
+    // 8-gram is cut unless this doc is the span's min-id canonical
+    // keeper; survivors reassemble in order. The oracle recomputes
+    // keeper assignment, position coverage, and the reassembled STRING
+    // closed-form — a hash match proves the exact scrubbed text, not
+    // just the counts.
+    Q("dedup_span_scrub",
+      (s, d) => graft.operators.Dedup
+        .scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM t, LATERAL unnest(generate_series(1, len(ws))) AS g(i)), " +
+        "sp AS (SELECT doc_id, i - 1 AS start, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM t, LATERAL unnest(generate_series(1, len(ws) - 7)) AS g(i)), " +
+        "f AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT sp.doc_id, start + j AS pos FROM sp JOIN f USING (h), LATERAL unnest(generate_series(0, 7)) AS u(j) WHERE sp.doc_id <> f.keeper), " +
+        "surv AS (SELECT tok.doc_id, tok.pos, tok.w FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos WHERE cov.pos IS NULL), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after, array_to_string(list(w ORDER BY pos), ' ') AS scrubbed FROM surv GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_before, " +
+        "COALESCE(agg.n_after, 0) AS n_after, COALESCE(agg.scrubbed, '') AS scrubbed " +
+        "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id")),
+
     // N-gram (bigram-shingle) Jaccard similarity for same-source pairs.
     // jaccard = shared / (na + nb - shared): single double division of exact
     // integers — deterministic cross-engine.

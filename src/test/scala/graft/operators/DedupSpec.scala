@@ -249,4 +249,35 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 4L, 0L, 0.0)))
   }
+
+  test("scrubRepeatedSpans: keeper keeps the span, dup docs lose it, rest untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // keeper of "a b c" (min doc id) — untouched
+      (2L, "z a b c"),      // loses positions of "a b c" → "z"
+      (3L, "a b c"),        // fully covered → empty
+      (4L, "p q r s")).toDF("doc_id", "text") // no repeats — untouched
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 4L, "a b c d"),
+      (2L, 4L, 1L, "z"),
+      (3L, 3L, 0L, ""),
+      (4L, 4L, 4L, "p q r s")))
+  }
+
+  test("scrubRepeatedSpans: overlapping flagged grams merge into one maximal cut") {
+    import spark.implicits._
+    // "a b c d" appears in docs 1 and 2 → grams "a b c" and "b c d" both
+    // flagged; doc 2's coverage is the union {positions of a b c d}, so
+    // the cut is maximal, not per-gram fragments
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x a b c d y")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq === Seq((1L, "a b c d"), (2L, "x y")))
+  }
 }
