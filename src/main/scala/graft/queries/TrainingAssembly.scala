@@ -165,6 +165,34 @@ private[queries] object TrainingQueries {
       Some("SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
         "FROM documents ORDER BY rn, source, doc_id LIMIT 50")),
 
+    // T5-style span corruption ([[graft.operators.SpanCorruption]]):
+    // deterministic md5-selected span starts (the house sampling trick
+    // in place of T5's RNG), coverage-merged runs, sentinel-numbered
+    // input/target strings. The oracle recomputes the EXACT strings via
+    // the same window chain, so a hash match pins the whole denoising
+    // example construction.
+    Q("text_span_corrupt",
+      (s, d) => graft.operators.SpanCorruption
+        .t5SpanCorrupt(Tables.documents(s, d), "doc_id", "text",
+          spanLen = 3, startRateHex = "10000000")
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM t, LATERAL unnest(generate_series(1, len(ws))) AS g(i)), " +
+        "s AS (SELECT *, substr(md5(doc_id || ':' || pos), 1, 8) < '10000000' AS sel FROM tok), " +
+        "m AS (SELECT *, MAX(CASE WHEN sel THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked FROM s), " +
+        "r AS (SELECT *, masked AND NOT coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false) AS run_start FROM m), " +
+        "kk AS (SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k FROM r), " +
+        "p AS (SELECT doc_id, pos, masked, " +
+        "CASE WHEN NOT masked THEN w WHEN run_start THEN '<extra_id_' || k || '>' END AS ip, " +
+        "CASE WHEN masked AND run_start THEN '<extra_id_' || k || '> ' || w WHEN masked THEN w END AS tp FROM kk) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked, " +
+        // COALESCE: an all-null FILTER aggregate is NULL in DuckDB, but
+        // Spark's array_join over an empty collect_list is ''
+        "COALESCE(array_to_string(list(ip ORDER BY pos) FILTER (WHERE ip IS NOT NULL), ' '), '') AS input, " +
+        "COALESCE(array_to_string(list(tp ORDER BY pos) FILTER (WHERE tp IS NOT NULL), ' '), '') AS target " +
+        "FROM p GROUP BY doc_id ORDER BY doc_id")),
+
     // Tf-idf top-3 terms per document, idf as the exact rational N/df
     // (no log — a transcendental differs in the last ulp across libm
     // builds; the rational keeps the ranking and stays bit-portable).
