@@ -95,6 +95,19 @@ private[queries] object TextMultimodalQueries {
       "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
       "g AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1)"
 
+  /** Shared oracle CTE chain computing the closed-form waveform,
+    * per-window and per-stream energy sums for the 16-bit eHash
+    * (consumed by `mm_audio_ehash` and `mm_audio_neardup`).
+    */
+  private val wavEHashCtes: String =
+    "WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n, 8000 + (doc_id % 3) * 4000 AS rate FROM documents WHERE doc_id < 100), " +
+      "sm AS (SELECT doc_id, n, rate, i, (i * 16) // n AS win, " +
+      "((31*doc_id + 7*i*i + 13*i) % 256 - 128) * (1 + 3 * ((doc_id // (CAST(1 AS BIGINT) << CAST((i * 16) // n AS INTEGER))) % 2)) AS s " +
+      "FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)), " +
+      "e AS (SELECT doc_id, n, rate, win, s * s AS en FROM sm), " +
+      "ws AS (SELECT doc_id, win, CAST(SUM(en) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS wn FROM e GROUP BY 1, 2), " +
+      "g AS (SELECT doc_id, CAST(any_value(rate) AS BIGINT) AS rate, CAST(SUM(en) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS tn FROM e GROUP BY 1)"
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -703,6 +716,46 @@ private[queries] object TextMultimodalQueries {
         (0 until 8).map(i =>
           s"CAST(sum(CASE WHEN (s + 32768) // 8192 = $i THEN 1 ELSE 0 END) AS BIGINT) AS ab$i").mkString(", ") +
         " FROM sm GROUP BY doc_id ORDER BY doc_id")),
+
+    // Audio fingerprint over the REAL WAV codec
+    // ([[graft.multimodal.Audio.eHash16]]): a 16-bit energy-contour
+    // hash from the DECODED samples — 16 equal time windows, bit =
+    // window mean energy strictly above stream mean, integer
+    // cross-multiply. The audio twin of mm_image_ahash; the oracle
+    // computes the hash closed-form without seeing a WAV byte.
+    Q("mm_audio_ehash",
+      (s, d) => graft.multimodal.Audio
+        .syntheticWavEHash(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some(s"$wavEHashCtes " +
+        "SELECT doc_id, rate, " +
+        "CAST(SUM(CASE WHEN wsum * tn > tsum * wn THEN (CAST(1 AS BIGINT) << CAST(win AS INTEGER)) ELSE 0 END) AS BIGINT) AS ehash, " +
+        "CAST(SUM(CASE WHEN wsum * tn > tsum * wn THEN 1 ELSE 0 END) AS BIGINT) AS n_on " +
+        "FROM ws JOIN g USING (doc_id) GROUP BY doc_id, rate ORDER BY doc_id")),
+
+    // The eHash's consumer — audio near-dup pairs within hamming 1
+    // (one envelope-bit flip — the planted fixture gives 89 distinct
+    // contours over 100 docs, so radius 1 is a real near-dup set, not
+    // a degenerate blanket) via SimHash pigeonhole banding, exact
+    // popcount verify inside buckets; oracle pairs the closed-form
+    // hashes with the semantic all-pairs form, proving banding loses
+    // no pair. Completes the modality symmetry: text (SimHash), image
+    // (aHash), audio (eHash) all share one blocking machine.
+    Q("mm_audio_neardup",
+      (s, d) => graft.multimodal.Audio
+        .audioNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", maxHamming = 1)
+        .orderBy("id_a", "id_b"),
+      Some(s"$wavEHashCtes, " +
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN wsum * tn > tsum * wn THEN (CAST(1 AS BIGINT) << CAST(win AS INTEGER)) ELSE 0 END) AS BIGINT) AS ehash " +
+        "FROM ws JOIN g USING (doc_id) GROUP BY doc_id) " +
+        "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+        "WHERE hamming <= 1 ORDER BY id_a, id_b")),
 
     // REAL compressed-container metadata — the third modality leg: even
     // ids synthesize an MP4 (ISO BMFF box walk; ids % 4 == 0 take the
