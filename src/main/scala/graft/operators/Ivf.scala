@@ -181,12 +181,12 @@ object Ivf {
     * its shuffle stays n rows while the literal path's generated
     * expression grows with k past JIT method limits.
     */
-  private def assignAny(df: DataFrame, idCol: String, vecCol: String,
+  private[operators] def assignAny(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
     if (centroids.length <= 32) assign(df, vecCol, centroids)
     else assignByJoin(df, idCol, vecCol, centroids)
 
-  private def queryAndProbes(df: DataFrame, idCol: String, vecCol: String,
+  private[operators] def queryAndProbes(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], queryId: Long,
       nprobe: Int): (Array[Double], Set[Int]) = {
     val q = df.filter(col(idCol) === queryId)

@@ -75,12 +75,43 @@ object Pq {
   def search(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]], queryId: Long,
       k: Int = 10, poolFactor: Int = 8): DataFrame = {
-    val m = codebooks.length
     val q = df.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)))
       .collect().head.getSeq[Double](0).toArray
-    // per-subspace ADC tables: dotT(j)(c) = ⟨codeword, q_j⟩ (the same
-    // sequential fold the oracle's list_sum runs), n2T(j)(c) = |codeword|²
+    adcRerank(df.filter(col(idCol) =!= queryId),
+      idCol, vecCol, codebooks, q, k, poolFactor)
+  }
+
+  /** IVF-PQ — the production composition ([[Ivf]] coarse pruning on
+    * top of PQ codes): assign the corpus to the coarse quantizer, keep
+    * only the `nprobe` cells nearest the query, ADC-score just those
+    * posting lists, exact-re-rank the pool. This is the billion-vector
+    * layout — the coarse index bounds WHAT scans (nprobe/nlist of the
+    * corpus), PQ bounds what each scanned row COSTS (m byte-code
+    * lookups) — and both models ride the same fixed-point Lloyd, so
+    * the whole path stays bit-identical cross-engine.
+    */
+  def searchIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queryId: Long, k: Int = 10, nprobe: Int = 2,
+      poolFactor: Int = 4): DataFrame = {
+    val (q, probed) = Ivf.queryAndProbes(df, idCol, vecCol, coarse, queryId, nprobe)
+    val members = Ivf.assignAny(df, idCol, vecCol, coarse)
+      .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+      .drop("centroid_id")
+    adcRerank(members, idCol, vecCol, codebooks, q, k, poolFactor)
+  }
+
+  /** Shared ADC pool + exact re-rank over an already-restricted
+    * candidate set: per-subspace lookup tables from the full-precision
+    * query (driver-side, the same sequential folds the oracle's
+    * list_sum runs), approximate-cosine top `k·poolFactor`, exact
+    * cosine top `k` inside the pool.
+    */
+  private def adcRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], q: Array[Double],
+      k: Int, poolFactor: Int): DataFrame = {
+    val m = codebooks.length
     val offs = codebooks.scanLeft(0)(_ + _(0).length)
     val dotT = codebooks.zipWithIndex.map { case (cb, j) =>
       cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(offs(j) + i) }.sum)
@@ -90,8 +121,7 @@ object Pq {
       element_at(typedlit(t(j).toSeq), col(s"code$j").cast("int") + 1)
     val approxDot = (0 until m).map(j => lookup(dotT, j)).reduce(_ + _)
     val approxN2 = (0 until m).map(j => lookup(n2T, j)).reduce(_ + _)
-    val pool = encode(df, vecCol, codebooks)
-      .filter(col(idCol) =!= queryId)
+    val pool = encode(candidates, vecCol, codebooks)
       .select(col(idCol), col(vecCol),
         (approxDot / sqrt(approxN2)).as("__as"))
       .orderBy(col("__as").desc, col(idCol))

@@ -153,30 +153,65 @@ private[queries] object CatalogShared {
     * top-10. Every float op is the same IEEE tree Spark runs (list_sum
     * ≡ the driver-side sequential fold; fixed sum order j=0..3).
     */
-  lazy val pqAnnSql: String = {
-    val m = 4; val k = 4; val sub = ivfDim / m
-    def dotN(a: String, b: String, n: Int): String =
-      s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${n - 1})])"
-    val eDefs = (0 until m).map(j =>
-      s"e$j AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[${j * sub + 1}:${(j + 1) * sub}]] AS v FROM embeddings)")
+  private val pqM = 4
+  private val pqK = 4
+  private def pqSub = ivfDim / pqM
+  private def pqDotN(a: String, b: String, n: Int): String =
+    s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${n - 1})])"
+  /** Subspace slices (e0..e3), their Lloyd chains (c2_j / asg3_j), and
+    * query subvectors (q0..q3) — shared by the PQ and IVF-PQ oracles.
+    */
+  private lazy val pqChainsCtes: String = {
+    val eDefs = (0 until pqM).map(j =>
+      s"e$j AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[${j * pqSub + 1}:${(j + 1) * pqSub}]] AS v FROM embeddings)")
       .mkString(", ")
-    val chains = (0 until m).map(j =>
-      lloydCtes(s"_$j", s"e$j", sub, s"vec_id < $k")).mkString(", ")
-    val qs = (0 until m).map(j =>
+    val chains = (0 until pqM).map(j =>
+      lloydCtes(s"_$j", s"e$j", pqSub, s"vec_id < $pqK")).mkString(", ")
+    val qs = (0 until pqM).map(j =>
       s"q$j AS (SELECT v AS qv FROM e$j WHERE vec_id = 0)").mkString(", ")
-    val ad = (0 until m).map(j => dotN(s"co$j.c", s"q$j.qv", sub)).mkString(" + ")
-    val an = (0 until m).map(j => dotN(s"co$j.c", s"co$j.c", sub)).mkString(" + ")
-    val joins = "asg3_0 a0 JOIN c2_0 co0 ON a0.cid = co0.cid " +
-      (1 until m).map(j =>
+    eDefs + ", " + chains + ", " + qs
+  }
+  /** ADC approximate dot / |codeword|² sums over the final codes. */
+  private def pqAd: String =
+    (0 until pqM).map(j => pqDotN(s"co$j.c", s"q$j.qv", pqSub)).mkString(" + ")
+  private def pqAn: String =
+    (0 until pqM).map(j => pqDotN(s"co$j.c", s"co$j.c", pqSub)).mkString(" + ")
+  /** Code join chain a0..a3 × c2_0..c2_3 (NO trailing cross-join CTEs). */
+  private def pqJoins: String =
+    "asg3_0 a0 JOIN c2_0 co0 ON a0.cid = co0.cid " +
+      (1 until pqM).map(j =>
         s"JOIN asg3_$j a$j ON a$j.vec_id = a0.vec_id JOIN c2_$j co$j ON a$j.cid = co$j.cid ")
-        .mkString +
-      (0 until m).map(j => s"q$j").mkString(", ", ", ", "")
-    "WITH " + eDefs + ", " + chains + ", " + qs + ", " +
-      s"fin AS (SELECT a0.vec_id, ($ad) AS ad, ($an) AS an2 FROM $joins), " +
+        .mkString
+
+  lazy val pqAnnSql: String = {
+    val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
+    "WITH " + pqChainsCtes + ", " +
+      s"fin AS (SELECT a0.vec_id, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins, $qRefs), " +
       "ef AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
       "qf AS (SELECT v AS qv FROM ef WHERE vec_id = 0), " +
       "pool AS (SELECT vec_id FROM fin WHERE vec_id <> 0 ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 80), " +
-      s"ds AS (SELECT ef.vec_id, ${dotN("ef.v", "qf.qv", ivfDim)} AS dot, ${dotN("ef.v", "ef.v", ivfDim)} AS nx FROM ef JOIN pool USING (vec_id), qf) " +
+      s"ds AS (SELECT ef.vec_id, ${pqDotN("ef.v", "qf.qv", ivfDim)} AS dot, ${pqDotN("ef.v", "ef.v", ivfDim)} AS nx FROM ef JOIN pool USING (vec_id), qf) " +
+      "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
+  /** DuckDB twin of [[graft.operators.Pq.searchIvfPq]] (sim_ivfpq_ann):
+    * the coarse [[ivfModelCtes]] model gates which vectors the PQ codes
+    * score — `fin` keeps only members of the 2 probed cells (the
+    * ivfAnnSql probe CTE verbatim) — then the PQ ADC pool (k·4 = 40)
+    * and exact re-rank run as in [[pqAnnSql]].
+    */
+  lazy val ivfPqAnnSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
+    "WITH " + ivfModelCtes + ", " + pqChainsCtes + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      s"fin AS (SELECT a0.vec_id, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
+      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
+      "WHERE a0.vec_id <> 0), " +
+      "pool AS (SELECT vec_id FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
+      s"ds AS (SELECT e.vec_id, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
 

@@ -340,6 +340,52 @@ private[queries] object ClusterPipelineQueries {
         "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk FROM documents) " +
         "SELECT doc_id, source, rk <= target AS kept FROM r JOIN tgt USING (source) ORDER BY doc_id")),
 
+    // Per-source dataset datasheet — the rollup report a curation run
+    // ships with (Gebru et al. "Datasheets for Datasets" made
+    // queryable): doc/token volumes, exact-dup count (docs minus
+    // distinct md5), language spread, and the quality-gate keep rate,
+    // one row per source. Composes verified signals (gate rules =
+    // text_quality_gate's, punct via the translate scan); all integer
+    // or integer-ratio permille — hash-exact cross-engine. One scan +
+    // one source-keyed agg at any corpus size.
+    Q("report_datacard",
+      (s, d) => {
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        val punct = graft.functions.Text.punctCount(col("text"))
+        val swRatio = graft.functions.Text.stopwordHits(col("text")).cast("double") / toks
+        val cpt = length(col("text")).cast("double") / toks
+        val keep = !(toks < 5 || toks > 1000 || swRatio < 0.05 ||
+          punct.cast("double") / length(col("text")) > 0.3 || cpt > 12.0)
+        Tables.documents(s, d)
+          .select(col("source"), toks.as("t"), md5(col("text")).as("h"),
+            col("lang"), keep.as("k"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("t")).as("n_tokens"),
+            countDistinct(col("h")).as("n_uniq"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("k"), 1L).otherwise(0L)).as("n_keep"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens div n_docs").as("toks_per_doc"),
+            (col("n_docs") - col("n_uniq")).as("n_exact_dup"),
+            col("n_langs"), col("n_keep"),
+            expr("n_keep * 1000 div n_docs").as("keep_permille"))
+          .orderBy("source")
+      },
+      Some("WITH b AS (SELECT source, lang, md5(text) AS h, " +
+        "CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS t, " +
+        "NOT (len(string_split(lower(text), ' ')) < 5 OR len(string_split(lower(text), ' ')) > 1000 " +
+        s"OR CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${graft.functions.Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) < 0.05 " +
+        "OR CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) > 0.3 " +
+        "OR CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0) AS k FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(t) AS BIGINT) // CAST(count(*) AS BIGINT) AS toks_per_doc, " +
+        "CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dup, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "CAST(SUM(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS keep_permille " +
+        "FROM b GROUP BY source ORDER BY source")),
+
     // Upsert/MERGE as a plan: keyed updates replace, new keys insert,
     // the rest passes through (what MERGE INTO compiles to on a table
     // format). Updates = doubled balances for custkey ≤ 100 plus

@@ -176,7 +176,27 @@ private[queries] object DedupCoreQueries {
           k = 10, poolFactor = 8)
           .select("vec_id")
       },
-      Some(pqAnnSql)))
+      Some(pqAnnSql)),
+
+    // IVF-PQ — the production composition ([[graft.operators.Pq
+    // .searchIvfPq]]): the corpus-scaled coarse quantizer bounds WHAT
+    // scans (nprobe/nlist posting lists), PQ codes bound what each
+    // scanned row COSTS (m byte-lookups). The billion-vector layout at
+    // 100 TB; both models ride the shared fixed-point Lloyd, so the
+    // oracle re-learns coarse + 4 subspace codebooks and must reproduce
+    // probe set, pool, and final ranking.
+    Q("sim_ivfpq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val kc = math.max(8L, (emb.count() + 511) / 512).toInt
+        val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2)
+        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 4, iters = 2)
+        graft.operators.Pq.searchIvfPq(emb, "vec_id", "embedding",
+          coarse, books, 0L, k = 10, nprobe = 2, poolFactor = 4)
+          .select("vec_id")
+      },
+      Some(ivfPqAnnSql)))
 
   val all: Seq[Q] = dedup ++ simhashQs ++ dedupNoOracle
 }

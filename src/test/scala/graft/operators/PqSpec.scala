@@ -63,6 +63,20 @@ class PqSpec extends SparkSpec {
     assert(tight.forall(_ < 20L), s"ADC pool leaked cross-group: ${tight.mkString(",")}")
   }
 
+  test("searchIvfPq: probing every cell equals plain PQ search; nprobe=1 stays in-cluster") {
+    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 4)
+    val books = Pq.train(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 2)
+    val all = Pq.searchIvfPq(vecs, "vec_id", "embedding", coarse, books, 0L,
+      k = 5, nprobe = 2, poolFactor = 8).collect().map(_.getLong(0))
+    val plain = Pq.search(vecs, "vec_id", "embedding", books, 0L,
+      k = 5, poolFactor = 8).collect().map(_.getLong(0))
+    assert(all === plain) // coarse gate open = pure PQ
+    val one = Pq.searchIvfPq(vecs, "vec_id", "embedding", coarse, books, 0L,
+      k = 5, nprobe = 1, poolFactor = 8).collect().map(_.getLong(0))
+    assert(one.length === 5)
+    assert(one.forall(_ < 20L), s"nprobe=1 leaked cross-cluster: ${one.mkString(",")}")
+  }
+
   test("search recall floor on the catalog fixture (sf0.001 embeddings)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val books = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 2)
