@@ -61,6 +61,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("mm_image_neardup / mm_audio_neardup: banded candidates, never a cartesian") {
+    Seq("mm_image_neardup", "mm_audio_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("sim_pq_ann / sim_ivfpq_ann: ADC scan + distributed top-k, no corpus window sort") {
+    Seq("sim_pq_ann", "sim_ivfpq_ann").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("dedup_span_scrub: span flags join on the hash key, never doc-doc pairs") {
+    val p = plan("dedup_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_ngram_jaccard: no forced broadcast of the corpus-sized count table") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
