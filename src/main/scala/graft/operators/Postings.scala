@@ -54,6 +54,34 @@ object Postings {
   def tokenDf(segmentedIndex: DataFrame): DataFrame =
     segmentedIndex.groupBy("w").agg(sum("seg_df").as("df"))
 
+  /** Positional phrase query: start positions of every exact occurrence
+    * of `phrase` (consecutive tokens, case-folded) — the positional-index
+    * consumer a search engine runs for quoted queries.
+    *
+    * Scale shape: the token stream is pruned to the phrase's words BEFORE
+    * any join (an `IN` filter at the scan/explode — the corpus's other
+    * tokens never reach a shuffle), then each successive word equi-joins
+    * on (doc, start): candidate volume is bounded by the rarest word's
+    * postings, exactly like intersecting posting lists rarest-first.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+    val first = tok.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
+      val next = tok.filter(col("w") === word)
+        .select(col("doc_id").as("d2"), (col("pos") - i).as("start"))
+      acc.join(next,
+          acc("doc_id") === next("d2") && acc("pos") === next("start"))
+        .select(acc("doc_id"), acc("pos"))
+    }
+  }
+
   /** Lookup-side helper: the positions of one token inside one document,
     * decoded from the rendered posting string (driver/UDF-free — pure
     * column ops; used by specs to round-trip the encoding).

@@ -511,7 +511,45 @@ private[queries] object CoreRelational {
       Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, SUM(l_quantity) AS sum_qty, " +
         "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
-        "GROUP BY 1 ORDER BY 1")))
+        "GROUP BY 1 ORDER BY 1")),
+
+    // J12: co-located bucketed join — j11's shuffle paid ONCE at write
+    // time instead of per query. Both fact tables land bucketed+sorted
+    // by the order key ([[graft.sources.Bucketed]]); the join then reads
+    // matching buckets pairwise and the per-order aggregate reuses the
+    // same partitioning (the SMJ reports both sides' HashPartitioning,
+    // so groupBy(o_orderkey) adds NO exchange either) — the only
+    // Exchange in the whole plan is the output-ordering sort. This is
+    // the 100 TB shape for a fact⋈fact key repeatedly joined on:
+    // amortize one bucketed write across every downstream query.
+    // Bucket count scales with the fact side (~2 M rows/bucket — the
+    // fixed-k lesson), and must match on both tables.
+    Q("j12_bucketed_join",
+      (s, d) => {
+        import graft.sources.Bucketed
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            cents(col("l_extendedprice")).cast("long").as("price_c"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val buckets = math.max(8, (li.count() >> 21).toInt + 1)
+        Bucketed.writeBucketed(li, "bj_lineitem", "l_orderkey", buckets)
+        Bucketed.writeBucketed(o, "bj_orders", "o_orderkey", buckets)
+        Bucketed.colocatedJoin(s, "bj_lineitem", "bj_orders",
+            "l_orderkey", "o_orderkey")
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("price_c")).as("sum_price_cents"))
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("n_lines"), col("sum_qty"),
+            col("sum_price_cents"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines, SUM(l_quantity) AS sum_qty, " +
+        "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o_orderkey % 7 = 0 GROUP BY 1 ORDER BY 1")))
 
 
   val all: Seq[Q] = scans ++ filters ++ joins

@@ -16,9 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table.
+    *
+    * Overwrite must also clear a STALE warehouse location: a fresh
+    * session's in-memory catalog doesn't know about a directory left by
+    * a previous JVM, so `mode(overwrite)` would take the CREATE path and
+    * refuse the existing location.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, overwrite: Boolean = true): Unit = {
+    if (overwrite) {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = java.nio.file.Paths.get(loc, table.toLowerCase)
+      if (java.nio.file.Files.exists(dir))
+        graft.util.Paths.deleteRecursively(dir)
+    }
     val w = df.write
       .format("parquet")
       .bucketBy(buckets, key)
@@ -28,11 +43,15 @@ object Bucketed {
 
   /** Co-located equi-join of two tables previously written with
     * [[writeBucketed]] on the same key and bucket count.
+    *
+    * `merge` hints pin the sort-merge path at test scale too (AQE would
+    * legitimately broadcast a small side there, hiding the zero-exchange
+    * bucket-pairwise read this layout exists for — j11's rationale).
     */
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       leftKey: String, rightKey: String): DataFrame = {
-    val l = spark.table(leftTable)
-    val r = spark.table(rightTable)
+    val l = spark.table(leftTable).hint("merge")
+    val r = spark.table(rightTable).hint("merge")
     l.join(r, l(leftKey) === r(rightKey))
   }
 }

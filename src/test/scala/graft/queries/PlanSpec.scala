@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j12_bucketed_join: co-located SMJ + same-key agg, zero hash exchanges") {
+    val p = plan("j12_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // Bucketed scans feed the join AND the per-order aggregate; the only
+    // Exchange allowed is the output-ordering rangepartitioning sort.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("dedup_span_scrub: span flags join on the hash key, never doc-doc pairs") {
     val p = plan("dedup_span_scrub")
     assert(!p.contains("CartesianProduct"), p)
