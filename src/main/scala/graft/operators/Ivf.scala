@@ -64,6 +64,16 @@ object Ivf {
     * identical assignment and either can serve any caller.
     */
   def assignByJoin(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.join(assignScoresByJoin(df, idCol, vecCol, centroids)
+      .drop("score"), idCol)
+
+  /** [[assignByJoin]] keeping the winning score: (idCol, centroid_id,
+    * score) where score = −distance² to the OWN centroid — the quantity
+    * prototype-filtering ranks on. Same broadcast-model shape (shuffle
+    * stays n rows), same IEEE tree as both assign faces.
+    */
+  def assignScoresByJoin(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
@@ -71,14 +81,13 @@ object Ivf {
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
       .toDF("__c", "__cv", "__cn2"))
     val v = col(vecCol)
-    val best = df.select(col(idCol), v, Vectors.dot(v, v).as("__vn2"))
+    df.select(col(idCol), v, Vectors.dot(v, v).as("__vn2"))
       .crossJoin(cents)
       .select(col(idCol),
         struct((Vectors.dot(v, col("__cv")) * 2 - col("__vn2") - col("__cn2")).as("s"),
           col("__c").as("c")).as("__sc"))
       .groupBy(idCol).agg(max(col("__sc")).as("__m"))
-      .select(col(idCol), col("__m.c").as("centroid_id"))
-    df.join(best, idCol)
+      .select(col(idCol), col("__m.c").as("centroid_id"), col("__m.s").as("score"))
   }
 
   /** Fixed-point scale for the centroid update: multiplying by a power

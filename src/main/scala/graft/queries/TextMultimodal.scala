@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Text, Vectors}
+import graft.functions.{ILog, Text, Vectors}
 
 /** Text-analysis queries (tokens, langid, quality, tf vocab, scrub,
   * fingerprints) and the multimodal metadata/codec oracles.
@@ -912,7 +912,59 @@ private[queries] object TextMultimodalQueries {
           "SELECT doc_id, n_tok, logw_fp20, " +
           "CASE WHEN logw_fp20 >= 0 THEN logw_fp20 // n_tok ELSE -((-logw_fp20) // n_tok) END AS avg_fp20 " +
           "FROM lw ORDER BY doc_id"
-      }))
+      }),
+
+    // Model-based quality classifier ([[graft.operators.NbClassifier]]):
+    // add-1 multinomial Naive Bayes trained on the curated-vs-rest label
+    // (sources src0–src4 stand in for the "wiki-like" positive corpus,
+    // the GPT-3/LLaMA quality-filter setup), 80% train slice, EVERY doc
+    // scored. All integer qlog2 fixed point — bit-identical engines.
+    // Scale: vocab-bounded count table, token-keyed scoring join,
+    // doc-keyed sum; scalars ride as 1-row broadcasts.
+    Q("quality_nb",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("source").isin("src0", "src1", "src2", "src3", "src4")
+              .as("is_pos"),
+            explode(split(lower(col("text")), " ")).as("w"))
+        val train = tok.filter(col("doc_id") % 10 < 8)
+        NbClassifier.score(tok.select("doc_id", "w"),
+            NbClassifier.tokenClassCounts(train),
+            NbClassifier.modelScalars(train))
+          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+            col("n_tokens"), col("score_fp20"), col("pred_pos"))
+          .orderBy("doc_id")
+      },
+      Some {
+        "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
+          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+          "j AS (SELECT tok.doc_id, " +
+          s"${ILog.qlogSqlDuck("(COALESCE(cp, 0) + 1)")} - ${ILog.qlogSqlDuck("(npos + vsz)")} - ${ILog.qlogSqlDuck("(COALESCE(cn, 0) + 1)")} + ${ILog.qlogSqlDuck("(nneg + vsz)")} AS wt, dpos, dneg " +
+          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms) " +
+          "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_tokens, " +
+          s"CAST(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt) AS BIGINT) AS score_fp20, " +
+          s"(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt)) > 0 AS pred_pos " +
+          "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
+      }),
+
+    // Positional phrase query ([[graft.operators.Postings.phraseMatches]]):
+    // the quoted-query consumer of a positional index. The token stream
+    // is pruned to the phrase's words before any join; successive words
+    // intersect on (doc, start) like rarest-first posting-list merges.
+    Q("text_phrase_search",
+      (s, d) => graft.operators.Postings
+        .phraseMatches(Tables.documents(s, d), "doc_id", "text",
+          Seq("table", "part"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy("doc_id", "pos"),
+      Some("WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)) " +
+        "SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+        "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2")))
 
 
   val all: Seq[Q] = textual

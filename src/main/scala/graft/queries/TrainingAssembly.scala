@@ -372,7 +372,51 @@ private[queries] object TrainingQueries {
         "UNION ALL SELECT source, '2_quality', count(*) FROM q GROUP BY 1 " +
         "UNION ALL SELECT source, '3_unique', count(*) FROM u GROUP BY 1 " +
         "UNION ALL SELECT source, stage, count(*) FROM sp GROUP BY 1, 2" +
-        ") ORDER BY source, stage")))
+        ") ORDER BY source, stage")),
+
+    // Cross-source contamination matrix: for every source pair, how many
+    // DISTINCT 8-gram shingle hashes they share (plus each side's
+    // distinct-shingle total and a 2^20 fixed-point Jaccard) — the
+    // "how much of source A is already in source B" report that decides
+    // mixing weights and decontamination scope before a training run.
+    // Scale shape: per-source distinct shingles is one hash agg; the
+    // pair join is SHINGLE-keyed (never doc-doc), and a shingle shared
+    // by k sources yields C(k,2) ≤ C(#sources,2) pair rows — bounded by
+    // the source-count square, independent of corpus size.
+    Q("report_source_overlap",
+      (s, d) => {
+        // Short docs are filtered BEFORE the shingle transform: Spark's
+        // sequence(1, 0) descends instead of being empty (DuckDB's
+        // generate_series(1, 0) is empty — this filter keeps the faces
+        // aligned and slice() in-domain).
+        val sh = Tables.documents(s, d)
+          .select(col("source"), split(lower(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("source"),
+            explode(expr("transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
+          .select(col("source"), md5(col("g")).as("h"))
+          .distinct()
+        val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("source").as("src_a"), col("h"))
+        val b = sh.select(col("source").as("src_b"), col("h"))
+        a.join(b, Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+          .join(tot.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+          .join(tot.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+            expr("shared * 1048576 div (n_a + n_b - shared)").as("jaccard_fp20"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("WITH sh AS (SELECT DISTINCT source, md5(array_to_string(ws[i:i+7], ' ')) AS h " +
+        "FROM (SELECT source, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)), " +
+        "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b, " +
+        "shared * 1048576 // (ta.n + tb.n - shared) AS jaccard_fp20 " +
+        "FROM p JOIN tot ta ON ta.source = p.src_a JOIN tot tb ON tb.source = p.src_b " +
+        "ORDER BY src_a, src_b")))
 
   val all: Seq[Q] = training ++ layoutRanking ++ funnel
 }

@@ -174,7 +174,39 @@ private[queries] object VectorQueries {
           .select("qid", "vec_id")
           .orderBy("qid", "vec_id")
       },
-      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), u AS (SELECT qid, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> qid), dd AS (SELECT qid, vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY qid, vec_id), r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM dd) SELECT qid, vec_id FROM r WHERE rn <= 3 ORDER BY qid, vec_id")))
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), u AS (SELECT qid, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> qid), dd AS (SELECT qid, vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY qid, vec_id), r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM dd) SELECT qid, vec_id FROM r WHERE rn <= 3 ORDER BY qid, vec_id")),
+
+    // Prototype/outlier filtering (the DataComp/CLIP-filtering cousin of
+    // SemDeDup): reuse the corpus-scaled IVF clustering, rank every
+    // vector per cluster by distance to its OWN centroid, flag the
+    // farthest 10% per cluster as outliers (likely noise/off-distribution
+    // — the slice a curation pipeline drops or down-weights). The flag is
+    // RANK-based (row_number ≤ ⌊n/10⌋ per cluster), never an FP
+    // threshold, so no gap analysis is needed: both engines compute the
+    // identical IEEE score tree and the identical integer ranks.
+    // Scale: assignment shuffles n rows (broadcast model), the rank
+    // window is cluster-bounded (≤ ~512 rows/cell by the k formula).
+    Q("emb_outliers",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        val cents = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        val asg = graft.operators.Ivf
+          .assignScoresByJoin(emb, "vec_id", "embedding", cents)
+        val w = Window.partitionBy("centroid_id")
+        asg
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("score").asc, col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+            (col("rn") <= expr("n div 10")).as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some("WITH " + ivfModelCtes + ", " +
+        s"cj AS (SELECT a.vec_id, a.cid, ((2 * ${ivfDotL("a.v", "c.c")} - ${ivfDotL("a.v", "a.v")}) - ${ivfDotL("c.c", "c.c")}) AS s " +
+        "FROM asg3 a JOIN c2 c USING (cid)), " +
+        "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid ORDER BY s ASC, vec_id) AS rn, count(*) OVER (PARTITION BY cid) AS n FROM cj) " +
+        "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, rn <= n // 10 AS is_outlier FROM r ORDER BY vec_id")))
 
 
   val all: Seq[Q] = vectors ++ hybrid ++ batchAnn

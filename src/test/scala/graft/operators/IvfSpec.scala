@@ -34,4 +34,24 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(ivfAll === brute)
   }
+
+  test("assignScoresByJoin matches assign's cells and the closed-form score") {
+    val cs = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 4)
+    val literal = Ivf.assign(vecs, "embedding", cs)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Ivf.assignScoresByJoin(vecs, "vec_id", "embedding", cs).collect()
+    assert(rows.length === 40)
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val (id, cid, s) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      assert(cid === literal(id), s"cell mismatch for $id")
+      // score = 2·dot(v,c) − |v|² − |c|², same left-to-right fold
+      val v = raw(id); val c = cs(cid)
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      val expected = dot * 2 - v.map(x => x * x).sum - c.map(x => x * x).sum
+      assert(s === expected, s"score mismatch for $id")
+    }
+  }
 }

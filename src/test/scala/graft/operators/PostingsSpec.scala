@@ -46,4 +46,36 @@ class PostingsSpec extends SparkSpec {
   test("segSize must be positive") {
     intercept[IllegalArgumentException] { Postings.segmented(docs, "doc_id", "text", 0) }
   }
+
+  test("phraseMatches finds starts, overlapping matches, and case folds") {
+    val d = Seq(
+      (1L, "a b c a b"),    // "a b" at 0 and 3
+      (2L, "A B x"),        // case-folded match at 0
+      (3L, "a a a"),        // "a a" overlaps: starts 0 and 1
+      (4L, "b a"),          // reversed — no match
+      (5L, "a")             // first word ends the doc — no match
+    ).toDF("doc_id", "text")
+    val ab = Postings.phraseMatches(d, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ab === Set((1L, 0), (1L, 3), (2L, 0)))
+    val aa = Postings.phraseMatches(d, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(aa === Set((3L, 0), (3L, 1)))
+  }
+
+  test("phraseMatches three-word phrase never crosses document bounds") {
+    val d = Seq((1L, "x a b"), (2L, "c y")).toDF("doc_id", "text")
+    // "a b c" spans docs 1→2 in concatenation order but must not match
+    assert(Postings.phraseMatches(d, "doc_id", "text", Seq("a", "b", "c")).count() === 0L)
+    val e = Seq((9L, "q a b c q a b c")).toDF("doc_id", "text")
+    val m = Postings.phraseMatches(e, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(m === Set((9L, 1), (9L, 5)))
+  }
+
+  test("phraseMatches requires a non-empty phrase") {
+    intercept[IllegalArgumentException] {
+      Postings.phraseMatches(docs, "doc_id", "text", Nil)
+    }
+  }
 }

@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("quality_nb / text_phrase_search / report_source_overlap: keyed joins only") {
+    Seq("quality_nb", "text_phrase_search", "report_source_overlap").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // quality_nb's model scalars ride a 1-row broadcast cross join
+      // (the text_lm_score pattern) — allowed; data-data BNLJ is not.
+      if (q != "quality_nb")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("dedup_span_scrub: span flags join on the hash key, never doc-doc pairs") {
     val p = plan("dedup_span_scrub")
     assert(!p.contains("CartesianProduct"), p)
