@@ -111,6 +111,43 @@ private[queries] object CoreRelational {
         "CAST(count(*) AS BIGINT) AS n, min(doc_id) AS id_min, max(doc_id) AS id_max " +
         "FROM documents GROUP BY 1 ORDER BY lang")),
 
+    // S10: interchange-format round-trip ([[graft.sources.Formats]]):
+    // the corpus leaves as ORC and CSV and comes back bit-equal —
+    // checked by per-format content checksums (md5-prefix ints, the
+    // shard_assign house pattern) that the oracle recomputes from the
+    // ORIGINAL parquet. A format writer that mangles one row (CSV
+    // quoting, ORC encoding) hash-mismatches. Explicit schema on read —
+    // never inference in a pipeline (Formats' contract).
+    Q("s10_format_roundtrip",
+      (s, d) => {
+        import graft.sources.Formats
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_")
+        try {
+          val docs = Tables.documents(s, d)
+            .select("doc_id", "lang", "text", "n_chars")
+          val schema = docs.schema
+          Seq("csv", "orc").map { fmt =>
+            val path = tmp.resolve(fmt).toString
+            Formats.write(docs, fmt, path)
+            Formats.read(s, fmt, path, Some(schema))
+              .agg(count(lit(1)).as("n"),
+                sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+                  .cast("long")).as("text_hash_sum"),
+                sum(col("n_chars")).as("chars_sum"))
+              .select(lit(fmt).as("format"), col("n"),
+                col("text_hash_sum"), col("chars_sum"))
+          }.reduce(_.unionByName(_))
+            .orderBy("format")
+            .localCheckpoint() // results off disk before the cleanup
+        } finally graft.util.Paths.deleteRecursively(tmp)
+      },
+      Some("WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_hash_sum, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_sum FROM documents) " +
+        "SELECT format, n, text_hash_sum, chars_sum FROM " +
+        "(SELECT 'csv' AS format, * FROM a UNION ALL SELECT 'orc', * FROM a) " +
+        "ORDER BY format")),
+
     Q("ref_golden_search",
       (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft_golden_")

@@ -416,7 +416,92 @@ private[queries] object TrainingQueries {
         "SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b, " +
         "shared * 1048576 // (ta.n + tb.n - shared) AS jaccard_fp20 " +
         "FROM p JOIN tot ta ON ta.source = p.src_a JOIN tot tb ON tb.source = p.src_b " +
-        "ORDER BY src_a, src_b")))
+        "ORDER BY src_a, src_b")),
+
+    // Deequ-style data-quality constraint audit: completeness, domain,
+    // range, format, and uniqueness rules over a fact table, ALL from ONE
+    // scan — a single aggregate computes every violation counter
+    // (map-side conditional sums + one distinct count), then stack()
+    // unpivots to the per-rule report a pipeline publishes/alerts on.
+    // The range rules are deliberately tighter than the data so the
+    // report exercises both outcomes.
+    Q("dq_constraints",
+      (s, d) => {
+        val agg = Tables.orders(s, d).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_cust"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("v_status"),
+          sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 400000, 1L)
+            .otherwise(0L)).as("v_price"),
+          sum(when(col("o_orderdate") < "1992-01-01"
+            || col("o_orderdate") >= "2001-01-01", 1L).otherwise(0L)).as("v_date"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
+            .otherwise(0L)).as("v_prio"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"))
+        agg.select(col("n"), expr(
+            "stack(6, 'completeness_custkey', v_cust, 'domain_status', v_status, " +
+              "'range_price', v_price, 'range_date', v_date, " +
+              "'format_priority', v_prio, 'uniqueness_orderkey', v_unique) " +
+              "AS (rule, n_violations)"))
+          .select(col("rule"), col("n").as("n_rows"), col("n_violations"),
+            (col("n_violations") === 0).as("pass"))
+          .orderBy("rule")
+      },
+      Some("WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cust, " +
+        "CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status, " +
+        "CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price, " +
+        "CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00' OR o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_date, " +
+        "CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_prio, " +
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique FROM orders) " +
+        "SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (" +
+        "SELECT 'completeness_custkey' AS rule, n, v_cust AS v FROM a " +
+        "UNION ALL SELECT 'domain_status', n, v_status FROM a " +
+        "UNION ALL SELECT 'range_price', n, v_price FROM a " +
+        "UNION ALL SELECT 'range_date', n, v_date FROM a " +
+        "UNION ALL SELECT 'format_priority', n, v_prio FROM a " +
+        "UNION ALL SELECT 'uniqueness_orderkey', n, v_unique FROM a) " +
+        "ORDER BY rule")),
+
+    // Event-distribution drift monitor: per consecutive observed day,
+    // the L1 distance between event-type share distributions (2^20
+    // fixed-point shares — all integer, no FP aggregation). A dense
+    // (day × type) spine makes lag() adjacency exact even when a type
+    // is absent one day; both dims are DISTINCT aggregates (tiny), so
+    // the spine cross join is bounded by days × |types|, never data.
+    // This is the input-drift alarm a training pipeline runs on every
+    // ingest batch.
+    Q("dq_drift",
+      (s, d) => {
+        val cnt = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+        val spine = cnt.select("day").distinct()
+          .crossJoin(cnt.select("event_type").distinct())
+        val tot = cnt.groupBy("day").agg(sum(col("c")).as("t"))
+        val sh = spine
+          .join(cnt, Seq("day", "event_type"), "left")
+          .join(tot, Seq("day"))
+          .select(col("day"), col("event_type"),
+            expr("coalesce(c, 0L) * 1048576 div t").as("sh"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        sh.withColumn("prev", lag(col("sh"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy("day")
+          .agg(sum(abs(col("sh") - col("prev"))).as("drift_fp20"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("drift_fp20"))
+          .orderBy("day")
+      },
+      Some("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "cnt AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), " +
+        "spine AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM cnt) d CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t), " +
+        "tot AS (SELECT day, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1), " +
+        "sh AS (SELECT s.day, s.event_type, COALESCE(c, 0) * 1048576 // t AS sh FROM spine s LEFT JOIN cnt USING (day, event_type) JOIN tot USING (day)), " +
+        "lg AS (SELECT day, event_type, sh, lag(sh) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM sh) " +
+        "SELECT strftime(day, '%Y-%m-%d') AS day, CAST(SUM(abs(sh - prev)) AS BIGINT) AS drift_fp20 " +
+        "FROM lg WHERE prev IS NOT NULL GROUP BY day ORDER BY day")))
 
   val all: Seq[Q] = training ++ layoutRanking ++ funnel
 }
