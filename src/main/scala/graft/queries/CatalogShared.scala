@@ -228,6 +228,26 @@ private[queries] object CatalogShared {
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
 
+  /** DuckDB twin of [[graft.operators.Ivf.searchQuantized]] (IVF-SQ8):
+    * probe exactly like [[ivfAnnSql]], first-pass score the probed cells
+    * on int8-quantized vectors (the emb_quantize house tree — one
+    * 127/mx divide, multiply, +0.5, floor), keep the top-(k·poolFactor)
+    * = 40 pool by approx score, exact-cosine re-rank to top-10.
+    */
+  lazy val sq8AnnSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH " + ivfModelCtes + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
+      s"qz AS (SELECT vec_id, v, [floor(v[i+1] * (127.0 / mx) + 0.5) for i in generate_series(0, ${ivfDim - 1})] AS q8 " +
+      "FROM (SELECT vec_id, v, list_max([abs(x) for x in v]) AS mx FROM fin)), " +
+      s"pool AS (SELECT vec_id, v FROM (SELECT z.vec_id, z.v, ${dotL("z.q8", "q.qv")} / sqrt(${dotL("z.q8", "z.q8")}) AS a FROM qz z, q) ORDER BY a DESC, vec_id LIMIT 40), " +
+      s"ds AS (SELECT p.vec_id, ${dotL("p.v", "q.qv")} AS dot, ${dotL("p.v", "p.v")} AS nx FROM pool p, q) " +
+      "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
   /** DuckDB twin of [[graft.operators.SemDedup.markDuplicates]] over the
     * shared k-means model ([[ivfModelCtes]]): rank within cluster by
     * ascending cosine-to-centroid, join each member against all

@@ -196,7 +196,25 @@ private[queries] object DedupCoreQueries {
           coarse, books, 0L, k = 10, nprobe = 2, poolFactor = 4)
           .select("vec_id")
       },
-      Some(ivfPqAnnSql)))
+      Some(ivfPqAnnSql)),
+
+    // IVF-SQ8 ([[graft.operators.Ivf.searchQuantized]]): probe the
+    // corpus-scaled coarse cells, first-pass score on int8-quantized
+    // vectors (4× smaller — the representation the posting lists store
+    // in memory at 100 TB), exact re-rank of the 40-candidate pool.
+    // Sits between IVF-Flat (full floats) and IVF-PQ (m bytes) on the
+    // memory/recall curve; the oracle mirrors quantization, pool, and
+    // re-rank exactly.
+    Q("sim_sq8_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        graft.operators.Ivf.searchQuantized(emb, "vec_id", "embedding",
+          centroids, 0L, k = 10, nprobe = 2, poolFactor = 4)
+          .select("vec_id")
+      },
+      Some(sq8AnnSql)))
 
   val all: Seq[Q] = dedup ++ simhashQs ++ dedupNoOracle
 }

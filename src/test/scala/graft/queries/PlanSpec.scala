@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_pq_ann / sim_ivfpq_ann: ADC scan + distributed top-k, no corpus window sort") {
-    Seq("sim_pq_ann", "sim_ivfpq_ann").foreach { q =>
+    Seq("sim_pq_ann", "sim_ivfpq_ann", "sim_sq8_ann").foreach { q =>
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
