@@ -952,6 +952,38 @@ private[queries] object TextMultimodalQueries {
           "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
       }),
 
+    // Corpus id-encoding — the "apply the trained tokenizer to every
+    // document" step that materializes training input: top-200 vocab
+    // (text_vocab's two-phase build — distributed top-k, then a window
+    // over ≤200 rows assigns contiguous ids), then one token-keyed
+    // left join (vocab is bounded → broadcast) maps every corpus token
+    // to its id (0 = UNK), and a doc-keyed sort-within-group rebuilds
+    // each document as its id sequence. Two shuffles total at any
+    // corpus size: the vocab agg and the per-doc reassembly.
+    Q("text_encode_ids",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(200)
+          .select(col("w"),
+            row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+              .cast("long").as("tid"))
+        tok.join(vocab, Seq("w"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(0L)))
+          .groupBy("doc_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tid))), x -> cast(x.tid as string)), ',')")
+            .as("ids"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)), " +
+        "v AS (SELECT word, rn AS tid FROM (SELECT w AS word, row_number() OVER (ORDER BY count(*) DESC, w) AS rn FROM tok GROUP BY w) WHERE rn <= 200), " +
+        "j AS (SELECT doc_id, pos, COALESCE(tid, 0) AS tid FROM tok LEFT JOIN v ON tok.w = v.word) " +
+        "SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids, CAST(count(*) AS BIGINT) AS n_tokens " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id")),
+
     // Positional phrase query ([[graft.operators.Postings.phraseMatches]]):
     // the quoted-query consumer of a positional index. The token stream
     // is pruned to the phrase's words before any join; successive words
