@@ -49,24 +49,36 @@ object NbClassifier {
       countDistinct(when(!col("is_pos"), col("doc_id"))).as("dneg"))
 
   /** Score every document of `tokens` (doc_id, w) against the trained
-    * model. Unseen tokens fall back to the add-1 floor through the left
-    * join's COALESCE — no special casing.
+    * model. Unseen tokens fall back to the add-1 floor (qlog2(1) = 0, so
+    * the OOV weight collapses to the constant qlog2(Nneg+V) −
+    * qlog2(Npos+V)) through the left join's COALESCE.
+    *
+    * The qlog2 trees run once per VOCAB row (`wts`) and once per model
+    * (`consts`) — never per corpus token: the hot scoring pass is a
+    * plain lookup + coalesce + sum, which is the point at "score the
+    * crawl" scale.
     *
     * Output: (doc_id, n_tokens, score_fp20, pred_pos).
     */
-  def score(tokens: DataFrame, counts: DataFrame, scalars: DataFrame): DataFrame =
-    tokens
-      .join(counts, Seq("w"), "left")
-      .crossJoin(broadcast(scalars))
-      .withColumn("wt",
-        expr(ILog.qlogSqlSpark("(coalesce(cp, 0) + 1)")) -
+  def score(tokens: DataFrame, counts: DataFrame, scalars: DataFrame): DataFrame = {
+    val wts = counts.crossJoin(broadcast(scalars))
+      .select(col("w"),
+        (expr(ILog.qlogSqlSpark("(cp + 1)")) -
           expr(ILog.qlogSqlSpark("(npos + vsz)")) -
-          expr(ILog.qlogSqlSpark("(coalesce(cn, 0) + 1)")) +
-          expr(ILog.qlogSqlSpark("(nneg + vsz)")))
+          expr(ILog.qlogSqlSpark("(cn + 1)")) +
+          expr(ILog.qlogSqlSpark("(nneg + vsz)"))).as("wt"))
+    val consts = scalars.select(
+      (expr(ILog.qlogSqlSpark("(nneg + vsz)")) -
+        expr(ILog.qlogSqlSpark("(npos + vsz)"))).as("oov_wt"),
+      (expr(ILog.qlogSqlSpark("dpos")) -
+        expr(ILog.qlogSqlSpark("dneg"))).as("prior"))
+    tokens
+      .join(wts, Seq("w"), "left")
+      .crossJoin(broadcast(consts))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        (first(expr(ILog.qlogSqlSpark("dpos"))) -
-          first(expr(ILog.qlogSqlSpark("dneg"))) +
-          sum(col("wt"))).as("score_fp20"))
+        (first(col("prior")) +
+          sum(coalesce(col("wt"), col("oov_wt")))).as("score_fp20"))
       .withColumn("pred_pos", col("score_fp20") > 0)
+  }
 }

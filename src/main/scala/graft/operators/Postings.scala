@@ -67,13 +67,16 @@ object Postings {
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
+    // fold BOTH sides: the token stream is lowered below, so a phrase
+    // given as "Table part" must compare lowered too
+    val ph = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val tok = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
-      .filter(col("w").isin(phrase.distinct: _*))
-    val first = tok.filter(col("w") === phrase.head)
+      .filter(col("w").isin(ph.distinct: _*))
+    val first = tok.filter(col("w") === ph.head)
       .select(col("doc_id"), col("pos"))
-    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
+    ph.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
       val next = tok.filter(col("w") === word)
         .select(col("doc_id").as("d2"), (col("pos") - i).as("start"))
       acc.join(next,

@@ -567,8 +567,7 @@ private[queries] object CoreRelational {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"),
             cents(col("l_extendedprice")).cast("long").as("price_c"))
-        val o = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"))
         val buckets = math.max(8, (li.count() >> 21).toInt + 1)
         Bucketed.writeBucketed(li, "bj_lineitem", "l_orderkey", buckets)
         Bucketed.writeBucketed(o, "bj_orders", "o_orderkey", buckets)

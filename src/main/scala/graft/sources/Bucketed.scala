@@ -25,12 +25,20 @@ object Bucketed {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, overwrite: Boolean = true): Unit = {
+    // single-part names only: the stale-dir cleanup below maps the name
+    // straight under the warehouse root, which is wrong for db-qualified
+    // tables (<warehouse>/<db>.db/<table>)
+    require(!table.contains("."),
+      s"writeBucketed takes a single-part table name, got '$table'")
     if (overwrite) {
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val dir = java.nio.file.Paths.get(loc, table.toLowerCase)
+      // warehouse.dir may be a plain path or a file: URI — handle both
+      // without java.net.URI (which throws on unencoded spaces)
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
+      val dir = java.nio.file.Paths.get(loc,
+        table.toLowerCase(java.util.Locale.ROOT))
       if (java.nio.file.Files.exists(dir))
         graft.util.Paths.deleteRecursively(dir)
     }

@@ -69,7 +69,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("sim_pq_ann / sim_ivfpq_ann: ADC scan + distributed top-k, no corpus window sort") {
+  test("sim_pq_ann / sim_ivfpq_ann / sim_sq8_ann: quantized scan + distributed top-k, no corpus window sort") {
     Seq("sim_pq_ann", "sim_ivfpq_ann", "sim_sq8_ann").foreach { q =>
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q: $p")

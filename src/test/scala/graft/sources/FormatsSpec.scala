@@ -30,6 +30,21 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("csv round-trip preserves whitespace and quoted embedded newlines") {
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    val rows = Seq(
+      Row(1L, "  leading"), Row(2L, "trailing  "),
+      Row(3L, "embedded\nnewline"), Row(4L, "quote\"comma,"))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), s2)
+    val path = tmpDir("fmt_csv_ws") + "/data"
+    Formats.write(d, "csv", path)
+    val back = Formats.read(spark, "csv", path, Some(s2))
+      .orderBy("id").collect()
+    assert(back === d.orderBy("id").collect())
+  }
+
   test("partitioned write produces partition directories readable with pruning") {
     val path = tmpDir("fmt_part") + "/data"
     val dfp = df.withColumn("bucket",
