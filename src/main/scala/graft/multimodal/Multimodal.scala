@@ -466,6 +466,68 @@ object Multimodal extends Serializable {
         .localCheckpoint(),
       idCol, maxHamming, bits = 12)
 
+  /** Nearest-neighbor thumbnail resize over the REAL codec — the
+    * "resize" stage of an image-curation pipeline: synthesize + encode +
+    * [[decodeBmp24]] each source (the [[syntheticBmpStats]] pixel
+    * function), map target pixel (tx, ty) to source (tx·w div tw,
+    * ty·h div th) — the standard floor mapping, pure integer — then
+    * RE-ENCODE the thumbnail and decode it AGAIN, so the emitted stats
+    * prove the codec round-trips resized payloads too, not just the
+    * originals. Output: source dims + exact integer channel sums and the
+    * position-weighted luma of the thumbnail (i = tx + tw·ty), all
+    * computable closed-form by an oracle that never sees a BMP byte.
+    *
+    * Same codec boundary shape as the other synthetic faces: one
+    * mapPartitions pass, constant memory per row, no shuffle.
+    */
+  def syntheticBmpResize(df: DataFrame, idCol: String,
+      tw: Int = 4, th: Int = 3): DataFrame = {
+    require(tw >= 1 && th >= 1, s"target dims ${tw}x$th")
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("src_w", "src_h", "w", "h", "sum_r", "sum_g", "sum_b", "wluma")
+          .map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val payload = encodeBmp24(w, h,
+          (x, y) => (((id + 7 * x + 13 * y) % 256).toInt,
+            ((2 * id + 11 * x + 3 * y) % 256).toInt,
+            ((3 * id + 5 * x + 17 * y) % 256).toInt),
+          topDown = id % 2 == 1)
+        val img = decodeBmp24(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        // nearest-neighbor floor mapping into the decoded plane
+        val thumb = Array.tabulate(tw * th) { i =>
+          val tx = i % tw; val ty = i / tw
+          img.rgb((ty * h / th) * w + (tx * w / tw))
+        }
+        // round-trip the RESIZED image through the codec before stats
+        val thumbPayload = encodeBmp24(tw, th,
+          (x, y) => { val p = thumb(y * tw + x)
+            ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) },
+          topDown = id % 2 == 0) // flip the row order vs the source
+        val timg = decodeBmp24(thumbPayload).getOrElse(
+          throw new IllegalStateException(s"thumb decode failed for id $id"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var wl = 0L
+        var i = 0
+        while (i < timg.rgb.length) {
+          val p = timg.rgb(i)
+          val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+          sr += pr; sg += pg; sb += pb
+          wl += i.toLong * ((pr * 299 + pg * 587 + pb * 114) / 1000)
+          i += 1
+        }
+        Row.fromSeq(Seq(id, w.toLong, h.toLong, tw.toLong, th.toLong,
+          sr, sg, sb, wl))
+      }
+    }(enc)
+  }
+
   /** Per-partition decode / feature-extract boundary. Batch shape: one
     * iterator pass, constant memory, no driver collect. BMP payloads get
     * REAL pixel features from [[decodeBmp24]] — mean R/G/B plus a

@@ -640,6 +640,30 @@ private[queries] object TextMultimodalQueries {
         "CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN 1 ELSE 0 END) AS BIGINT) AS n_on " +
         "FROM bs JOIN g USING (doc_id) GROUP BY doc_id, w, h ORDER BY doc_id")),
 
+    // Nearest-neighbor resize over the REAL codec
+    // ([[graft.multimodal.Multimodal.syntheticBmpResize]]): every image
+    // decoded, floor-mapped to a 4×3 thumbnail, RE-ENCODED, decoded
+    // again, and reduced to exact integer stats — the resize stage of an
+    // image pipeline, with the codec round-trip of the resized payload
+    // included in what the oracle's hash proves. The oracle computes the
+    // same stats closed-form from the pixel function (target (tx,ty) →
+    // source (tx·w//4, ty·h//3)) without seeing a BMP byte.
+    Q("mm_image_resize",
+      (s, d) => graft.multimodal.Multimodal
+        .syntheticBmpResize(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", tw = 4, th = 3)
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
+        "t AS (SELECT doc_id, w, h, tx, ty, (tx * w) // 4 AS sx, (ty * h) // 3 AS sy FROM d, LATERAL unnest(generate_series(0, 3)) AS a(tx), LATERAL unnest(generate_series(0, 2)) AS b(ty)), " +
+        "c AS (SELECT doc_id, w, h, tx, ty, (doc_id + 7*sx + 13*sy) % 256 AS r, (2*doc_id + 11*sx + 3*sy) % 256 AS g, (3*doc_id + 5*sx + 17*sy) % 256 AS b FROM t), " +
+        "l AS (SELECT *, (r*299 + g*587 + b*114) // 1000 AS luma FROM c) " +
+        "SELECT doc_id, CAST(any_value(w) AS BIGINT) AS src_w, CAST(any_value(h) AS BIGINT) AS src_h, " +
+        "CAST(4 AS BIGINT) AS w, CAST(3 AS BIGINT) AS h, " +
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, " +
+        "CAST(sum((tx + 4*ty) * luma) AS BIGINT) AS wluma " +
+        "FROM l GROUP BY doc_id ORDER BY doc_id")),
+
     // The aHash fingerprint's CONSUMER — image near-dup pairs within
     // hamming radius 2, via the SimHash pigeonhole blocking
     // ([[graft.multimodal.Multimodal.imageNearDupPairs]]): 3 disjoint

@@ -299,4 +299,27 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got === expect)
   }
+
+  test("syntheticBmpResize: identity target dims reproduce the source sums") {
+    import spark.implicits._
+    // id 0 has source dims exactly 4×3, so the 4×3 "resize" is identity
+    // and must reproduce syntheticBmpStats' channel sums and wluma
+    val stats = Multimodal.syntheticBmpStats(Seq(0L).toDF("doc_id"), "doc_id").head()
+    val rz = Multimodal.syntheticBmpResize(Seq(0L).toDF("doc_id"), "doc_id", 4, 3).head()
+    Seq("sum_r", "sum_g", "sum_b", "wluma").foreach { c =>
+      assert(rz.getAs[Long](c) === stats.getAs[Long](c), c)
+    }
+  }
+
+  test("syntheticBmpResize: downsample picks the floor-mapped source pixels") {
+    import spark.implicits._
+    // id 4: w = 4+4%5 = 8, h = 3+4%4 = 3 → tx∈0..3 maps to sx = tx*8/4 = 2tx
+    val rz = Multimodal.syntheticBmpResize(Seq(4L).toDF("doc_id"), "doc_id", 4, 3).head()
+    def ch(f: (Long, Int, Int) => Long): Long =
+      (for (ty <- 0 until 3; tx <- 0 until 4) yield f(4L, 2 * tx, ty)).sum
+    assert(rz.getAs[Long]("sum_r") === ch((id, x, y) => (id + 7 * x + 13 * y) % 256))
+    assert(rz.getAs[Long]("sum_g") === ch((id, x, y) => (2 * id + 11 * x + 3 * y) % 256))
+    assert(rz.getAs[Long]("sum_b") === ch((id, x, y) => (3 * id + 5 * x + 17 * y) % 256))
+    assert(rz.getAs[Long]("src_w") === 8L && rz.getAs[Long]("src_h") === 3L)
+  }
 }
