@@ -210,6 +210,53 @@ object Audio extends Serializable {
     }(enc)
   }
 
+  /** Nearest-neighbor resample over the REAL codec — the audio twin of
+    * [[Multimodal.syntheticBmpResize]] and the "resample to the model's
+    * rate" stage of an audio-curation pipeline: synthesize + encode +
+    * [[decodeWavPcm16]] each source (the [[syntheticWavStats]]
+    * waveform), decimate by the floor index mapping (target sample j of
+    * m ← source sample j·n div m — pure integer), RE-ENCODE the
+    * resampled stream at `targetRate` and decode it AGAIN, then emit
+    * exact integer stats of the result — so the oracle's hash proves
+    * mapping + both codec round-trips. One mapPartitions pass, constant
+    * memory per row.
+    */
+  def syntheticWavResample(df: DataFrame, idCol: String,
+      m: Int = 48, targetRate: Int = 8000): DataFrame = {
+    require(m >= 1, s"target sample count ($m) must be >= 1")
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("src_rate", "src_n", "rate", "n_samples", "sum_s", "sum_abs", "sum_sq")
+          .map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        require(id >= 0, s"syntheticWavResample needs a non-negative id (got $id)")
+        val n = (64 + id % 37).toInt
+        val srcRate = (8000 + (id % 3) * 4000).toInt
+        val wave = Array.tabulate(n)(i =>
+          (((31 * id + 7L * i * i + 13L * i) % 65536) - 32768).toShort)
+        val payload = encodeWavPcm16(srcRate, 1, wave)
+        val audio = decodeWavPcm16(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        val res = Array.tabulate(m)(j => audio.samples((j.toLong * n / m).toInt))
+        val resPayload = encodeWavPcm16(targetRate, 1, res)
+        val rAudio = decodeWavPcm16(resPayload).getOrElse(
+          throw new IllegalStateException(s"resampled decode failed for id $id"))
+        var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+        rAudio.samples.foreach { s =>
+          val v = s.toLong
+          sum += v; sumAbs += math.abs(v); sumSq += v * v
+        }
+        Row.fromSeq(Seq(id, srcRate.toLong, n.toLong,
+          rAudio.sampleRate.toLong, rAudio.samples.length.toLong,
+          sum, sumAbs, sumSq))
+      }
+    }(enc)
+  }
+
   /** 16-bit energy-contour fingerprint over a decoded PCM16 stream —
     * the audio twin of [[Multimodal.aHash12]]: 16 equal time windows
     * (sample i → window i·16 div n, every window non-empty for n ≥ 16),

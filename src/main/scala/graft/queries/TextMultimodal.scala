@@ -741,6 +741,26 @@ private[queries] object TextMultimodalQueries {
           s"CAST(sum(CASE WHEN (s + 32768) // 8192 = $i THEN 1 ELSE 0 END) AS BIGINT) AS ab$i").mkString(", ") +
         " FROM sm GROUP BY doc_id ORDER BY doc_id")),
 
+    // Nearest-neighbor resample over the REAL WAV codec
+    // ([[graft.multimodal.Audio.syntheticWavResample]]) — the audio twin
+    // of mm_image_resize: decimate every stream to 48 samples by the
+    // floor index mapping (j·n div 48), RE-encode at 8 kHz, decode
+    // again, exact integer stats. The oracle computes the same stats
+    // closed-form from the waveform formula, never seeing a WAV byte.
+    Q("mm_audio_resample",
+      (s, d) => graft.multimodal.Audio
+        .syntheticWavResample(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", m = 48, targetRate = 8000)
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n, 8000 + (doc_id % 3) * 4000 AS rate FROM documents WHERE doc_id < 100), " +
+        "ix AS (SELECT doc_id, n, rate, (j * n) // 48 AS i FROM d, LATERAL unnest(generate_series(0, 47)) AS t(j)), " +
+        "sm AS (SELECT doc_id, n, rate, (31*doc_id + 7*i*i + 13*i) % 65536 - 32768 AS s FROM ix) " +
+        "SELECT doc_id, CAST(any_value(rate) AS BIGINT) AS src_rate, CAST(any_value(n) AS BIGINT) AS src_n, " +
+        "CAST(8000 AS BIGINT) AS rate, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(sum(s*s) AS BIGINT) AS sum_sq " +
+        "FROM sm GROUP BY doc_id ORDER BY doc_id")),
+
     // Audio fingerprint over the REAL WAV codec
     // ([[graft.multimodal.Audio.eHash16]]): a 16-bit energy-contour
     // hash from the DECODED samples — 16 equal time windows, bit =

@@ -166,4 +166,19 @@ class AudioFeaturesSpec extends graft.SparkSpec {
     assert(got === expect)
     assert(expect.nonEmpty, "degenerate fixture: no near-dup pairs")
   }
+
+  test("syntheticWavResample: exact-factor decimation picks every k-th sample") {
+    import spark.implicits._
+    // id 0: n = 64, so m = 32 maps j → source index 2j exactly
+    val r = Audio.syntheticWavResample(Seq(0L).toDF("doc_id"), "doc_id",
+      m = 32, targetRate = 4000).head()
+    def wave(i: Int): Long = ((7L * i * i + 13L * i) % 65536) - 32768
+    val picked = (0 until 32).map(j => wave(2 * j))
+    assert(r.getAs[Long]("src_n") === 64L)
+    assert(r.getAs[Long]("rate") === 4000L)
+    assert(r.getAs[Long]("n_samples") === 32L)
+    assert(r.getAs[Long]("sum_s") === picked.sum)
+    assert(r.getAs[Long]("sum_abs") === picked.map(math.abs).sum)
+    assert(r.getAs[Long]("sum_sq") === picked.map(v => v * v).sum)
+  }
 }
