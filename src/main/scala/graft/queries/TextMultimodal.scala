@@ -996,6 +996,46 @@ private[queries] object TextMultimodalQueries {
           "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
       }),
 
+    // The classifier's EVALUATION — held-out confusion matrix: the same
+    // NB model scored on the 20% slice it never trained on, bucketed by
+    // (true label, prediction). The model-quality report that decides
+    // whether a filter ships; 4 rows, all integer counts.
+    Q("quality_nb_eval",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        val labeled = Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("source").isin("src0", "src1", "src2", "src3", "src4")
+              .as("label"))
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("source").isin("src0", "src1", "src2", "src3", "src4")
+              .as("is_pos"),
+            explode(split(lower(col("text")), " ")).as("w"))
+        val train = tok.filter(col("doc_id") % 10 < 8)
+        NbClassifier.score(tok.select("doc_id", "w"),
+            NbClassifier.tokenClassCounts(train),
+            NbClassifier.modelScalars(train))
+          .filter(col("doc_id") % 10 >= 8)
+          .join(labeled, Seq("doc_id"))
+          .groupBy("label", "pred_pos").agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred_pos")
+      },
+      Some {
+        "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
+          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+          "j AS (SELECT tok.doc_id, tok.is_pos, " +
+          s"${ILog.qlogSqlDuck("(COALESCE(cp, 0) + 1)")} - ${ILog.qlogSqlDuck("(npos + vsz)")} - ${ILog.qlogSqlDuck("(COALESCE(cn, 0) + 1)")} + ${ILog.qlogSqlDuck("(nneg + vsz)")} AS wt, dpos, dneg " +
+          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms), " +
+          "sc AS (SELECT doc_id, any_value(is_pos) AS label, " +
+          s"(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt)) > 0 AS pred_pos " +
+          "FROM j WHERE doc_id % 10 >= 8 GROUP BY doc_id, dpos, dneg) " +
+          "SELECT label, pred_pos, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1, 2 ORDER BY 1, 2"
+      }),
+
     // Corpus id-encoding — the "apply the trained tokenizer to every
     // document" step that materializes training input: top-200 vocab
     // (text_vocab's two-phase build — distributed top-k, then a window
