@@ -850,6 +850,40 @@ private[queries] object TextMultimodalQueries {
         "CAST(CASE WHEN (doc_id // 2) % 4 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END) END AS BIGINT) AS n_parts " +
         "FROM documents WHERE doc_id < 200 ORDER BY doc_id")),
 
+    // REAL video decode — the Y4M (YUV4MPEG2) twin of mm_pixel_stats,
+    // closing the last modality without a real codec path: synthesize a
+    // deterministic multi-frame C444 video per doc, round-trip it
+    // through [[graft.multimodal.Video.encodeY4m]] →
+    // [[Video.decodeY4m]] (ASCII header-tag parse, FRAME marker walk
+    // with per-frame parameter tolerance, full-res plane slicing),
+    // sample k=4 evenly-spaced frames (t = j·nf div 4 — the uniform
+    // frame-sampling policy of video feature extraction), and reduce
+    // each sampled frame to exact integer plane sums plus a
+    // position-weighted luma sum (catches plane-order / row-major
+    // mistakes). The oracle computes every number from the closed-form
+    // pixel function without seeing a Y4M byte, so a hash match proves
+    // encoder, container walk, plane slicing, and sampling policy
+    // together. Scale: one mapPartitions decode pass, k rows out per
+    // video, no shuffle before the output sort.
+    Q("mm_video_frames",
+      (s, d) => graft.multimodal.Video
+        .syntheticY4mFrameStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", k = 4)
+        .orderBy("doc_id", "frame_no"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, 3 + doc_id % 5 AS nf FROM documents WHERE doc_id < 100), " +
+        "fr AS (SELECT doc_id, w, h, nf, j AS frame_no, (j * nf) // 4 AS t FROM d, LATERAL unnest(generate_series(0, 3)) AS a(j)), " +
+        "px AS (SELECT doc_id, frame_no, t, w, h, nf, x, y, " +
+        "(doc_id + 7*x + 13*y + 29*t) % 256 AS py, " +
+        "(2*doc_id + 11*x + 3*y + 19*t) % 256 AS pu, " +
+        "(3*doc_id + 5*x + 17*y + 23*t) % 256 AS pv " +
+        "FROM fr, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)) " +
+        "SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(any_value(t) AS BIGINT) AS t, " +
+        "CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(any_value(nf) AS BIGINT) AS n_frames, " +
+        "CAST(sum(py) AS BIGINT) AS sum_y, CAST(sum(pu) AS BIGINT) AS sum_u, CAST(sum(pv) AS BIGINT) AS sum_v, " +
+        "CAST(sum((x + w*y) * py) AS BIGINT) AS wsum_y " +
+        "FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no")),
+
     // Token-entropy quality signal ([[graft.operators.InfoStats]]): the
     // per-doc Shannon entropy numerator N·qlog2(N) − Σ c·qlog2(c) in
     // 2^-20-bit fixed point (Mitchell log2 — all-integer, hash-exact

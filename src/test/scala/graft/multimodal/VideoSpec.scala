@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Y4M codec: byte-exact round trips, header-tag and FRAME-parameter
+  * tolerance, and honest rejection of everything the decoder can't
+  * decode (truncation, unsupported colourspace, clobbered magic).
+  */
+class VideoSpec extends SparkSpec {
+
+  private def grad(t: Int, x: Int, y: Int): (Int, Int, Int) =
+    ((t + 2 * x + 3 * y) % 256, (5 * t + x) % 256, (7 * t + y) % 256)
+
+  test("round trip is pixel-exact across frames and planes") {
+    val enc = Video.encodeY4m(5, 4, 3, grad)
+    val vid = Video.decodeY4m(enc).get
+    assert(vid.width === 5 && vid.height === 4 && vid.frames.length === 3)
+    assert(vid.fpsNum === 25 && vid.fpsDen === 1)
+    for (t <- 0 until 3; y <- 0 until 4; x <- 0 until 5) {
+      val (py, pu, pv) = grad(t, x, y)
+      val i = x + 5 * y
+      assert((vid.frames(t).y(i) & 0xff) === py, s"Y($t,$x,$y)")
+      assert((vid.frames(t).u(i) & 0xff) === pu, s"U($t,$x,$y)")
+      assert((vid.frames(t).v(i) & 0xff) === pv, s"V($t,$x,$y)")
+    }
+  }
+
+  test("1x1 single-frame minimum and 255-value masking") {
+    val vid = Video.decodeY4m(Video.encodeY4m(1, 1, 1, (_, _, _) => (511, -1, 256))).get
+    assert(vid.frames.length === 1)
+    // encoder masks to a byte: 511 & 0xff = 255, -1 & 0xff = 255, 256 & 0xff = 0
+    assert((vid.frames(0).y(0) & 0xff) === 255)
+    assert((vid.frames(0).u(0) & 0xff) === 255)
+    assert((vid.frames(0).v(0) & 0xff) === 0)
+  }
+
+  test("custom frame rate survives the header round trip") {
+    val vid = Video.decodeY4m(Video.encodeY4m(2, 2, 1, grad, fpsNum = 30000, fpsDen = 1001)).get
+    assert(vid.fpsNum === 30000 && vid.fpsDen === 1001)
+  }
+
+  test("spec-legal variations decode: extra header tags, FRAME parameters") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val plane = Array.tabulate(6)(i => i.toByte)
+    // X-comment tags in the stream header and a parameter on the FRAME
+    // marker are both allowed by the spec
+    val bytes = "YUV4MPEG2 W3 H2 F25:1 Ip A1:1 C444 XCOMMENT\n".getBytes(ascii) ++
+      "FRAME Ip\n".getBytes(ascii) ++ plane ++ plane ++ plane
+    val vid = Video.decodeY4m(bytes).get
+    assert(vid.width === 3 && vid.height === 2 && vid.frames.length === 1)
+    assert(vid.frames(0).y.toSeq === plane.toSeq)
+    assert(vid.frames(0).v.toSeq === plane.toSeq)
+  }
+
+  test("rejects garbage, truncation, and unsupported layouts without throwing") {
+    val good = Video.encodeY4m(4, 3, 2, grad)
+    assert(Video.decodeY4m(null).isEmpty)
+    assert(Video.decodeY4m(Array.emptyByteArray).isEmpty)
+    assert(Video.decodeY4m("not a video at all".getBytes("US-ASCII")).isEmpty)
+    // clobbered magic
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(Video.decodeY4m(bad).isEmpty)
+    // truncated mid-plane and mid-marker
+    assert(Video.decodeY4m(good.dropRight(1)).isEmpty)
+    assert(Video.decodeY4m(good.take(good.length - 3 * 12 - 3)).isEmpty)
+    // header only, no frames
+    val headerEnd = good.indexOf('\n'.toByte) + 1
+    assert(Video.decodeY4m(good.take(headerEnd)).isEmpty)
+    // C420 plane layout is a different size — must reject, not misread
+    val c420 = new String(good, "US-ASCII").replace("C444", "C420").getBytes("US-ASCII")
+    assert(Video.decodeY4m(c420).isEmpty)
+    // zero/absent dimensions
+    assert(Video.decodeY4m("YUV4MPEG2 W0 H2 C444\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    assert(Video.decodeY4m("YUV4MPEG2 H2 C444\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("isY4m column sniff matches real payloads only") {
+    import spark.implicits._
+    val df = Seq(
+      ("y4m", Video.encodeY4m(2, 2, 1, grad)),
+      ("text", "hello world".getBytes("UTF-8"))).toDF("kind", "payload")
+    val got = df.select($"kind", Video.isY4m($"payload").as("is"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("y4m" -> true, "text" -> false))
+  }
+
+  test("syntheticY4mFrameStats matches a direct closed-form computation") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L, 99L)
+    val got = Video.syntheticY4mFrameStats(ids.toDF("doc_id"), "doc_id", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2).map(_.asInstanceOf[Long]))
+      .toMap
+    ids.foreach { id =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt; val nf = (3 + id % 5).toInt
+      (0 until 4).foreach { j =>
+        val t = j * nf / 4
+        var sy = 0L; var su = 0L; var sv = 0L; var wy = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val py = (id + 7 * x + 13 * y + 29 * t) % 256
+          sy += py
+          su += (2 * id + 11 * x + 3 * y + 19 * t) % 256
+          sv += (3 * id + 5 * x + 17 * y + 23 * t) % 256
+          wy += (x + w * y) * py
+        }
+        assert(got((id, j.toLong)) ===
+          Seq(t.toLong, w.toLong, h.toLong, nf.toLong, sy, su, sv, wy), s"id=$id frame=$j")
+      }
+    }
+  }
+}
