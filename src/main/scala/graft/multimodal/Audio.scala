@@ -282,7 +282,17 @@ object Audio extends Serializable {
     var h = 0L
     var b = 0
     while (b < 16) {
-      if (wSum(b) * n > tot * wCnt(b)) h |= 1L << b
+      // 128-bit cross-multiply compare: tot can reach n·2^30, so the
+      // 64-bit products overflow around n ≈ 700k samples (~90 s at
+      // 8 kHz) — within range for a general audio fingerprint. All
+      // operands are non-negative, so the signed high halves compare
+      // directly and the low halves compare unsigned.
+      val hiL = Math.multiplyHigh(wSum(b), n)
+      val hiR = Math.multiplyHigh(tot, wCnt(b))
+      val gt =
+        if (hiL != hiR) hiL > hiR
+        else java.lang.Long.compareUnsigned(wSum(b) * n, tot * wCnt(b)) > 0
+      if (gt) h |= 1L << b
       b += 1
     }
     h

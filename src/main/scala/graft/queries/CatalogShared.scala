@@ -248,6 +248,43 @@ private[queries] object CatalogShared {
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
 
+  /** DuckDB twin of `sim_recall_matrix`: each ANN method's full oracle
+    * (the five lazy SQLs above, verbatim as subqueries — DuckDB allows
+    * WITH inside a derived table) left-joined against the brute-force
+    * top-10, so recall@10 is recomputed end-to-end from the parquet
+    * tables. The per-method floors are the SPEC floors
+    * (SimilaritySpec/PqSpec) promoted to oracle constants — both
+    * engines emit the identical literals, so `meets_floor` is part of
+    * the hash.
+    */
+  lazy val recallFloors: Seq[(String, Long)] =
+    Seq("ivf" -> 80L, "ivfpq" -> 60L, "lsh" -> 70L, "pq" -> 60L, "sq8" -> 80L)
+
+  lazy val recallMatrixSql: String = {
+    val bruteSql =
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0), " +
+        "dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) " +
+        "SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+    val methods = Seq(
+      "ivf" -> ivfAnnSql, "ivfpq" -> ivfPqAnnSql, "lsh" -> lshAnnSql,
+      "pq" -> pqAnnSql, "sq8" -> sq8AnnSql)
+    val annUnion = methods.map { case (m, sql) =>
+      s"SELECT '$m' AS method, vec_id FROM ($sql)"
+    }.mkString(" UNION ALL ")
+    val floorCase = "CASE method " +
+      recallFloors.map { case (m, f) => s"WHEN '$m' THEN $f" }.mkString(" ") +
+      " END"
+    s"WITH brute AS (SELECT vec_id, 1 AS hit FROM ($bruteSql)), " +
+      s"ann AS ($annUnion) " +
+      "SELECT method, CAST(count(brute.hit) AS BIGINT) AS hits, " +
+      "CAST(count(brute.hit) * 10 AS BIGINT) AS recall_pct, " +
+      s"CAST($floorCase AS BIGINT) AS floor_pct, " +
+      s"(count(brute.hit) * 10 >= $floorCase) AS meets_floor " +
+      "FROM ann LEFT JOIN brute ON ann.vec_id = brute.vec_id " +
+      "GROUP BY method ORDER BY method"
+  }
+
   /** DuckDB twin of [[graft.operators.SemDedup.markDuplicates]] over the
     * shared k-means model ([[ivfModelCtes]]): rank within cluster by
     * ascending cosine-to-centroid, join each member against all

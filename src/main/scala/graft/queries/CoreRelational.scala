@@ -125,6 +125,16 @@ private[queries] object CoreRelational {
         try {
           val docs = Tables.documents(s, d)
             .select("doc_id", "lang", "text", "n_chars")
+          // Fail fast instead of an opaque hash mismatch: Spark reads a
+          // written empty CSV string back as NULL (limit documented in
+          // Formats.scala), so md5(text) would silently drop from
+          // text_hash_sum while the oracle hashes the original ''. The
+          // corpus has no empty text today; a generator change must
+          // surface as THIS diagnosable error.
+          val nEmpty = docs.filter(col("text") === "").count()
+          require(nEmpty == 0,
+            s"s10 CSV leg precondition: $nEmpty empty-text rows would " +
+              "round-trip as NULL and corrupt text_hash_sum")
           val schema = docs.schema
           Seq("csv", "orc").map { fmt =>
             val path = tmp.resolve(fmt).toString
@@ -564,15 +574,8 @@ private[queries] object CoreRelational {
     Q("j12_bucketed_join",
       (s, d) => {
         import graft.sources.Bucketed
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"),
-            cents(col("l_extendedprice")).cast("long").as("price_c"))
-        val o = Tables.orders(s, d).select(col("o_orderkey"))
-        val buckets = math.max(8, (li.count() >> 21).toInt + 1)
-        Bucketed.writeBucketed(li, "bj_lineitem", "l_orderkey", buckets)
-        Bucketed.writeBucketed(o, "bj_orders", "o_orderkey", buckets)
-        Bucketed.colocatedJoin(s, "bj_lineitem", "bj_orders",
-            "l_orderkey", "o_orderkey")
+        val (liT, oT) = ensureBucketedFacts(s, d, "bj", force = true)
+        Bucketed.colocatedJoin(s, liT, oT, "l_orderkey", "o_orderkey")
           .groupBy("o_orderkey")
           .agg(count(lit(1)).as("n_lines"),
             sum(col("l_quantity")).as("sum_qty"),
@@ -585,8 +588,63 @@ private[queries] object CoreRelational {
       Some("SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines, SUM(l_quantity) AS sum_qty, " +
         "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
-        "WHERE o_orderkey % 7 = 0 GROUP BY 1 ORDER BY 1")))
+        "WHERE o_orderkey % 7 = 0 GROUP BY 1 ORDER BY 1")),
 
+    // J13: the pay-shuffle-once amortization PROVEN — a second consumer
+    // of j12's bucketed layout. This query re-joins the SAME bucketed
+    // tables at a different selectivity and aggregates differently,
+    // writing nothing when the layout already exists (in a catalog run
+    // j12 has paid the one-time writes; this query's cost is then pure
+    // zero-Exchange reads — the claim the layout exists to make). The
+    // plan is locked exchange-free in PlanSpec just like j12's. At
+    // 100 TB this is every dashboard/pipeline query after the first:
+    // the bucketed write amortizes across all of them.
+    Q("j13_bucketed_reuse",
+      (s, d) => {
+        import graft.sources.Bucketed
+        val (liT, oT) = ensureBucketedFacts(s, d, "bjr", force = false)
+        Bucketed.colocatedJoin(s, liT, oT, "l_orderkey", "o_orderkey")
+          .filter(col("l_orderkey") % 11 === 3)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity")).as("sum_qty"),
+            max(col("price_c")).as("max_price_cents"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_lines, SUM(l_quantity) AS sum_qty, " +
+        "CAST(MAX(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS max_price_cents " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_orderkey % 11 = 3 GROUP BY 1 ORDER BY 1")))
+
+  /** Write (or reuse) a bucketed fact pair for `d`. Table names carry
+    * a hash of the sf directory so a session that switches corpora can
+    * never silently read the other corpus's layout, and a per-query
+    * `prefix` so catalog entries share NO mutable table state (Verify
+    * evaluates queries concurrently — a shared name would race a
+    * forced rewrite against another entry's read). `force` = j12's
+    * always-rewrite (it MEASURES the one-time write); j13 writes its
+    * pair once per session and every later invocation — e.g. bench
+    * passes 2+, whose min is what the bench records — is pure reuse.
+    * Bucket count scales with the fact side (~2 M rows/bucket — the
+    * fixed-k lesson) and matches on both tables.
+    */
+  private def ensureBucketedFacts(s: SparkSession, d: String,
+      prefix: String, force: Boolean): (String, String) = {
+    import graft.sources.Bucketed
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val (liT, oT) = (s"${prefix}_lineitem_$sfx", s"${prefix}_orders_$sfx")
+    if (force || !s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          cents(col("l_extendedprice")).cast("long").as("price_c"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"))
+      val buckets = math.max(8, (li.count() >> 21).toInt + 1)
+      Bucketed.writeBucketed(li, liT, "l_orderkey", buckets)
+      Bucketed.writeBucketed(o, oT, "o_orderkey", buckets)
+    }
+    (liT, oT)
+  }
 
   val all: Seq[Q] = scans ++ filters ++ joins
 }

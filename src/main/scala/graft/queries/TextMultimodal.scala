@@ -1114,7 +1114,59 @@ private[queries] object TextMultimodalQueries {
         .orderBy("doc_id", "pos"),
       Some("WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)) " +
         "SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
-        "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2")))
+        "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2")),
+
+    // URL/host canonicalization + dedup ([[graft.functions.Urls]]) — the
+    // C4/CCNet pre-filter that precedes content dedup. Each doc gets a
+    // deterministic MESSY url (scheme-case / www / explicit :80 /
+    // trailing-slash / tracking-param / param-order / fragment noise,
+    // all functions of doc_id), the REAL regex canonicalizer runs over
+    // the string, and docs dedup on the canonical form. The oracle
+    // computes the canonical url CLOSED-FORM from the mod classes — it
+    // never runs a canonicalizer — so a hash match proves the column
+    // pipeline strips exactly the noise and nothing else. Scale:
+    // canonicalization is map-side codegen inside the scan; the dedup
+    // pays one shuffle on the canonical key (the min-window), same as
+    // any exact dedup.
+    Q("url_canonical_dedup",
+      (s, d) => {
+        import graft.functions.Urls
+        val m = (k: Int) => col("doc_id") % k
+        val track = when(m(3) === 1, "utm_source=feed")
+          .when(m(5) === 2, "ref=tw").otherwise("")
+        val base = concat(lit("id="), m(9))
+        val qs = when(track === "", base)
+          .when(m(2) === 0, concat(base, lit("&"), track))
+          .otherwise(concat(track, lit("&"), base))
+        val url = concat(
+          when(m(3) === 0, "http").when(m(3) === 1, "HTTP").otherwise("Http"),
+          lit("://"),
+          when(m(2) === 0, "WWW.").otherwise(""),
+          lit("Site"), m(7), lit(".Example.COM"),
+          when(m(4) === 0, ":80").otherwise(""),
+          lit("/news/"), m(5), when(m(6) === 0, "/").otherwise(""),
+          lit("?"), qs,
+          when(m(2) === 1, concat(lit("#s"), m(3))).otherwise(lit("")))
+        val canon = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("url", url)
+          .withColumn("canonical", Urls.canonicalize(col("url")))
+        canon
+          .withColumn("is_dup", col("doc_id") >
+            min("doc_id").over(Window.partitionBy("canonical")))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "(CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END) || '://' || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) || 'Site' || (doc_id % 7) || '.Example.COM' || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) || '/news/' || (doc_id % 5) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || '?' || " +
+        "(CASE WHEN doc_id % 3 = 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'id=' || (doc_id % 9) || '&utm_source=feed' ELSE 'utm_source=feed&id=' || (doc_id % 9) END) " +
+        " WHEN doc_id % 5 = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 'id=' || (doc_id % 9) || '&ref=tw' ELSE 'ref=tw&id=' || (doc_id % 9) END) " +
+        " ELSE 'id=' || (doc_id % 9) END) || " +
+        "(CASE WHEN doc_id % 2 = 1 THEN '#s' || (doc_id % 3) ELSE '' END) AS url, " +
+        "'http://site' || (doc_id % 7) || '.example.com/news/' || (doc_id % 5) || '?id=' || (doc_id % 9) AS canonical, " +
+        "doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 7, doc_id % 5, doc_id % 9) AS is_dup " +
+        "FROM documents ORDER BY doc_id")))
 
 
   val all: Seq[Q] = textual

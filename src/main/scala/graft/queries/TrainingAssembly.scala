@@ -374,6 +374,118 @@ private[queries] object TrainingQueries {
         "UNION ALL SELECT source, stage, count(*) FROM sp GROUP BY 1, 2" +
         ") ORDER BY source, stage")),
 
+    // The curation funnel COMPOSED from the round-11 quality stack — the
+    // shape a real 100 TB curation run has: NB classifier gate
+    // ([[graft.operators.NbClassifier]], the quality_nb model) → top-p
+    // token-mass selection on the survivors (entropy score + weighted-HDR
+    // per-lang threshold, the quality_topp machinery) → repeated-span
+    // scrub ([[graft.operators.Dedup.scrubRepeatedSpans]]) with a
+    // min-surviving-tokens gate — with per-stage yield accounting in
+    // BOTH docs and tokens (the numbers a datasheet reports per stage).
+    // Each stage consumes the previous stage's OUTPUT: the top-p
+    // threshold is learned on the NB-kept slice, span repetition counts
+    // only within the doubly-gated slice. Scale: the NB/threshold models
+    // are vocab-/bucket-bounded broadcasts, span scrub is
+    // token-volume-linear, and each stage's accounting is one map-side
+    // partial agg — no stage pairs docs with docs.
+    Q("pipeline_funnel_v2",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        import graft.functions.Hdr
+        // v1's deterministic duplicates (every 7th doc re-keyed +100000)
+        // give the scrub stage real work at any sf: a copy shares every
+        // span with its original, so the original (min doc_id) keeps
+        // them and the surviving copy is scrubbed below the token gate.
+        val base = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "text")
+        val docs = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("source"), col("lang"), col("text")))
+        // stage 1: NB quality gate (trained exactly as quality_nb)
+        val tok = docs.select(col("doc_id"),
+          col("source").isin("src0", "src1", "src2", "src3", "src4")
+            .as("is_pos"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        // train on ORIGINALS only (doc_id < 100000): a real pipeline
+        // never lets synthetic/duplicated rows inflate the class counts;
+        // copies are still SCORED by the model like any other doc.
+        val train = tok.filter(col("doc_id") % 10 < 8 && col("doc_id") < 100000)
+        val nb = NbClassifier.score(tok.select("doc_id", "w"),
+          NbClassifier.tokenClassCounts(train), NbClassifier.modelScalars(train))
+        val s1 = nb.filter(col("pred_pos")).select("doc_id", "n_tokens")
+        val s1docs = docs.join(s1.select("doc_id"), Seq("doc_id"), "left_semi")
+        // stage 2: top-p entropy selection, threshold learned ON s1
+        val scored = graft.operators.InfoStats
+          .tokenEntropy(s1docs, "doc_id", "text")
+          .join(s1docs.select("doc_id", "lang"), "doc_id")
+        val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
+          Seq((2L, 5L, "t_lb")), Some("n_tokens"))
+        val s2 = scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
+          .filter(col("avg_fp20") >= col("t_lb"))
+          .select("doc_id", "n_tokens")
+        val s2docs = docs.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
+        // stage 3: span scrub within the gated slice + min-token gate
+        val s3 = graft.operators.Dedup
+          .scrubRepeatedSpans(s2docs, "doc_id", "text", n = 8)
+          .filter(col("n_after") >= 30)
+          .select(col("doc_id"), col("n_after").as("n_tokens"))
+        val raw = docs.select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        def stage(df: DataFrame, name: String): DataFrame = df
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage(raw, "0_raw")
+          .unionByName(stage(s1, "1_nb_gate"))
+          .unionByName(stage(s2, "2_topp"))
+          .unionByName(stage(s3, "3_span_scrub"))
+          .orderBy("stage")
+      },
+      Some {
+        import graft.functions.{Hdr, ILog}
+        def qd(e: String) = ILog.qlogSqlDuck(e)
+        val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        "WITH corpus AS (SELECT doc_id, source, lang, text FROM documents UNION ALL SELECT doc_id + 100000, source, lang, text FROM documents WHERE doc_id % 7 = 0), " +
+          "tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM corpus), " +
+          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8 AND doc_id < 100000), " +
+          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+          "j AS (SELECT tok.doc_id, " +
+          s"${qd("(COALESCE(cp, 0) + 1)")} - ${qd("(npos + vsz)")} - ${qd("(COALESCE(cn, 0) + 1)")} + ${qd("(nneg + vsz)")} AS wt, dpos, dneg " +
+          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms), " +
+          "nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+          s"(${qd("dpos")} - ${qd("dneg")} + SUM(wt)) > 0 AS pred_pos " +
+          "FROM j GROUP BY doc_id, dpos, dneg), " +
+          "s1 AS (SELECT doc_id, n_tokens FROM nb WHERE pred_pos), " +
+          "c AS (SELECT tok.doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN s1 USING (doc_id) GROUP BY tok.doc_id, w), " +
+          "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+          s"CAST(SUM(c * ${qd("c")}) AS BIGINT) AS s FROM c GROUP BY doc_id), " +
+          "e AS (SELECT doc_id, n_tokens, " +
+          s"(n_tokens * ${qd("n_tokens")} - s) // n_tokens AS avg_fp20 FROM a), " +
+          "scored AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM e JOIN corpus USING (doc_id)), " +
+          s"bk AS (SELECT lang, $bexp AS b, n_tokens FROM scored), " +
+          "cnt AS (SELECT lang, b, CAST(SUM(n_tokens) AS BIGINT) AS cb FROM bk GROUP BY 1, 2), " +
+          "wq AS (SELECT lang, b, CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum, CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cnt), " +
+          s"th AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wq GROUP BY lang), " +
+          "s2 AS (SELECT scored.doc_id, scored.n_tokens FROM scored JOIN th USING (lang) WHERE avg_fp20 >= t_lb), " +
+          "t2 AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS ws FROM corpus d JOIN s2 ON d.doc_id = s2.doc_id), " +
+          "tok2 AS (SELECT doc_id, i - 1 AS pos FROM t2, LATERAL unnest(generate_series(1, len(ws))) AS g(i)), " +
+          "sp AS (SELECT doc_id, i - 1 AS start, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM t2, LATERAL unnest(generate_series(1, len(ws) - 7)) AS g(i)), " +
+          "f AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h HAVING count(*) >= 2), " +
+          "cov AS (SELECT DISTINCT sp.doc_id, start + j AS pos FROM sp JOIN f USING (h), LATERAL unnest(generate_series(0, 7)) AS u(j) WHERE sp.doc_id <> f.keeper), " +
+          "surv AS (SELECT tok2.doc_id, tok2.pos FROM tok2 LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.pos = cov.pos WHERE cov.pos IS NULL), " +
+          "sc AS (SELECT t2.doc_id, COALESCE(g.n_after, 0) AS n_after FROM t2 LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after FROM surv GROUP BY doc_id) g USING (doc_id)), " +
+          "s3 AS (SELECT doc_id, n_after AS n_tokens FROM sc WHERE n_after >= 30), " +
+          "raw AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM corpus) " +
+          "SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM raw " +
+          "UNION ALL SELECT '1_nb_gate', CAST(count(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s1 " +
+          "UNION ALL SELECT '2_topp', CAST(count(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s2 " +
+          "UNION ALL SELECT '3_span_scrub', CAST(count(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s3 " +
+          "ORDER BY stage"
+      }),
+
     // Cross-source contamination matrix: for every source pair, how many
     // DISTINCT 8-gram shingle hashes they share (plus each side's
     // distinct-shingle total and a 2^20 fixed-point Jaccard) — the

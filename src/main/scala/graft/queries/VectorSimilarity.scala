@@ -209,5 +209,59 @@ private[queries] object VectorQueries {
         "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, rn <= n // 10 AS is_outlier FROM r ORDER BY vec_id")))
 
 
-  val all: Seq[Q] = vectors ++ hybrid ++ batchAnn
+  /** The ANN quality ladder as a driver-verified fact: recall@10 of each
+    * approximate method (LSH / IVF-Flat / IVF-SQ8 / PQ / IVF-PQ) against
+    * the exact brute-force top-10 on the SAME corpus and query, with the
+    * spec recall floors promoted to oracle constants. The floors
+    * previously lived only in ScalaTest (SimilaritySpec/PqSpec); this row
+    * makes the accuracy-vs-speed contract of the whole ladder
+    * hash-matched by the driver. Scale: the shared coarse/PQ models train
+    * once and broadcast to all consumers; each search scans only its
+    * probed cells/buckets; the final join is a 50-row × 10-row broadcast.
+    */
+  private val recall = Seq(
+    Q("sim_recall_matrix",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val kc = math.max(8L, (emb.count() + 511) / 512).toInt
+        val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2)
+        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 4, iters = 2)
+        def tagged(name: String, df: DataFrame): DataFrame =
+          df.select(lit(name).as("method"), col("vec_id"))
+        val ann = tagged("ivf", graft.operators.Ivf
+            .search(emb, "vec_id", "embedding", coarse, 0L, k = 10, nprobe = 2)
+            .select("vec_id"))
+          .union(tagged("ivfpq", graft.operators.Pq
+            .searchIvfPq(emb, "vec_id", "embedding", coarse, books, 0L,
+              k = 10, nprobe = 2, poolFactor = 4)
+            .select("vec_id")))
+          .union(tagged("lsh", graft.operators.Similarity
+            .topKLsh(emb, "vec_id", "embedding", 0L, 10, planes = 2)
+            .select("vec_id")))
+          .union(tagged("pq", graft.operators.Pq
+            .search(emb, "vec_id", "embedding", books, 0L, k = 10, poolFactor = 8)
+            .select("vec_id")))
+          .union(tagged("sq8", graft.operators.Ivf
+            .searchQuantized(emb, "vec_id", "embedding", coarse, 0L,
+              k = 10, nprobe = 2, poolFactor = 4)
+            .select("vec_id")))
+        val brute = graft.operators.Similarity
+          .topKBruteForce(emb, "vec_id", "embedding", 0L, 10)
+          .select(col("vec_id"), lit(1).as("hit"))
+        val floorCol = CatalogShared.recallFloors
+          .foldLeft(lit(null).cast("long")) { case (acc, (m, f)) =>
+            when(col("method") === m, lit(f)).otherwise(acc)
+          }
+        ann.join(broadcast(brute), Seq("vec_id"), "left")
+          .groupBy("method")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10).cast("long"))
+          .withColumn("floor_pct", floorCol)
+          .withColumn("meets_floor", col("recall_pct") >= col("floor_pct"))
+          .orderBy("method")
+      },
+      Some(recallMatrixSql)))
+
+  val all: Seq[Q] = vectors ++ hybrid ++ batchAnn ++ recall
 }

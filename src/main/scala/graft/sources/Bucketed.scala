@@ -33,12 +33,17 @@ object Bucketed {
     if (overwrite) {
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      // warehouse.dir may be a plain path or a file: URI — handle both
-      // without java.net.URI (which throws on unencoded spaces)
-      val raw = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
-      val dir = java.nio.file.Paths.get(loc,
-        table.toLowerCase(java.util.Locale.ROOT))
+      // Resolve the table's on-disk location through the catalog itself
+      // (defaultTablePath handles warehouse-dir URI encoding — a
+      // percent-encoded path string-stripped of its `file:` prefix
+      // would point at a non-existent directory, the stale dir would
+      // survive, and saveAsTable would throw LOCATION_ALREADY_EXISTS).
+      val uri = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          table.toLowerCase(java.util.Locale.ROOT)))
+      val dir =
+        if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
+        else java.nio.file.Paths.get(uri.getPath)
       if (java.nio.file.Files.exists(dir))
         graft.util.Paths.deleteRecursively(dir)
     }
@@ -47,6 +52,11 @@ object Bucketed {
       .bucketBy(buckets, key)
       .sortBy(key)
     (if (overwrite) w.mode("overwrite") else w).saveAsTable(table)
+    // The session-wide FileStatusCache is keyed by PATH: if any earlier
+    // query read a same-named table at this location, a rewrite would
+    // otherwise serve the stale file list to the next scan
+    // (FAILED_READ_FILE.FILE_NOT_EXIST on the old part files).
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   /** Co-located equi-join of two tables previously written with

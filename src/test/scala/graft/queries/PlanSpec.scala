@@ -86,6 +86,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
+    // j12 proves the layout works the day it is written; j13 proves every
+    // LATER consumer of an existing bucketed pair still joins + aggregates
+    // with zero hash exchanges — the pay-shuffle-once claim itself.
+    val p = plan("j13_bucketed_reuse")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("quality_nb / text_phrase_search / report_source_overlap: keyed joins only") {
     Seq("quality_nb", "text_phrase_search", "report_source_overlap").foreach { q =>
       val p = plan(q)
