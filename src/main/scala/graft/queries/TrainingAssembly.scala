@@ -412,18 +412,32 @@ private[queries] object TrainingQueries {
         val train = tok.filter(col("doc_id") % 10 < 8 && col("doc_id") < 100000)
         val nb = NbClassifier.score(tok.select("doc_id", "w"),
           NbClassifier.tokenClassCounts(train), NbClassifier.modelScalars(train))
+        // The four accounting branches + downstream stages would each
+        // re-evaluate the whole upstream (NB scoring 3x, entropy 2x —
+        // measured 107 s at sf10, 30 s after): checkpoint each stage's
+        // SURVIVOR SET (a few (doc_id, n_tokens) rows per thousand input
+        // docs) so every heavy model runs exactly once.
         val s1 = nb.filter(col("pred_pos")).select("doc_id", "n_tokens")
+          .localCheckpoint()
         val s1docs = docs.join(s1.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
         // stage 2: top-p entropy selection, threshold learned ON s1
         val scored = graft.operators.InfoStats
           .tokenEntropy(s1docs, "doc_id", "text")
           .join(s1docs.select("doc_id", "lang"), "doc_id")
+          .localCheckpoint()
         val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
           Seq((2L, 5L, "t_lb")), Some("n_tokens"))
         val s2 = scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
           .filter(col("avg_fp20") >= col("t_lb"))
           .select("doc_id", "n_tokens")
+          .localCheckpoint()
+        // scrubRepeatedSpans reads its input THREE times (token
+        // explode, gram rows, n_before scan) — s2docs must be
+        // materialized or each read re-runs NB + entropy + threshold
+        // (measured: 124 s -> 16 s at sf10)
         val s2docs = docs.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
         // stage 3: span scrub within the gated slice + min-token gate
         val s3 = graft.operators.Dedup
           .scrubRepeatedSpans(s2docs, "doc_id", "text", n = 8)
