@@ -147,6 +147,112 @@ object Video extends Serializable {
     substring(payload, 1, 9).cast("string") === Magic
   }
 
+  /** 16-bit frame-quadrant fingerprint over a DECODED video — the video
+    * twin of [[Multimodal.aHash12]] / [[Audio.eHash16]]: sample `k`
+    * evenly-spaced frames (t = j·nf div k, the [[syntheticY4mFrameStats]]
+    * policy), split each into 4 quadrants (x-half × y-half), bit
+    * 4·j + q set iff the cell's mean luma strictly exceeds the mean over
+    * ALL sampled frames — compared by 128-bit integer cross-multiply
+    * (the [[Audio.eHash16]] overflow lesson applied proactively: cell
+    * sums reach 255·w·h·k, so 64-bit products overflow for large
+    * frames). Perceptually: which screen regions of which acts are
+    * brighter than the whole video — robust to gain-preserving edits,
+    * the pre-filter for video near-dup dedup.
+    */
+  def vHash16(v: Y4mVideo, k: Int = 4): Long = {
+    require(v.frames.length >= 1 && k >= 1, "need >= 1 frame and k >= 1")
+    val w = v.width; val h = v.height; val nf = v.frames.length
+    val cellSum = new Array[Long](16)
+    val cellCnt = new Array[Long](16)
+    var totS = 0L; var totC = 0L
+    var j = 0
+    while (j < k) {
+      val f = v.frames(j * nf / k)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = (if (2 * x >= w) 1 else 0) + (if (2 * y >= h) 2 else 0)
+          val b = 4 * j + q
+          val luma = f.y(x + w * y) & 0xff
+          cellSum(b) += luma; cellCnt(b) += 1
+          totS += luma; totC += 1
+          x += 1
+        }
+        y += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 16) {
+      val hiL = Math.multiplyHigh(cellSum(b), totC)
+      val hiR = Math.multiplyHigh(totS, cellCnt(b))
+      val gt =
+        if (hiL != hiR) hiL > hiR
+        else java.lang.Long.compareUnsigned(cellSum(b) * totC, totS * cellCnt(b)) > 0
+      if (gt) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Synthesize → encode → REAL-decode a 4-frame video per row and emit
+    * its [[vHash16]]. The fixture plants an id-bit BRIGHTNESS key on the
+    * 16 frame-quadrant cells: cell b of doc k is +160 luma iff bit b of
+    * `key = (k%256) | (~(k%256) << 8)` is set — the complement half
+    * pins the lit-cell count at exactly 8, so the lit/unlit mean
+    * separation is ≥ 160·⅓ − 32 > 0 for EVERY id and dim class
+    * (area-fraction bound: quadrant areas are within [⅓, ⅔] of the
+    * total), and the decoded hash provably equals the planted key (the
+    * round-11 audio lesson: a fixture must be DISCRIMINATING — this one
+    * recovers 100/100 with 100 distinct hashes, simulated closed-form
+    * before implementation).
+    */
+  def syntheticVideoVHash(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("vhash", "n_bits").map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val key = ((id % 256) | ((~(id % 256) & 0xff) << 8)) & 0xffff
+        val payload = encodeY4m(w, h, 4, (t, x, y) => {
+          val q = (if (2 * x >= w) 1 else 0) + (if (2 * y >= h) 2 else 0)
+          val boost = if (((key >> (4 * t + q)) & 1L) == 1L) 160 else 0
+          (((id + 7 * x + 13 * y + 29 * t) % 32).toInt + boost,
+            ((2 * id + 11 * x + 3 * y + 19 * t) % 256).toInt,
+            ((3 * id + 5 * x + 17 * y + 23 * t) % 256).toInt)
+        })
+        val vid = decodeY4m(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        val hash = vHash16(vid, k = 4)
+        Row(id, hash, java.lang.Long.bitCount(hash).toLong)
+      }
+    }(enc)
+  }
+
+  /** Video near-dup pairs within hamming `maxHamming` of the 16-bit
+    * [[vHash16]] fingerprint, via the shared SimHash pigeonhole blocking
+    * ([[graft.operators.Dedup.simhashPairsFromSignatures]]) — text
+    * (SimHash) / image (aHash) / audio (eHash) / video (vHash) all ride
+    * one banding machine: segment equi-joins generate candidates, exact
+    * popcount verifies inside buckets; the bands shuffle 16-byte
+    * signatures, never frames.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String,
+      maxHamming: Int = 2): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSignatures(
+      syntheticVideoVHash(df, idCol)
+        .select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col("vhash").as("simhash"))
+        .localCheckpoint(),
+      idCol, maxHamming, bits = 16)
+
   /** Exact integer frame statistics from DECODED frames — the
     * driver-verifiable face of the real codec: synthesize a
     * deterministic Y4M video per id (w = 4 + id%5, h = 3 + id%4,

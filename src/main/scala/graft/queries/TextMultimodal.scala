@@ -108,6 +108,25 @@ private[queries] object TextMultimodalQueries {
       "ws AS (SELECT doc_id, win, CAST(SUM(en) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS wn FROM e GROUP BY 1, 2), " +
       "g AS (SELECT doc_id, CAST(any_value(rate) AS BIGINT) AS rate, CAST(SUM(en) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS tn FROM e GROUP BY 1)"
 
+  /** Shared oracle CTE chain computing the closed-form planted-key
+    * video, per-cell and per-video luma sums, and the packed 16-bit
+    * vHash (consumed by `mm_video_vhash` and `mm_video_neardup`).
+    * `vh` ends with (doc_id, vhash).
+    */
+  private val y4mVHashCtes: String =
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, " +
+      "(doc_id % 256) | ((255 - doc_id % 256) << 8) AS key FROM documents WHERE doc_id < 100), " +
+      "pc AS (SELECT doc_id, key, t, x, y, " +
+      "4*t + (CASE WHEN 2*x >= w THEN 1 ELSE 0 END) + (CASE WHEN 2*y >= h THEN 2 ELSE 0 END) AS b " +
+      "FROM d, LATERAL unnest(generate_series(0, 3)) AS tt(t), " +
+      "LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+      "px AS (SELECT doc_id, b, (doc_id + 7*x + 13*y + 29*t) % 32 + " +
+      "(CASE WHEN ((key >> CAST(b AS INTEGER)) & 1) = 1 THEN 160 ELSE 0 END) AS luma FROM pc), " +
+      "cells AS (SELECT doc_id, b, SUM(luma) AS cs, CAST(count(*) AS BIGINT) AS cc FROM px GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, SUM(luma) AS ts, CAST(count(*) AS BIGINT) AS tc FROM px GROUP BY 1), " +
+      "vh AS (SELECT doc_id, CAST(SUM(CASE WHEN cs * tc > ts * cc THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS vhash " +
+      "FROM cells JOIN tot USING (doc_id) GROUP BY doc_id)"
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -883,6 +902,44 @@ private[queries] object TextMultimodalQueries {
         "CAST(sum(py) AS BIGINT) AS sum_y, CAST(sum(pu) AS BIGINT) AS sum_u, CAST(sum(pv) AS BIGINT) AS sum_v, " +
         "CAST(sum((x + w*y) * py) AS BIGINT) AS wsum_y " +
         "FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no")),
+
+    // Video fingerprint over the REAL codec ([[graft.multimodal.Video
+    // .vHash16]]): 4 sampled frames × 4 quadrants, bit = cell mean luma
+    // strictly above the video mean by 128-bit integer cross-multiply.
+    // The fixture plants an id-bit brightness key with a pinned 8/16
+    // lit-cell count (complement trick), so the decoded hash provably
+    // EQUALS the planted key for every id — simulated closed-form
+    // before implementation (the round-11 audio-fixture lesson). The
+    // oracle recomputes cell/total sums from the pixel function and
+    // packs the same bits, never seeing a Y4M byte.
+    Q("mm_video_vhash",
+      (s, d) => graft.multimodal.Video
+        .syntheticVideoVHash(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some(y4mVHashCtes +
+        " SELECT vh.doc_id, vh.vhash, CAST(bit_count(vh.vhash) AS BIGINT) AS n_bits " +
+        "FROM vh ORDER BY doc_id")),
+
+    // Video near-dup pairs — the vHash consumer, completing the
+    // modality symmetry: text (SimHash) / image (aHash) / audio (eHash)
+    // / video (vHash) all ride the ONE pigeonhole banding machine.
+    // Radius 2 over 16 bits = 3 disjoint segments; any pair within the
+    // radius agrees exactly on one, so candidates come from segment
+    // equi-joins and popcount verifies inside buckets only. The oracle
+    // is the semantic all-pairs form — a hash match proves the banding
+    // loses no pair.
+    Q("mm_video_neardup",
+      (s, d) => graft.multimodal.Video
+        .videoNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id", maxHamming = 2)
+        .orderBy("id_a", "id_b"),
+      Some(y4mVHashCtes +
+        " SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
+        "FROM vh a JOIN vh b ON a.doc_id < b.doc_id) WHERE hamming <= 2 ORDER BY id_a, id_b")),
 
     // Token-entropy quality signal ([[graft.operators.InfoStats]]): the
     // per-doc Shannon entropy numerator N·qlog2(N) − Σ c·qlog2(c) in

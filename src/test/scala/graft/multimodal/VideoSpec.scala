@@ -84,6 +84,40 @@ class VideoSpec extends SparkSpec {
     assert(got === Map("y4m" -> true, "text" -> false))
   }
 
+  test("vHash16 recovers the planted key exactly, all ids distinct") {
+    import spark.implicits._
+    val got = Video.syntheticVideoVHash((0L until 100L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 100L).foreach { id =>
+      val key = ((id % 256) | ((~(id % 256) & 0xff) << 8)) & 0xffff
+      assert(got(id) === key, s"id=$id")
+    }
+    assert(got.values.toSet.size === 100)
+    // the complement half pins popcount at exactly 8
+    assert(got.values.forall(java.lang.Long.bitCount(_) == 8))
+  }
+
+  test("vHash16 on a flat video is all-zero (no cell strictly above the mean)") {
+    val vid = Video.decodeY4m(Video.encodeY4m(4, 4, 4, (_, _, _) => (100, 0, 0))).get
+    assert(Video.vHash16(vid) === 0L)
+  }
+
+  test("video near-dup banding equals the brute-force pair set") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("doc_id")
+    val banded = Video.videoNearDupPairs(df, "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Video.syntheticVideoVHash(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- 0L until 100L; b <- (a + 1) until 100L
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("syntheticY4mFrameStats matches a direct closed-form computation") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 7L, 42L, 99L)
