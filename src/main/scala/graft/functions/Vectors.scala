@@ -76,6 +76,25 @@ object Vectors {
     if ((h(0) & 0x80) == 0) 1.0 else -1.0
   }
 
+  /** Dense ±1 random projection (Johnson–Lindenstrauss via an
+    * Achlioptas-style sign matrix): component j of the output is
+    * ⟨v, s_j⟩ / √outDim where s_j is the [[planeSign]] hyperplane
+    * family — the SAME engine-portable md5 planes the LSH bucketing
+    * uses, so an external engine re-derives the exact matrix. The
+    * 100 TB dimensionality-reduction front-end for ANN/clustering:
+    * planes are plan-time literals (no stored model, no shuffle), the
+    * projection is the codegen [[DotProduct]], everything map-side.
+    * Returns one aliased column per output dim (`p0`..`p{outDim-1}`).
+    */
+  def randomProjection(v: Column, inDim: Int, outDim: Int): Seq[Column] = {
+    require(inDim >= 1 && outDim >= 1, s"dims $inDim -> $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    (0 until outDim).map { j =>
+      val plane = typedlit(Array.tabulate(inDim)(planeSign(j, _)).toSeq)
+      (dot(v, plane) / lit(scale)).as(s"p$j")
+    }
+  }
+
   /** Sign-bit LSH bucket over `planes` pseudo-random hyperplanes.
     *
     * Hyperplane components are ±1, derived from [[planeSign]] (md5 —

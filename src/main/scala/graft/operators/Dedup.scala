@@ -412,6 +412,88 @@ object Dedup {
       simhash(df, idCol, textCol, bits).localCheckpoint(),
       idCol, maxHamming, bits)
 
+  /** All-pairs cosine similarity over binary shingle sets with PREFIX
+    * FILTERING (Bayardo, Ma & Srikant, WWW 2007 — "Scaling Up All Pairs
+    * Similarity Search"): find every doc pair with set-cosine
+    * |A∩B|/√(|A|·|B|) ≥ τ without the full inverted-index self-join.
+    *
+    * τ is a RATIONAL `tauNum/tauDen`, so the acceptance test is the
+    * all-integer cross-multiply `shared²·den² ≥ |A|·|B|·num²` — exact
+    * on any engine, no FP-gap analysis needed.
+    *
+    * The scale machinery: order tokens by ascending document frequency
+    * (rarest first, ties by token — a total order); a doc A only needs
+    * to INDEX its first |A| − ⌈τ·|A|⌉ + 1 tokens. For any qualifying
+    * pair with (|A|, idA) ≤ (|B|, idB): shared ≥ τ·√(|A||B|) ≥ τ·|A| =
+    * t, and A's unindexed suffix holds at most t − 1 tokens, so some
+    * INDEXED (prefix) token of A is in B — candidates come from the
+    * prefix⋈full token equi-join and pruning provably loses no pair
+    * (the oracle is the semantic all-pairs form). Because prefixes keep
+    * the RAREST tokens, the hot (stopword-like) shingles that dominate
+    * posting lists never generate candidates from long-doc prefixes —
+    * the candidate volume is bounded by rare-token postings, which is
+    * what makes all-pairs tractable at corpus scale. Verification is
+    * map-side: each doc's sorted shingle array rides the candidate row
+    * and `array_intersect` counts exact overlap — never a token-level
+    * re-join (|candidates|·|doc| rows).
+    *
+    * Output: (id_a < id_b, shared, n_a, n_b) for qualifying pairs.
+    */
+  def allPairsCosine(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int = 7, tauDen: Int = 10): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau = $tauNum/$tauDen must be in (0, 1]")
+    // materialized once: document frequencies, the ranked index, and
+    // the packed per-doc sets all read the shingle rows
+    val toks = shingleRows(df, idCol, textCol).distinct().localCheckpoint()
+    // one row per doc: the sorted shingle array + its size — the
+    // verification representation (map-side array_intersect per
+    // candidate pair; a token-level re-join would pay
+    // |candidates|·|doc| rows)
+    val packed = toks.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sh"))).as("__toks"),
+        count(lit(1)).as("nd"))
+      .localCheckpoint()
+    val sizes = packed.select(col(idCol), col("nd"))
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "sh").join(sizes, idCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh"))))
+      .localCheckpoint()
+    // prefix length |A| − ⌈τ|A|⌉ + 1, with ⌈τ·nd⌉ = (nd·num + den−1) div den
+    val pref = ranked.filter(col("rk") <=
+      col("nd") - expr(s"(nd * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+    val a = pref.select(col(idCol).as("id_a"), col("sh"), col("nd").as("na"))
+    val b = ranked.select(col(idCol).as("id_b"), col("sh"), col("nd").as("nb"))
+    val num2 = tauNum.toLong * tauNum
+    val den2 = tauDen.toLong * tauDen
+    // size filter (the paper's second prune): with na <= nb,
+    // cos <= sqrt(na/nb), so na·den² >= nb·num² is NECESSARY for
+    // cos >= τ — pairs of very different sizes never become candidates
+    val cand = a.join(b, "sh")
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("id_a") < col("id_b")))
+      .filter(col("na") * den2 >= col("nb") * num2)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(packed.select(col(idCol).as("id_a"),
+        col("__toks").as("__ta"), col("nd").as("na")), "id_a")
+      .join(packed.select(col(idCol).as("id_b"),
+        col("__toks").as("__tb"), col("nd").as("nb")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .filter(col("shared") * col("shared") * den2 >= col("na") * col("nb") * num2)
+      // re-orient from (smaller-set, larger-set) to id order
+      .select(
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        col("shared"),
+        when(col("id_a") < col("id_b"), col("na")).otherwise(col("nb")).as("n_lo"),
+        when(col("id_a") < col("id_b"), col("nb")).otherwise(col("na")).as("n_hi"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"),
+        col("shared"), col("n_lo").as("n_a"), col("n_hi").as("n_b"))
+  }
+
   /** Decontamination: corpus docs sharing ≥ `minShared` distinct
     * word-bigram shingles with the benchmark set (eval-set leakage
     * check — contaminated docs must be dropped before training).

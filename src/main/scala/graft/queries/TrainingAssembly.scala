@@ -500,6 +500,35 @@ private[queries] object TrainingQueries {
           "ORDER BY stage"
       }),
 
+    // Tokenizer-coverage report: per-source OOV rate against the
+    // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact
+    // vocab construction — count-desc, word tie-break). The datasheet
+    // number that decides whether a tokenizer's vocab fits a new source
+    // before a training run. Scale: vocab is a 200-row broadcast, the
+    // membership join is map-side, one source-keyed agg; oov_ratio is
+    // one division of two exact integers (deterministic IEEE).
+    Q("report_oov",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(200)
+          .select(col("w"), lit(1L).as("iv"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_ratio",
+            col("oov_tokens").cast("double") / col("n_tokens"))
+          .orderBy("source")
+      },
+      Some("WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "v AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn FROM tok GROUP BY w) WHERE rn <= 200) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS oov_tokens, " +
+        "CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*) AS oov_ratio " +
+        "FROM tok LEFT JOIN v ON tok.w = v.w GROUP BY source ORDER BY source")),
+
     // Cross-source contamination matrix: for every source pair, how many
     // DISTINCT 8-gram shingle hashes they share (plus each side's
     // distinct-shingle total and a 2^20 fixed-point Jaccard) — the

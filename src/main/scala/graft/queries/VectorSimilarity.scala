@@ -263,5 +263,30 @@ private[queries] object VectorQueries {
       },
       Some(recallMatrixSql)))
 
-  val all: Seq[Q] = vectors ++ hybrid ++ batchAnn ++ recall
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims
+    * ([[graft.functions.Vectors.randomProjection]]) — the
+    * dimensionality-reduction front-end a billion-vector pipeline runs
+    * before clustering/ANN (4× less memory and FLOPs per distance).
+    * The sign matrix is the md5 [[Vectors.planeSign]] family, so the
+    * oracle re-derives the exact planes ([[CatalogShared.lshProjSql]]
+    * — the sim_lsh_ann machinery) and both engines run the identical
+    * sequential-fold dot product and one division; per-row
+    * deterministic IEEE trees, the house FP rule. Entirely map-side:
+    * literal planes, codegen DotProduct, no shuffle but the output
+    * sort. Distance-preservation (the JL guarantee) is spec-asserted
+    * on the real corpus (VectorsSpec).
+    */
+  private val projection = Seq(
+    Q("emb_random_projection",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        e.select(col("vec_id") +:
+          Vectors.randomProjection(col("embedding"), 64, 16): _*)
+          .orderBy("vec_id")
+      },
+      Some("SELECT vec_id, " +
+        (0 until 16).map(j => s"${lshProjSql(j)} / 4 AS p$j").mkString(", ") +
+        " FROM embeddings ORDER BY vec_id")))
+
+  val all: Seq[Q] = vectors ++ hybrid ++ batchAnn ++ recall ++ projection
 }

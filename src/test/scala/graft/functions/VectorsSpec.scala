@@ -43,4 +43,41 @@ class VectorsSpec extends SparkSpec {
         s"vec ${r.getLong(0)}: err ${r.getLong(1)} > half-step ${r.getLong(2)}")
     }
   }
+
+  test("randomProjection: JL distance preservation on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val proj = e.select(col("vec_id") +:
+      Vectors.randomProjection(col("embedding"), 64, 16): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    val orig = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val ratios = for (a <- ids; b <- ids if a < b; dv = d2(orig(a), orig(b)) if dv > 0)
+      yield d2(proj(a), proj(b)) / dv
+    // 16 dims keeps squared distances within a loose JL band; the MEAN
+    // ratio concentrates near 1 (unbiasedness of the sign matrix)
+    assert(ratios.forall(r => r > 0.2 && r < 5.0),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"mean ratio $mean")
+  }
+
+  test("randomProjection component matches a direct plane fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val row = Seq(Tuple1(v)).toDF("embedding")
+      .select(Vectors.randomProjection(col("embedding"), 64, 16): _*)
+      .collect().head
+    (0 until 16).foreach { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += v(i).toDouble * Vectors.planeSign(j, i); i += 1 }
+      assert(row.getDouble(j) === acc / 4.0, s"p$j")
+    }
+  }
 }

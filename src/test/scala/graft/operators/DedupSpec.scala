@@ -74,6 +74,39 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("allPairsCosine: prefix filtering equals the full inverted-index join") {
+    // semantic reference: every pair sharing >= 1 shingle, integer
+    // cross-multiply acceptance — recomputed from raw shingle sets
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = Dedup.shingleRows(fixture, "doc_id", "text").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      shared = (sa & sb).size.toLong if shared > 0
+      if 100 * shared * shared >= 49L * sa.size * sb.size
+    } yield (ia, ib, shared, sa.size.toLong, sb.size.toLong)).toSet
+    val got = Dedup.allPairsCosine(fixture, "doc_id", "text", 7, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must contain qualifying pairs")
+  }
+
+  test("allPairsCosine: exact dup pair scores 1.0; the prefix index is a strict subset") {
+    val pairs = Dedup.allPairsCosine(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(dup._3 === dup._4 && dup._4 === dup._5) // shared = |A| = |B|
+    // unrelated docs (4, 5) share no shingles — must be absent
+    assert(!pairs.exists(p => (p._1, p._2) == (4L, 5L)))
+    // tau = 1 keeps only the exact dup
+    val exact = Dedup.allPairsCosine(docs, "doc_id", "text", 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)))
+  }
+
   test("lshCandidatePairs rejects band configs that would drop hashes") {
     val e = intercept[IllegalArgumentException] {
       Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 5, rowsPerBand = 2)
