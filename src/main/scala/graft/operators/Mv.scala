@@ -44,6 +44,40 @@ object Mv {
     changelog.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Z-set equi-join: multiplicities MULTIPLY (the bag-join semantics
+    * that makes join bilinear over ℤ-weighted bags). Both inputs carry
+    * a `weight` column; sides must otherwise have disjoint column
+    * names.
+    */
+  def zJoin(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+      weight: String = "w"): DataFrame = {
+    val l = a.withColumnRenamed(weight, "__wl")
+    val r = b.withColumnRenamed(weight, "__wr")
+    l.join(r, col(aKey) === col(bKey))
+      .withColumn(weight, col("__wl") * col("__wr"))
+      .drop("__wl", "__wr")
+  }
+
+  /** Delta of an equi-join under the BILINEAR rule:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+    *
+    * (weights multiplying in each term). This is what makes join IVM
+    * affordable at 100 TB: every term joins a DELTA (hours of CDC)
+    * against a base or another delta — the quadratically large
+    * base ⋈ base term is never recomputed. Retractions flow through as
+    * negative multiplicities, so updates (retract + insert) on either
+    * side maintain the view exactly; correctness is algebraic
+    * (bilinearity over ℤ-bags), and the catalog oracle states it as
+    * content equality with the full recompute.
+    */
+  def deltaJoin(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      aKey: String, bKey: String, weight: String = "w"): DataFrame =
+    zJoin(aDelta, bOld, aKey, bKey, weight)
+      .unionByName(zJoin(aOld, bDelta, aKey, bKey, weight))
+      .unionByName(zJoin(aDelta, bDelta, aKey, bKey, weight))
+
   /** Merge delta counters into the view: coalesced sums per counter
     * column, then drop keys whose multiplicity hit zero. Both inputs
     * carry the `counters` schema (keys, n, sum_*).

@@ -433,6 +433,51 @@ private[queries] object ClusterPipelineQueries {
         "FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' OR o_orderkey % 97 <> 0 " +
         "GROUP BY o_custkey ORDER BY o_custkey")),
 
+    // Incremental JOIN maintenance ([[graft.operators.Mv.deltaJoin]]):
+    // the bilinear Z-set rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with
+    // multiplying multiplicities, applied to orders ⋈ customer with
+    // BOTH sides changing — late orders + cancellations on the fact
+    // side, segment reassignments (retract + insert) on the dim side —
+    // then folded into the per-segment counter view through the same
+    // counters/merge machinery as mv_incremental. The oracle is the
+    // full recompute over the post-update tables: content equality IS
+    // the join-IVM correctness statement. At 100 TB the three delta
+    // terms each join hours of CDC against a base (or another delta);
+    // base⋈base is never recomputed.
+    Q("mv_join_delta",
+      (s, d) => {
+        import graft.operators.Mv
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            cents(col("o_totalprice")).cast("long").as("c"))
+        val aBase = o.filter(col("o_orderdate") < "2001-01-01")
+          .withColumn("w", lit(1L)).drop("o_orderdate")
+        val aDelta = o.filter(col("o_orderdate") >= "2001-01-01")
+          .withColumn("w", lit(1L))
+          .unionByName(o.filter(col("o_orderdate") < "2001-01-01" &&
+            col("o_orderkey") % 97 === 0).withColumn("w", lit(-1L)))
+          .drop("o_orderdate")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val bBase = cust.withColumn("w", lit(1L))
+        val moved = cust.filter(col("c_custkey") % 7 === 0)
+        val bDelta = moved.withColumn("w", lit(-1L))
+          .unionByName(moved.withColumn("c_mktsegment", lit("MOVED"))
+            .withColumn("w", lit(1L)))
+        val baseJoin = Mv.zJoin(aBase, bBase, "o_custkey", "c_custkey")
+        val dj = Mv.deltaJoin(aBase, aDelta, bBase, bDelta,
+          "o_custkey", "c_custkey")
+        val view = Mv.counters(baseJoin, Seq("c_mktsegment"), "w", Seq("c"))
+        val delta = Mv.counters(dj, Seq("c_mktsegment"), "w", Seq("c"))
+        Mv.merge(view, delta, Seq("c_mktsegment"), Seq("c"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c " +
+        "FROM (SELECT o_totalprice, CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' OR o_orderkey % 97 <> 0) " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // Deterministic shard assignment: per-shard row counts (the training
     // shard-balance report; assignment is engine-portable md5, not
     // Spark-specific murmur hash).
