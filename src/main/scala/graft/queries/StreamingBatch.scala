@@ -92,6 +92,38 @@ private[queries] object StreamingQueries {
     // per-user counts across 3 AvailableNow micro-batches into an
     // update-mode memory sink; the final state must equal the batch
     // groupBy count — cross-batch state correctness, driver-verified.
+    // Streaming SKETCH state ([[graft.streaming.EventStream
+    // .drainHdrSketch]]): the HdrSketch typed aggregator as streaming
+    // aggregation state — bucket counts merge across micro-batch
+    // boundaries (3 files = 3 batches), proving the custom mergeable
+    // aggregator composes with Structured Streaming's state store, the
+    // shape a continuous quality monitor runs at 100 TB (bounded
+    // per-group state, never raw-value buffers). The oracle recomputes
+    // the bucket quantile lower bounds closed-form from the batch data
+    // — the hdr_quantiles twin over the drained stream slice.
+    Q("stream_hdr_drain",
+      (s, d) => graft.streaming.EventStream
+        .drainHdrSketch(s,
+          Tables.events(s, d).filter(col("event_id") < 1500)
+            .select(col("event_type"),
+              cents(col("value")).cast("long").as("c")),
+          "c", m = 7, nFiles = 3)
+        .orderBy("event_type"),
+      Some {
+        import graft.functions.Hdr
+        val bexp = Hdr.bucketSqlDuck("c", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        def est(num: Int, den: Int, alias: String) =
+          s"CAST(MIN(CASE WHEN cum >= (n * $num + ${den - 1}) // $den THEN $lb END) AS BIGINT) AS $alias"
+        "WITH v AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events WHERE event_id < 1500), " +
+          s"bk AS (SELECT event_type, $bexp AS b FROM v), " +
+          "cnt AS (SELECT event_type, b, count(*) AS cb FROM bk GROUP BY 1, 2), " +
+          "w AS (SELECT event_type, b, SUM(cb) OVER (PARTITION BY event_type ORDER BY b) AS cum, SUM(cb) OVER (PARTITION BY event_type) AS n FROM cnt) " +
+          "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+          est(1, 2, "p50_lb") + ", " + est(9, 10, "p90_lb") +
+          " FROM w GROUP BY event_type ORDER BY event_type"
+      }),
+
     Q("stream_running_counts",
       (s, d) => graft.streaming.EventStream
         .drainRunningCounts(s,

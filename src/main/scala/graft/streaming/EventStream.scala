@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -334,6 +335,57 @@ object EventStream {
       awaitDrained(q)
       spark.read.parquet(out).localCheckpoint()
     } finally graft.util.Paths.deleteRecursively(base)
+  }
+
+  /** End-to-end streaming SKETCH drain: the [[graft.functions.HdrSketch]]
+    * typed aggregator runs as STREAMING aggregation state — per
+    * event_type, the bucket→count map accumulates and MERGES across
+    * micro-batch boundaries (the mergeable-sketch contract exercised
+    * where it matters at 100 TB: bounded per-group state in a
+    * continuous job, instead of buffering raw values). Complete-mode
+    * memory sink keeps the final merged sketch; a batch post-step
+    * unpacks the [bucket, count, …] pairs and extracts rank lower
+    * bounds with the same integer-ceil rank math as
+    * [[graft.functions.Hdr.quantileEstimates]] — plan-side windows
+    * over ≤ a few hundred bucket rows per group, no driver loop.
+    */
+  def drainHdrSketch(spark: SparkSession, rows: DataFrame, valueCol: String,
+      m: Int = 7, nFiles: Int = 3): DataFrame = {
+    import graft.functions.Hdr
+    val base = java.nio.file.Files.createTempDirectory("graft_hdr_")
+    val table = s"graft_hdrs_${base.getFileName.toString.replace("graft_hdr_", "")}"
+    try {
+      val stream = feedStream(spark, rows, base, nFiles)
+      val sk = udaf(graft.functions.HdrSketch(m))
+      val q = stream.groupBy("event_type")
+        .agg(sk(col(valueCol)).as("sketch"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      val pairs = spark.table(table)
+        .select(col("event_type"), explode(expr(
+          "transform(sequence(0, size(sketch) div 2 - 1), " +
+            "i -> struct(element_at(sketch, cast(2*i+1 as int)) as b, " +
+            "element_at(sketch, cast(2*i+2 as int)) as cb))")).as("p"))
+        .select(col("event_type"), col("p.b").as("b"), col("p.cb").as("cb"))
+      val wOrd = Window.partitionBy("event_type").orderBy("b")
+      val wAll = Window.partitionBy("event_type")
+      val lb = expr(Hdr.lowerBoundSqlSpark("b", m))
+      pairs
+        .withColumn("cum", sum("cb").over(wOrd))
+        .withColumn("n", sum("cb").over(wAll))
+        .groupBy("event_type")
+        .agg(max("n").cast("long").as("n"),
+          min(when(col("cum") >= expr("(n * 1 + 1) div 2"), lb)).cast("long").as("p50_lb"),
+          min(when(col("cum") >= expr("(n * 9 + 9) div 10"), lb)).cast("long").as("p90_lb"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(table)
+      graft.util.Paths.deleteRecursively(base)
+    }
   }
 
   /** End-to-end stateful-counting drain (the driver-verifiable face of

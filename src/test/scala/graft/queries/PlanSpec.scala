@@ -86,6 +86,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("round-12 additions: keyed joins only, no data-x-data pairing") {
+    // sim_recall_matrix / mv_join_delta / url_canonical_dedup /
+    // dedup_allpairs_cosine: every join is keyed (token / id / segment
+    // key); the only cross joins anywhere are 1-row scalar broadcasts
+    // (the documented exemption), never data x data.
+    Seq("mv_join_delta", "url_canonical_dedup", "dedup_allpairs_cosine")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q: $p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      }
+    // the recall matrix's brute-force member carries the 1-row
+    // query-vector broadcast (a BNLJ by physical shape) — only a true
+    // CartesianProduct is a defect there
+    assert(!plan("sim_recall_matrix").contains("CartesianProduct"))
+  }
+
+  test("emb_random_projection: map-side only — no exchange but the output sort") {
+    val p = plan("emb_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // the 16 projections are literal-plane DotProducts inside the scan's
+    // codegen stage — no shuffle, no join, no window
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
     // j12 proves the layout works the day it is written; j13 proves every
     // LATER consumer of an existing bucketed pair still joins + aggregates
