@@ -1013,6 +1013,112 @@ private[queries] object TextMultimodalQueries {
           "FROM scored JOIN th USING (lang) ORDER BY doc_id"
       }),
 
+    // Multi-signal quality ENSEMBLE (the FineWeb-style vote: no single
+    // filter decides): four independent verified signals per doc —
+    // the Gopher fixed-threshold gate (text_quality_gate), the NB
+    // classifier (quality_nb), top-p entropy selection against the
+    // per-lang weighted-HDR threshold (quality_topp), and DSIR
+    // target-likeness (dsir_weights, logw ≥ 0) — voted into
+    // n_pass with kept = n_pass ≥ 3. Each signal is one linear pass
+    // with a broadcast model; the vote is a doc_id-keyed 4-way join of
+    // doc-sized frames. The oracle recomputes all four chains
+    // end-to-end, so a hash match proves every signal AND the vote.
+    Q("quality_ensemble",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        import graft.functions.Hdr
+        val docs = Tables.documents(s, d)
+        // signal 1: Gopher fixed-threshold gate
+        val toks = size(split(lower(col("text")), " ")).cast("long")
+        val swRatio = Text.stopwordHits(col("text")).cast("double") / toks
+        val cpt = length(col("text")).cast("double") / toks
+        val gateKeep = !(toks < 5 || toks > 1000 || swRatio < 0.05 ||
+          (Text.punctCount(col("text")).cast("double") / length(col("text"))) > 0.3 ||
+          cpt > 12.0)
+        val gate = docs.select(col("doc_id"), gateKeep.as("s_gate"))
+        // signal 2: NB classifier (the quality_nb model)
+        val tok = docs.select(col("doc_id"),
+          col("source").isin("src0", "src1", "src2", "src3", "src4").as("is_pos"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        val train = tok.filter(col("doc_id") % 10 < 8)
+        val nb = NbClassifier.score(tok.select("doc_id", "w"),
+            NbClassifier.tokenClassCounts(train), NbClassifier.modelScalars(train))
+          .select(col("doc_id"), col("pred_pos").as("s_nb"))
+        // signal 3: top-p entropy vs the per-lang weighted-HDR threshold
+        val scored = graft.operators.InfoStats
+          .tokenEntropy(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
+          Seq((2L, 5L, "t_lb")), Some("n_tokens"))
+        val ent = scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
+          .select(col("doc_id"), (col("avg_fp20") >= col("t_lb")).as("s_entropy"))
+        // signal 4: DSIR target-likeness (logw >= 0)
+        val dsir = graft.operators.Dsir
+          .importanceWeights(docs, "doc_id", "text", col("lang") === "en", 256)
+          .select(col("doc_id"), (col("logw_fp20") >= 0).as("s_dsir"))
+        def b2i(c: Column) = when(c, 1L).otherwise(0L)
+        gate.join(nb, "doc_id").join(ent, "doc_id").join(dsir, "doc_id")
+          .withColumn("n_pass",
+            (b2i(col("s_gate")) + b2i(col("s_nb")) + b2i(col("s_entropy")) +
+              b2i(col("s_dsir"))).cast("long"))
+          .withColumn("kept", col("n_pass") >= 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.{Hdr, ILog}
+        def qd(e: String) = ILog.qlogSqlDuck(e)
+        val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
+        val lb = Hdr.lowerBoundSqlDuck("b", 7)
+        val dsirB = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256"
+        "WITH g AS (SELECT doc_id, NOT (len(string_split(lower(text), ' ')) < 5 OR len(string_split(lower(text), ' ')) > 1000 OR " +
+          s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${Text.StopWordsSql})) AS DOUBLE) / len(string_split(lower(text), ' ')) < 0.05 OR " +
+          "CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / length(text) > 0.3 OR " +
+          "CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) > 12.0) AS s_gate FROM documents), " +
+          // NB chain (the quality_nb oracle verbatim, reduced to pred)
+          "tokn AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+          "trn AS (SELECT * FROM tokn WHERE doc_id % 10 < 8), " +
+          "cln AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM trn GROUP BY w), " +
+          "msn AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM trn), " +
+          "jn AS (SELECT tokn.doc_id, " +
+          s"${qd("(COALESCE(cp, 0) + 1)")} - ${qd("(npos + vsz)")} - ${qd("(COALESCE(cn, 0) + 1)")} + ${qd("(nneg + vsz)")} AS wt, dpos, dneg " +
+          "FROM tokn LEFT JOIN cln USING (w) CROSS JOIN msn), " +
+          "nb AS (SELECT doc_id, " +
+          s"(${qd("dpos")} - ${qd("dneg")} + SUM(wt)) > 0 AS s_nb " +
+          "FROM jn GROUP BY doc_id, dpos, dneg), " +
+          // entropy + weighted-HDR threshold (the quality_topp oracle)
+          "ce AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM " +
+          "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY doc_id, w), " +
+          "ae AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+          s"CAST(SUM(c * ${qd("c")}) AS BIGINT) AS sN FROM ce GROUP BY doc_id), " +
+          "ee AS (SELECT doc_id, n_tokens, " +
+          s"(n_tokens * ${qd("n_tokens")} - sN) // n_tokens AS avg_fp20 FROM ae), " +
+          "scde AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM ee JOIN documents USING (doc_id)), " +
+          s"bke AS (SELECT lang, $bexp AS b, n_tokens FROM scde), " +
+          "cnte AS (SELECT lang, b, CAST(SUM(n_tokens) AS BIGINT) AS cb FROM bke GROUP BY 1, 2), " +
+          "wqe AS (SELECT lang, b, CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum, CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cnte), " +
+          s"the AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wqe GROUP BY lang), " +
+          "ent AS (SELECT scde.doc_id, scde.avg_fp20 >= the.t_lb AS s_entropy FROM scde JOIN the USING (lang)), " +
+          // DSIR chain (the dsir_weights oracle, reduced to the sign)
+          s"fd AS (SELECT doc_id, lang = 'en' AS is_target, $dsirB AS b FROM " +
+          "(SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)), " +
+          "ctd AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fd WHERE is_target GROUP BY b), " +
+          "crd AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fd GROUP BY b), " +
+          "totd AS (SELECT CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 256 AS BIGINT) AS ntb, CAST(count(*) + 256 AS BIGINT) AS nrb FROM fd), " +
+          "scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+          s"CAST(SUM(${qd("(COALESCE(ct, 0) + 1)")} - ${qd("(COALESCE(cr, 0) + 1)")}) AS BIGINT) AS sd " +
+          "FROM fd LEFT JOIN ctd USING (b) LEFT JOIN crd USING (b) GROUP BY doc_id), " +
+          "dsr AS (SELECT doc_id, " +
+          s"(sd + n_tok * (${qd("nrb")} - ${qd("ntb")})) >= 0 AS s_dsir FROM scd, totd) " +
+          "SELECT g.doc_id, s_gate, s_nb, s_entropy, s_dsir, " +
+          "CAST((CASE WHEN s_gate THEN 1 ELSE 0 END) + (CASE WHEN s_nb THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN s_entropy THEN 1 ELSE 0 END) + (CASE WHEN s_dsir THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+          "((CASE WHEN s_gate THEN 1 ELSE 0 END) + (CASE WHEN s_nb THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN s_entropy THEN 1 ELSE 0 END) + (CASE WHEN s_dsir THEN 1 ELSE 0 END)) >= 3 AS kept " +
+          "FROM g JOIN nb ON g.doc_id = nb.doc_id JOIN ent ON g.doc_id = ent.doc_id JOIN dsr ON g.doc_id = dsr.doc_id " +
+          "ORDER BY g.doc_id"
+      }),
+
     // DSIR hashed-unigram importance weights ([[graft.operators.Dsir]],
     // Xie et al. NeurIPS 2023): score every doc by how target-like its
     // token distribution is (target = the English slice), via two
