@@ -38,10 +38,17 @@ object Urls {
     *  - tracking query parameters dropped (`utm_*`, `ref`, `fbclid`,
     *    `gclid` — the standard analytics noise), survivors SORTED by
     *    full `k=v` text so parameter order cannot split a group;
-    *  - empty query string dropped entirely.
+    *  - empty query string dropped entirely;
+    *  - an EMPTY path becomes `/` (RFC 3986 §6.2.3: `http://ex.com` and
+    *    `http://ex.com/` are the same resource, so the root page with
+    *    and without the slash groups together).
     *
-    * Returns `u` unchanged when it has no `scheme://` prefix (not a URL
-    * this canonicalizer understands — never silently mangle).
+    * Returns `u` unchanged when it has no `scheme://` prefix, or when
+    * the authority carries userinfo (`user@host`) or a bracketed IPv6
+    * literal (`[2001:db8::1]`) — the host/port regexes below split on
+    * `:` and would silently truncate either form, falsely merging
+    * distinct pages (not a URL shape this canonicalizer understands —
+    * never silently mangle).
     */
   def canonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
@@ -54,6 +61,7 @@ object Urls {
       .otherwise(concat(lit(":"), port))
     val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(length(path0) > 1, regexp_replace(path0, "/+$", ""))
+      .when(path0 === "", lit("/")) // empty path ≡ root (RFC 3986 §6.2.3)
       .otherwise(path0)
     val query = regexp_extract(noFrag, "\\?([^#]*)$", 1)
     val kept = filter(split(query, "&"), p =>
@@ -61,7 +69,10 @@ object Urls {
         p.startsWith("fbclid=") || p.startsWith("gclid=") || (p === "")))
     val queryNorm = when(size(kept) > 0,
       concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
-    when(sch === "", u)
+    // userinfo / bracketed IPv6 authorities take the documented
+    // pass-through fallback (see scaladoc): the ':'-splitting host/port
+    // regexes would truncate them into false merges otherwise.
+    when(sch === "" || hostPort.contains("@") || hostPort.contains("["), u)
       .otherwise(concat(sch, lit("://"), host(noFrag), portNorm, path, queryNorm))
   }
 }

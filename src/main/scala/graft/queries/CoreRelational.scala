@@ -591,11 +591,14 @@ private[queries] object CoreRelational {
         "WHERE o_orderkey % 7 = 0 GROUP BY 1 ORDER BY 1")),
 
     // J13: the pay-shuffle-once amortization PROVEN — a second consumer
-    // of j12's bucketed layout. This query re-joins the SAME bucketed
-    // tables at a different selectivity and aggregates differently,
-    // writing nothing when the layout already exists (in a catalog run
-    // j12 has paid the one-time writes; this query's cost is then pure
-    // zero-Exchange reads — the claim the layout exists to make). The
+    // of the bucketed layout. j13 keeps its OWN once-per-session table
+    // pair (the "bjr" prefix — per-query prefixes are deliberate, see
+    // ensureBucketedFacts: Verify runs entries concurrently, so sharing
+    // j12's tables would race j12's forced rewrite against this read):
+    // the first invocation pays the write, and every later one — bench
+    // passes 2+, whose min is what gets recorded — re-joins the same
+    // existing tables at a different selectivity and aggregation with
+    // pure zero-Exchange reads, the claim the layout exists to make. The
     // plan is locked exchange-free in PlanSpec just like j12's. At
     // 100 TB this is every dashboard/pipeline query after the first:
     // the bucketed write amortizes across all of them.
@@ -617,22 +620,25 @@ private[queries] object CoreRelational {
         "WHERE l.l_orderkey % 11 = 3 GROUP BY 1 ORDER BY 1")))
 
   /** Write (or reuse) a bucketed fact pair for `d`. Table names carry
-    * a hash of the sf directory so a session that switches corpora can
-    * never silently read the other corpus's layout, and a per-query
-    * `prefix` so catalog entries share NO mutable table state (Verify
-    * evaluates queries concurrently — a shared name would race a
-    * forced rewrite against another entry's read). `force` = j12's
-    * always-rewrite (it MEASURES the one-time write); j13 writes its
-    * pair once per session and every later invocation — e.g. bench
-    * passes 2+, whose min is what the bench records — is pure reuse.
+    * a CONTENT fingerprint of the source corpus (directory path + every
+    * part file's name and size, [[graft.util.Paths.corpusFingerprint]])
+    * so a session that switches corpora — or whose corpus directory is
+    * REGENERATED in place mid-session — can never silently read a stale
+    * layout: a changed file list lands on a fresh table name and forces
+    * a rebuild. Also a per-query `prefix` so catalog entries share NO
+    * mutable table state (Verify evaluates queries concurrently — a
+    * shared name would race a forced rewrite against another entry's
+    * read). `force` = j12's always-rewrite (it MEASURES the one-time
+    * write); j13 writes its pair once per session and every later
+    * invocation — e.g. bench passes 2+, whose min is what the bench
+    * records — is pure reuse.
     * Bucket count scales with the fact side (~2 M rows/bucket — the
     * fixed-k lesson) and matches on both tables.
     */
   private def ensureBucketedFacts(s: SparkSession, d: String,
       prefix: String, force: Boolean): (String, String) = {
     import graft.sources.Bucketed
-    val sfx = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val sfx = graft.util.Paths.corpusFingerprint(d, Seq("lineitem", "orders"))
     val (liT, oT) = (s"${prefix}_lineitem_$sfx", s"${prefix}_orders_$sfx")
     if (force || !s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
       val li = Tables.lineitem(s, d)

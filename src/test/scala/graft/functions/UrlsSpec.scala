@@ -31,7 +31,22 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://ex.com/a/b/") === Seq("http://ex.com/a/b"))
     assert(canon("http://ex.com/a//") === Seq("http://ex.com/a"))
     assert(canon("http://ex.com/") === Seq("http://ex.com/"))
-    assert(canon("http://ex.com") === Seq("http://ex.com"))
+    // empty path normalizes to '/' (RFC 3986 §6.2.3), so the root page
+    // with and without the trailing slash lands in ONE dedup group
+    assert(canon("http://ex.com") === Seq("http://ex.com/"))
+    assert(canon("http://ex.com") === canon("http://ex.com/"))
+    assert(canon("http://ex.com?a=1") === Seq("http://ex.com/?a=1"))
+  }
+
+  test("userinfo and bracketed IPv6 authorities pass through untouched") {
+    // the ':'-splitting host/port regexes can't parse these shapes — the
+    // contract is pass-through, never a silent truncation that would
+    // merge distinct pages
+    assert(canon("http://[2001:db8::1]/a") === Seq("http://[2001:db8::1]/a"))
+    assert(canon("http://[2001:db8::2]/a") === Seq("http://[2001:db8::2]/a"))
+    assert(canon("http://[2001:db8::1]/a") !== canon("http://[2001:db8::2]/a"))
+    assert(canon("http://user:pw@Ex.COM/a") === Seq("http://user:pw@Ex.COM/a"))
+    assert(canon("ftp://u@ex.com/f") === Seq("ftp://u@ex.com/f"))
   }
 
   test("tracking params dropped, survivors sorted, empty query dropped") {
