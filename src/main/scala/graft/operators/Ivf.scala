@@ -200,13 +200,24 @@ object Ivf {
       nprobe: Int): (Array[Double], Set[Int]) = {
     val q = df.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol))).collect().head.getSeq[Double](0).toArray
+    (q, probeSet(q, centroids, nprobe))
+  }
+
+  /** The `nprobe` centroids nearest to query vector `q` — the probe-set
+    * math shared by the inline searches above and the persisted-index
+    * search ([[IvfIndex]]). Scores are the same IEEE tree as
+    * [[negSqDist]]; Scala's stable sortBy breaks score ties toward the
+    * SMALLER centroid id (the documented oracle twin's `ORDER BY s
+    * DESC, cid`).
+    */
+  private[operators] def probeSet(q: Array[Double],
+      centroids: Array[Array[Double]], nprobe: Int): Set[Int] = {
     val qn2 = q.map(x => x * x).sum
-    val probed = centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) =>
         val dot = c.zip(q).map { case (a, b) => a * b }.sum
         (i, -(qn2 - 2 * dot + c.map(x => x * x).sum))
       }
       .sortBy(-_._2).take(nprobe).map(_._1).toSet
-    (q, probed)
   }
 }

@@ -209,6 +209,74 @@ private[queries] object VectorQueries {
         "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, rn <= n // 10 AS is_outlier FROM r ORDER BY vec_id")))
 
 
+  /** The persisted-index queries — how the inline `sim_*_ann` operators
+    * actually DEPLOY ([[graft.operators.IvfIndex]]): train once, store
+    * centroids + partitioned posting lists as managed tables, search
+    * with ZERO Lloyd rounds in the plan, grow by assigning new batches
+    * to the existing (stale) model. Index builds are once-per-session
+    * per corpus fingerprint (the j13 amortization pattern — distinct
+    * prefixes keep the two entries free of shared mutable tables under
+    * Verify's concurrent evaluation).
+    */
+  private def ensureIndex(s: SparkSession, d: String, prefix: String,
+      incremental: Boolean): graft.operators.IvfIndex.Names = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.names(prefix, fp)
+    if (!IvfIndex.exists(s, n)) {
+      val emb = Tables.embeddings(s, d)
+      if (incremental) {
+        // the ingest boundary: vec_id < 250 was indexed at build time
+        // (model trained on it), >= 250 arrives later and is ASSIGNED,
+        // never retrained on — the dedup_incremental split applied to ANN
+        val old = emb.filter(col("vec_id") < 250)
+        val k = math.max(8L, (old.count() + 511) / 512).toInt
+        IvfIndex.build(old, "vec_id", "embedding", n, k = k)
+        IvfIndex.appendBatch(s, n,
+          emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      } else {
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+      }
+    }
+    n
+  }
+
+  private val persistedIndex = Seq(
+    // Search the PERSISTED index: the plan is posting-scan (partition-
+    // pruned to the probed cells) → codegen DotProduct → distributed
+    // top-k — no aggregate, no Lloyd round anywhere (locked in
+    // PlanSpec). The oracle re-derives the identical model from the
+    // corpus (fixed-point Lloyd + exact parquet round-trip) and checks
+    // each hit's POSTING LIST too (centroid_id), so a hash match proves
+    // the persisted assignment — not just the final ranking.
+    Q("sim_index_persist",
+      (s, d) => {
+        val n = ensureIndex(s, d, "ivp", incremental = false)
+        graft.operators.IvfIndex
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfPersistAnnSql)),
+
+    // Grow WITHOUT retraining: the new batch (vec_id >= 250) is
+    // assigned to the OLD model's centroids and appended into the
+    // posting partitions; search then spans old∪new through the same
+    // stale model. is_new flags which side of the ingest boundary each
+    // hit came from; the recall ladder (ivf_stale row) prices the
+    // staleness this introduces.
+    Q("sim_index_incremental",
+      (s, d) => {
+        val n = ensureIndex(s, d, "ivi", incremental = true)
+        graft.operators.IvfIndex
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            (col("vec_id") >= 250).as("is_new"))
+      },
+      Some(ivfIncrementalSql)))
+
   /** The ANN quality ladder as a driver-verified fact: recall@10 of each
     * approximate method (LSH / IVF-Flat / IVF-SQ8 / PQ / IVF-PQ) against
     * the exact brute-force top-10 on the SAME corpus and query, with the
@@ -246,6 +314,19 @@ private[queries] object VectorQueries {
             .searchQuantized(emb, "vec_id", "embedding", coarse, 0L,
               k = 10, nprobe = 2, poolFactor = 4)
             .select("vec_id")))
+          .union(tagged("ivf_stale", {
+            // the sim_index_incremental staleness, PRICED: model trained
+            // only on the pre-ingest slice (vec_id < 250), searched over
+            // the full old∪new corpus — recall@10 of the grown-without-
+            // retraining index vs the same exact ground truth
+            val old = emb.filter(col("vec_id") < 250)
+            val kS = math.max(8L, (old.count() + 511) / 512).toInt
+            val stale = graft.operators.Ivf
+              .train(old, "vec_id", "embedding", k = kS, iters = 2)
+            graft.operators.Ivf
+              .search(emb, "vec_id", "embedding", stale, 0L, k = 10, nprobe = 2)
+              .select("vec_id")
+          }))
         val brute = graft.operators.Similarity
           .topKBruteForce(emb, "vec_id", "embedding", 0L, 10)
           .select(col("vec_id"), lit(1).as("hit"))
@@ -288,5 +369,6 @@ private[queries] object VectorQueries {
         (0 until 16).map(j => s"${lshProjSql(j)} / 4 AS p$j").mkString(", ") +
         " FROM embeddings ORDER BY vec_id")))
 
-  val all: Seq[Q] = vectors ++ hybrid ++ batchAnn ++ recall ++ projection
+  val all: Seq[Q] =
+    vectors ++ hybrid ++ batchAnn ++ persistedIndex ++ recall ++ projection
 }

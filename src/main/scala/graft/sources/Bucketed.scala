@@ -25,28 +25,9 @@ object Bucketed {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, overwrite: Boolean = true): Unit = {
-    // single-part names only: the stale-dir cleanup below maps the name
-    // straight under the warehouse root, which is wrong for db-qualified
-    // tables (<warehouse>/<db>.db/<table>)
-    require(!table.contains("."),
-      s"writeBucketed takes a single-part table name, got '$table'")
-    if (overwrite) {
-      val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      // Resolve the table's on-disk location through the catalog itself
-      // (defaultTablePath handles warehouse-dir URI encoding — a
-      // percent-encoded path string-stripped of its `file:` prefix
-      // would point at a non-existent directory, the stale dir would
-      // survive, and saveAsTable would throw LOCATION_ALREADY_EXISTS).
-      val uri = spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(
-          table.toLowerCase(java.util.Locale.ROOT)))
-      val dir =
-        if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
-        else java.nio.file.Paths.get(uri.getPath)
-      if (java.nio.file.Files.exists(dir))
-        graft.util.Paths.deleteRecursively(dir)
-    }
+    // stale-location handling lives in Warehouse.dropWithLocation
+    // (shared with the partitioned ANN-index writers)
+    if (overwrite) Warehouse.dropWithLocation(df.sparkSession, table)
     val w = df.write
       .format("parquet")
       .bucketBy(buckets, key)

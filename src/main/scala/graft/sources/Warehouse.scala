@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Managed-table plumbing shared by the session-persisted layouts
+  * ([[Bucketed]] fact pairs, [[graft.operators.IvfIndex]] ANN indexes):
+  * overwrite-safe DROP (clearing a stale warehouse location a previous
+  * JVM left behind), partitioned writes, and append-into-partitioned.
+  *
+  * Partitioned managed tables are the IVF posting-list layout at 100 TB:
+  * a probe filter on the partition column is partition PRUNING — the
+  * scan never opens the unprobed cells' files.
+  */
+object Warehouse {
+
+  /** DROP `table` and clear its default warehouse location.
+    *
+    * A fresh session's in-memory catalog doesn't know about a directory
+    * left by a previous JVM, so a bare `mode(overwrite).saveAsTable`
+    * would take the CREATE path and refuse the existing location
+    * (LOCATION_ALREADY_EXISTS). Resolving the path through the catalog
+    * itself (defaultTablePath) handles warehouse-dir URI encoding — a
+    * percent-encoded path string-stripped of its `file:` prefix would
+    * point at a non-existent directory and the stale dir would survive.
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"dropWithLocation takes a single-part table name, got '$table'")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val uri = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        table.toLowerCase(java.util.Locale.ROOT)))
+    val dir =
+      if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
+      else java.nio.file.Paths.get(uri.getPath)
+    if (java.nio.file.Files.exists(dir))
+      graft.util.Paths.deleteRecursively(dir)
+  }
+
+  /** Write `df` as a parquet managed table partitioned by `partCol`
+    * (directory-per-value layout → filters on `partCol` become
+    * partition pruning). Overwrite-safe via [[dropWithLocation]].
+    */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.format("parquet").partitionBy(partCol).saveAsTable(table)
+    refresh(df.sparkSession, table)
+  }
+
+  /** Write `df` as a plain (unpartitioned) parquet managed table —
+    * model/metadata tables (centroids, manifests). Overwrite-safe.
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.format("parquet").saveAsTable(table)
+    refresh(df.sparkSession, table)
+  }
+
+  /** Append rows into an EXISTING partitioned managed table.
+    * `insertInto` is position-based: `df`'s columns are re-ordered to
+    * the table's schema by name first, so callers can pass any column
+    * order.
+    */
+  def appendInto(df: DataFrame, table: String): Unit = {
+    val cols = df.sparkSession.table(table).columns
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.insertInto(table)
+    refresh(df.sparkSession, table)
+  }
+
+  /** The session-wide FileStatusCache is keyed by PATH: if any earlier
+    * query read a same-named table at this location, a rewrite would
+    * otherwise serve the stale file list to the next scan
+    * (FAILED_READ_FILE.FILE_NOT_EXIST on the old part files).
+    */
+  private def refresh(spark: SparkSession, table: String): Unit =
+    spark.catalog.refreshTable(table)
+}

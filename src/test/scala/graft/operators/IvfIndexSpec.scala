@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Persisted IVF index: build/search equivalence with the inline path,
+  * retrain-free append, and the retrain-free + partition-pruned SEARCH
+  * PLAN the layout exists for.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.embeddings(spark, sf)
+
+  private lazy val builtNames = {
+    val n = IvfIndex.names("ivxspec", "t1")
+    IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
+    n
+  }
+
+  test("persisted search ≡ the inline Ivf.search on the same model (bit-identical ranking)") {
+    val n = builtNames
+    val persisted = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val inline = Ivf.search(emb, "vec_id", "embedding", cents, 0L,
+      k = 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(persisted === inline)
+  }
+
+  test("centroids round-trip parquet bit-exactly") {
+    val n = builtNames
+    val loaded = IvfIndex.loadCentroids(spark, n)
+    val trained = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(loaded.length === trained.length)
+    loaded.zip(trained).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("appendBatch grows the postings with the OLD model's assignment — no retrain") {
+    val n = IvfIndex.names("ivxspec", "t2")
+    val old = emb.filter(col("vec_id") < 250)
+    IvfIndex.build(old, "vec_id", "embedding", n, k = 8)
+    IvfIndex.appendBatch(spark, n, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding")
+    val stored = spark.table(n.postings)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // expected: every vector of the FULL corpus assigned to the
+    // old-trained centroids (the stale-model semantics)
+    val staleModel = Ivf.train(old, "vec_id", "embedding", k = 8, iters = 2)
+    val expect = Ivf.assign(emb, "embedding", staleModel)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === expect)
+  }
+
+  test("search plan is retrain-free and partition-pruned (the index's reason to exist)") {
+    val n = builtNames
+    val p = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2).queryExecution.executedPlan.toString
+    // zero Lloyd rounds / zero aggregates anywhere in the search plan
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    // distributed top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the probe reaches the scan as a PARTITION filter on centroid_id —
+    // unprobed cells' files are never opened
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("centroid_id"), p)
+  }
+}

@@ -112,6 +112,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("sim_index_persist / sim_index_incremental: retrain-free, partition-pruned search") {
+    // The persisted index's reason to exist: the SEARCH plan contains no
+    // Lloyd round (no aggregate over corpus vectors — training happened
+    // at build time, amortized like j13's bucketed writes), ranks via a
+    // distributed top-k, and the probe reaches the posting scan as a
+    // PARTITION filter on centroid_id (unprobed cells never open).
+    Seq("sim_index_persist", "sim_index_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("HashAggregate"), s"$q: $p")
+      assert(!p.contains("ObjectHashAggregate"), s"$q: $p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+      assert(p.contains("PartitionFilters"), s"$q: $p")
+    }
+  }
+
   test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
     // j12 proves the layout works the day it is written; j13 proves every
     // LATER consumer of an existing bucketed pair still joins + aggregates
