@@ -324,6 +324,107 @@ private[queries] object TrainingQueries {
         "CASE WHEN o.oh IS NULL THEN 'added' WHEN n.nh IS NULL THEN 'removed' WHEN o.oh <> n.nh THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id")))
 
+  /** The funnel-v2 curation chain (corpus with synthetic duplicates →
+    * NB quality gate → top-p entropy gate), shared by the yield report
+    * (`pipeline_funnel_v2`) and the training-shard assembly capstone
+    * (`pipeline_assemble`) so the two can never drift. Each stage's
+    * survivor set is localCheckpoint'd — the r12 lesson: a lazy DAG
+    * re-evaluates the whole upstream once per consumer (NB 3×, entropy
+    * 2× — measured 107 s → 44 s at sf10).
+    */
+  private final case class FunnelStages(docs: DataFrame, s1: DataFrame,
+      s2: DataFrame, s2docs: DataFrame)
+
+  /** DuckDB twin of [[funnelV2Stages]] PLUS the span-scrub token
+    * survivors: CTEs `corpus` → NB chain → `s1` → entropy/threshold →
+    * `s2` → `t2` (gated docs' word arrays) → `surv` (doc_id, pos, w —
+    * every surviving token position of the scrub). Shared verbatim by
+    * the pipeline_funnel_v2 and pipeline_assemble oracles.
+    */
+  private lazy val funnelV2OracleCtes: String = {
+    import graft.functions.{Hdr, ILog}
+    def qd(e: String) = ILog.qlogSqlDuck(e)
+    val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
+    val lb = Hdr.lowerBoundSqlDuck("b", 7)
+    "corpus AS (SELECT doc_id, source, lang, text FROM documents UNION ALL SELECT doc_id + 100000, source, lang, text FROM documents WHERE doc_id % 7 = 0), " +
+      "tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM corpus), " +
+      "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8 AND doc_id < 100000), " +
+      "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+      "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+      "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+      "j AS (SELECT tok.doc_id, " +
+      s"${qd("(COALESCE(cp, 0) + 1)")} - ${qd("(npos + vsz)")} - ${qd("(COALESCE(cn, 0) + 1)")} + ${qd("(nneg + vsz)")} AS wt, dpos, dneg " +
+      "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms), " +
+      "nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      s"(${qd("dpos")} - ${qd("dneg")} + SUM(wt)) > 0 AS pred_pos " +
+      "FROM j GROUP BY doc_id, dpos, dneg), " +
+      "s1 AS (SELECT doc_id, n_tokens FROM nb WHERE pred_pos), " +
+      "c AS (SELECT tok.doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN s1 USING (doc_id) GROUP BY tok.doc_id, w), " +
+      "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+      s"CAST(SUM(c * ${qd("c")}) AS BIGINT) AS s FROM c GROUP BY doc_id), " +
+      "e AS (SELECT doc_id, n_tokens, " +
+      s"(n_tokens * ${qd("n_tokens")} - s) // n_tokens AS avg_fp20 FROM a), " +
+      "scored AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM e JOIN corpus USING (doc_id)), " +
+      s"bk AS (SELECT lang, $bexp AS b, n_tokens FROM scored), " +
+      "cnt AS (SELECT lang, b, CAST(SUM(n_tokens) AS BIGINT) AS cb FROM bk GROUP BY 1, 2), " +
+      "wq AS (SELECT lang, b, CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum, CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cnt), " +
+      s"th AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wq GROUP BY lang), " +
+      "s2 AS (SELECT scored.doc_id, scored.n_tokens FROM scored JOIN th USING (lang) WHERE avg_fp20 >= t_lb), " +
+      "t2 AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS ws FROM corpus d JOIN s2 ON d.doc_id = s2.doc_id), " +
+      "tok2 AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM t2, LATERAL unnest(generate_series(1, len(ws))) AS g(i)), " +
+      "sp AS (SELECT doc_id, i - 1 AS start, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM t2, LATERAL unnest(generate_series(1, len(ws) - 7)) AS g(i)), " +
+      "f AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h HAVING count(*) >= 2), " +
+      "cov AS (SELECT DISTINCT sp.doc_id, start + j AS pos FROM sp JOIN f USING (h), LATERAL unnest(generate_series(0, 7)) AS u(j) WHERE sp.doc_id <> f.keeper), " +
+      "surv AS (SELECT tok2.doc_id, tok2.pos, tok2.w FROM tok2 LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.pos = cov.pos WHERE cov.pos IS NULL)"
+  }
+
+  private def funnelV2Stages(s: SparkSession, d: String): FunnelStages = {
+    import graft.operators.NbClassifier
+    import graft.functions.Hdr
+    // v1's deterministic duplicates (every 7th doc re-keyed +100000)
+    // give the scrub stage real work at any sf: a copy shares every
+    // span with its original, so the original (min doc_id) keeps
+    // them and the surviving copy is scrubbed below the token gate.
+    val base = Tables.documents(s, d)
+      .select("doc_id", "source", "lang", "text")
+    val docs = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        col("source"), col("lang"), col("text")))
+    // stage 1: NB quality gate (trained exactly as quality_nb)
+    val tok = docs.select(col("doc_id"),
+      col("source").isin("src0", "src1", "src2", "src3", "src4")
+        .as("is_pos"),
+      explode(split(lower(col("text")), " ")).as("w"))
+    // train on ORIGINALS only (doc_id < 100000): a real pipeline
+    // never lets synthetic/duplicated rows inflate the class counts;
+    // copies are still SCORED by the model like any other doc.
+    val train = tok.filter(col("doc_id") % 10 < 8 && col("doc_id") < 100000)
+    val nb = NbClassifier.score(tok.select("doc_id", "w"),
+      NbClassifier.tokenClassCounts(train), NbClassifier.modelScalars(train))
+    val s1 = nb.filter(col("pred_pos")).select("doc_id", "n_tokens")
+      .localCheckpoint()
+    val s1docs = docs.join(s1.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // stage 2: top-p entropy selection, threshold learned ON s1
+    val scored = graft.operators.InfoStats
+      .tokenEntropy(s1docs, "doc_id", "text")
+      .join(s1docs.select("doc_id", "lang"), "doc_id")
+      .localCheckpoint()
+    val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
+      Seq((2L, 5L, "t_lb")), Some("n_tokens"))
+    val s2 = scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
+      .filter(col("avg_fp20") >= col("t_lb"))
+      .select("doc_id", "n_tokens")
+      .localCheckpoint()
+    // scrubRepeatedSpans reads its input THREE times (token explode,
+    // gram rows, n_before scan) — s2docs must be materialized or each
+    // read re-runs NB + entropy + threshold (measured: 124 s -> 16 s
+    // at sf10)
+    val s2docs = docs.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    FunnelStages(docs, s1, s2, s2docs)
+  }
+
   private val funnel = Seq(
     // Pipeline yield funnel: per-source survivor counts through the
     // curation chain — raw → quality gate → exact-dup canonical →
@@ -390,54 +491,8 @@ private[queries] object TrainingQueries {
     // partial agg — no stage pairs docs with docs.
     Q("pipeline_funnel_v2",
       (s, d) => {
-        import graft.operators.NbClassifier
-        import graft.functions.Hdr
-        // v1's deterministic duplicates (every 7th doc re-keyed +100000)
-        // give the scrub stage real work at any sf: a copy shares every
-        // span with its original, so the original (min doc_id) keeps
-        // them and the surviving copy is scrubbed below the token gate.
-        val base = Tables.documents(s, d)
-          .select("doc_id", "source", "lang", "text")
-        val docs = base.unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            col("source"), col("lang"), col("text")))
-        // stage 1: NB quality gate (trained exactly as quality_nb)
-        val tok = docs.select(col("doc_id"),
-          col("source").isin("src0", "src1", "src2", "src3", "src4")
-            .as("is_pos"),
-          explode(split(lower(col("text")), " ")).as("w"))
-        // train on ORIGINALS only (doc_id < 100000): a real pipeline
-        // never lets synthetic/duplicated rows inflate the class counts;
-        // copies are still SCORED by the model like any other doc.
-        val train = tok.filter(col("doc_id") % 10 < 8 && col("doc_id") < 100000)
-        val nb = NbClassifier.score(tok.select("doc_id", "w"),
-          NbClassifier.tokenClassCounts(train), NbClassifier.modelScalars(train))
-        // The four accounting branches + downstream stages would each
-        // re-evaluate the whole upstream (NB scoring 3x, entropy 2x —
-        // measured 107 s at sf10, 30 s after): checkpoint each stage's
-        // SURVIVOR SET (a few (doc_id, n_tokens) rows per thousand input
-        // docs) so every heavy model runs exactly once.
-        val s1 = nb.filter(col("pred_pos")).select("doc_id", "n_tokens")
-          .localCheckpoint()
-        val s1docs = docs.join(s1.select("doc_id"), Seq("doc_id"), "left_semi")
-          .localCheckpoint()
-        // stage 2: top-p entropy selection, threshold learned ON s1
-        val scored = graft.operators.InfoStats
-          .tokenEntropy(s1docs, "doc_id", "text")
-          .join(s1docs.select("doc_id", "lang"), "doc_id")
-          .localCheckpoint()
-        val th = Hdr.quantileEstimates(scored, Seq("lang"), "avg_fp20", 7,
-          Seq((2L, 5L, "t_lb")), Some("n_tokens"))
-        val s2 = scored.join(broadcast(th.select(col("lang"), col("t_lb"))), "lang")
-          .filter(col("avg_fp20") >= col("t_lb"))
-          .select("doc_id", "n_tokens")
-          .localCheckpoint()
-        // scrubRepeatedSpans reads its input THREE times (token
-        // explode, gram rows, n_before scan) — s2docs must be
-        // materialized or each read re-runs NB + entropy + threshold
-        // (measured: 124 s -> 16 s at sf10)
-        val s2docs = docs.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
-          .localCheckpoint()
+        val st = funnelV2Stages(s, d)
+        import st.{docs, s1, s2, s2docs}
         // stage 3: span scrub within the gated slice + min-token gate
         val s3 = graft.operators.Dedup
           .scrubRepeatedSpans(s2docs, "doc_id", "text", n = 8)
@@ -456,40 +511,7 @@ private[queries] object TrainingQueries {
           .orderBy("stage")
       },
       Some {
-        import graft.functions.{Hdr, ILog}
-        def qd(e: String) = ILog.qlogSqlDuck(e)
-        val bexp = Hdr.bucketSqlDuck("avg_fp20", 7)
-        val lb = Hdr.lowerBoundSqlDuck("b", 7)
-        "WITH corpus AS (SELECT doc_id, source, lang, text FROM documents UNION ALL SELECT doc_id + 100000, source, lang, text FROM documents WHERE doc_id % 7 = 0), " +
-          "tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM corpus), " +
-          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8 AND doc_id < 100000), " +
-          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
-          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
-          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
-          "j AS (SELECT tok.doc_id, " +
-          s"${qd("(COALESCE(cp, 0) + 1)")} - ${qd("(npos + vsz)")} - ${qd("(COALESCE(cn, 0) + 1)")} + ${qd("(nneg + vsz)")} AS wt, dpos, dneg " +
-          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms), " +
-          "nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-          s"(${qd("dpos")} - ${qd("dneg")} + SUM(wt)) > 0 AS pred_pos " +
-          "FROM j GROUP BY doc_id, dpos, dneg), " +
-          "s1 AS (SELECT doc_id, n_tokens FROM nb WHERE pred_pos), " +
-          "c AS (SELECT tok.doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN s1 USING (doc_id) GROUP BY tok.doc_id, w), " +
-          "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
-          s"CAST(SUM(c * ${qd("c")}) AS BIGINT) AS s FROM c GROUP BY doc_id), " +
-          "e AS (SELECT doc_id, n_tokens, " +
-          s"(n_tokens * ${qd("n_tokens")} - s) // n_tokens AS avg_fp20 FROM a), " +
-          "scored AS (SELECT doc_id, lang, avg_fp20, n_tokens FROM e JOIN corpus USING (doc_id)), " +
-          s"bk AS (SELECT lang, $bexp AS b, n_tokens FROM scored), " +
-          "cnt AS (SELECT lang, b, CAST(SUM(n_tokens) AS BIGINT) AS cb FROM bk GROUP BY 1, 2), " +
-          "wq AS (SELECT lang, b, CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum, CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cnt), " +
-          s"th AS (SELECT lang, CAST(MIN(CASE WHEN cum >= (n * 2 + 4) // 5 THEN $lb END) AS BIGINT) AS t_lb FROM wq GROUP BY lang), " +
-          "s2 AS (SELECT scored.doc_id, scored.n_tokens FROM scored JOIN th USING (lang) WHERE avg_fp20 >= t_lb), " +
-          "t2 AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS ws FROM corpus d JOIN s2 ON d.doc_id = s2.doc_id), " +
-          "tok2 AS (SELECT doc_id, i - 1 AS pos FROM t2, LATERAL unnest(generate_series(1, len(ws))) AS g(i)), " +
-          "sp AS (SELECT doc_id, i - 1 AS start, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM t2, LATERAL unnest(generate_series(1, len(ws) - 7)) AS g(i)), " +
-          "f AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h HAVING count(*) >= 2), " +
-          "cov AS (SELECT DISTINCT sp.doc_id, start + j AS pos FROM sp JOIN f USING (h), LATERAL unnest(generate_series(0, 7)) AS u(j) WHERE sp.doc_id <> f.keeper), " +
-          "surv AS (SELECT tok2.doc_id, tok2.pos FROM tok2 LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.pos = cov.pos WHERE cov.pos IS NULL), " +
+        "WITH " + funnelV2OracleCtes + ", " +
           "sc AS (SELECT t2.doc_id, COALESCE(g.n_after, 0) AS n_after FROM t2 LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after FROM surv GROUP BY doc_id) g USING (doc_id)), " +
           "s3 AS (SELECT doc_id, n_after AS n_tokens FROM sc WHERE n_after >= 30), " +
           "raw AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM corpus) " +
@@ -499,6 +521,65 @@ private[queries] object TrainingQueries {
           "UNION ALL SELECT '3_span_scrub', CAST(count(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s3 " +
           "ORDER BY stage"
       }),
+
+    // The training-shard assembly CAPSTONE — the single composed run a
+    // curation pipeline actually ships: funnel-v2 survivors (NB gate →
+    // top-p → span scrub, the SCRUBBED text carried forward) →
+    // tokenizer vocab learned ON the curated corpus (top-200,
+    // text_encode_ids' exact construction) → id-encoding → concat-and-
+    // chunk packing into 2048-token bins across 4 deterministic shards
+    // — reported as one manifest row per shard: doc/token volume, bin
+    // count, and a CONTENT checksum (order-independent exact sum of
+    // each doc's id-sequence md5 prefix), so a hash match proves the
+    // exact token ids every shard ships, not just its sizes. Every
+    // stage is individually green elsewhere; this row pins the
+    // COMPOSITION. Scale: per-stage localCheckpoint (the r12 funnel
+    // lesson), vocab is a 200-row broadcast, packing windows are
+    // shard-local, the manifest is one shard-keyed agg.
+    Q("pipeline_assemble",
+      (s, d) => {
+        val st = funnelV2Stages(s, d)
+        // stage 3 keeps the SCRUBBED text — what actually ships
+        val curated = graft.operators.Dedup
+          .scrubRepeatedSpans(st.s2docs, "doc_id", "text", n = 8)
+          .filter(col("n_after") >= 30)
+          .select(col("doc_id"), col("scrubbed"))
+          .localCheckpoint()
+        val tok = curated.select(col("doc_id"),
+          posexplode(split(col("scrubbed"), " ")).as(Seq("pos", "w")))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(200)
+          .select(col("w"),
+            row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+              .cast("long").as("tid"))
+        val ids = tok.join(broadcast(vocab), Seq("w"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(0L)))
+          .groupBy("doc_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tid))), x -> cast(x.tid as string)), ',')")
+            .as("ids"),
+            count(lit(1)).as("n_tokens"))
+          .localCheckpoint()
+        graft.operators.Pack
+          .packSequences(ids, "doc_id", "n_tokens", 2048L, 4)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            (max(col("bin")) + 1).as("n_bins"),
+            sum(conv(substring(md5(col("ids")), 1, 8), 16, 10).cast("long"))
+              .as("checksum"))
+          .orderBy("shard")
+      },
+      Some("WITH " + funnelV2OracleCtes + ", " +
+        "keep AS (SELECT doc_id FROM surv GROUP BY doc_id HAVING count(*) >= 30), " +
+        "ctok AS (SELECT surv.doc_id, surv.pos, surv.w FROM surv JOIN keep USING (doc_id)), " +
+        "v AS (SELECT w, rn AS tid FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn FROM ctok GROUP BY w) WHERE rn <= 200), " +
+        "enc AS (SELECT doc_id, string_agg(CAST(COALESCE(tid, 0) AS VARCHAR), ',' ORDER BY pos) AS ids, CAST(count(*) AS BIGINT) AS n_tokens FROM ctok LEFT JOIN v ON ctok.w = v.w GROUP BY doc_id), " +
+        "pk AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard, doc_id, ids, n_tokens FROM enc), " +
+        "binned AS (SELECT shard, ids, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin FROM pk) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, " +
+        "CAST(SUM(CAST(('0x' || substr(md5(ids), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM binned GROUP BY shard ORDER BY shard")),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact
