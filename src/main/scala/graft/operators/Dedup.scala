@@ -278,6 +278,40 @@ object Dedup {
     bands.reduce(_ unionByName _).distinct()
   }
 
+  /** Batch dedup VERDICTS against a persisted index — the enforcement
+    * half of [[incrementalLshPairs]]: the ids of `newSig` rows that must
+    * be DROPPED because they band-collide with (a) any already-ingested
+    * signature in `oldSig` — epoch dominance, regardless of id order —
+    * or (b) an earlier (smaller-id) member of the same batch.
+    *
+    * Unlike [[incrementalLshPairs]] this tolerates a RE-INGESTED id: a
+    * changed document's new signature meeting its own previous
+    * signature in the index (same id) never blocks itself, while that
+    * previous signature still blocks every OTHER colliding newcomer —
+    * the tombstone-blocks-readmission contract of an incremental
+    * curated store. Same scale shape: per band the old index is a probe
+    * side scanned once, the old-old quadrant never joins.
+    */
+  def incrementalDropIds(newSig: DataFrame, oldSig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+      val left = newSig.select(col(idCol) +: keys.map(col): _*)
+      def side(sig: DataFrame, old: Boolean) = sig
+        .select(col(idCol).as("__id_y") +: keys.map(k => col(k).as(s"_$k")): _*)
+        .withColumn("__old", lit(old))
+      val right = side(oldSig, old = true).unionByName(side(newSig, old = false))
+      left.join(right,
+        keys.map(k => col(k) === col(s"_$k")).reduce(_ && _) &&
+          ((col("__old") && col(idCol) =!= col("__id_y")) ||
+            (!col("__old") && col("__id_y") < col(idCol))))
+        .select(col(idCol))
+    }
+    bands.reduce(_ unionByName _).distinct()
+  }
+
   /** Hub-capped LSH candidate pairs: per band bucket, only the `hubs`
     * smallest ids pair with the rest of the bucket, so a hot bucket of b
     * docs emits O(hubs·b) edges instead of the b(b-1)/2 of

@@ -381,13 +381,21 @@ private[queries] object CatalogShared {
   /** Shared minhash-signature SQL (DuckDB list comprehension = Spark
     * transform over 1-based element_at — verified aligned).
     */
-  lazy val minhashSql: String =
-    "SELECT doc_id, list_aggregate([md5('0' || sh) for sh in shl], 'min') AS h0, " +
+  lazy val minhashSql: String = minhashSqlFrom("documents")
+
+  /** [[minhashSql]] over an arbitrary (doc_id, text, …) source CTE,
+    * with optional extra pass-through columns (e.g. the ingest-ledger
+    * `epoch` in pipeline_incremental's oracle).
+    */
+  def minhashSqlFrom(src: String, extraCols: Seq[String] = Nil): String = {
+    val ex = extraCols.map(_ + ", ").mkString
+    s"SELECT doc_id, ${ex}list_aggregate([md5('0' || sh) for sh in shl], 'min') AS h0, " +
       "list_aggregate([md5('1' || sh) for sh in shl], 'min') AS h1, " +
       "list_aggregate([md5('2' || sh) for sh in shl], 'min') AS h2, " +
       "list_aggregate([md5('3' || sh) for sh in shl], 'min') AS h3 " +
-      "FROM (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)] AS shl " +
-      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))"
+      s"FROM (SELECT doc_id, $ex[ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)] AS shl " +
+      s"FROM (SELECT doc_id, ${ex}string_split(lower(text), ' ') AS ws FROM $src))"
+  }
 
   /** LSH band-join pair SQL over [[minhashSql]] signatures (shared by the
     * pair query and the clustering oracle).

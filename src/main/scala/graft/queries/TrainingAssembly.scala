@@ -335,6 +335,51 @@ private[queries] object TrainingQueries {
   private final case class FunnelStages(docs: DataFrame, s1: DataFrame,
       s2: DataFrame, s2docs: DataFrame)
 
+  /** Build (or reuse) the PERSISTED state the incremental pipeline
+    * starts from — the previous build's outputs, as a real nightly job
+    * leaves them: the snapshot manifest (doc_id, content hash), the
+    * signature index of every gate-passing doc ingested (dups included
+    * — the index blocks readmission), and the curated store (gated,
+    * LSH-deduped rows of the old snapshot, epoch-0 ledger order =
+    * doc_id). Corpus-fingerprint-keyed and built once per session, the
+    * j13 amortization pattern; the `pinc` prefix is exclusive to
+    * pipeline_incremental (no shared mutable tables under Verify's
+    * concurrent evaluation).
+    */
+  private def ensureCuratedStore(s: SparkSession, d: String): (String, String, String) = {
+    import graft.operators.{Dedup, Snapshot}
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (manifestT, sigT, storeT) =
+      (s"pinc_manifest_$fp", s"pinc_sigidx_$fp", s"pinc_store_$fp")
+    if (!Seq(manifestT, sigT, storeT).forall(s.catalog.tableExists)) {
+      val o = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v0")))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      Warehouse.writeTable(
+        o.select(col("doc_id"), Snapshot.contentHash(Seq("text")).as("h")),
+        manifestT)
+      val gated = o.filter(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val sig = Dedup.minhashSignatures(gated, "doc_id", "text", 4)
+        .localCheckpoint()
+      Warehouse.writeTable(sig, sigT)
+      // epoch-0 dedup: x is a dup iff some smaller-id gated doc
+      // band-collides (pairs emit id_a < id_b, so dups = the id_b side)
+      val dup0 = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+        .select(col("id_b").as("doc_id")).distinct()
+      Warehouse.writeTable(
+        gated.join(dup0, Seq("doc_id"), "left_anti")
+          .select("doc_id", "n_tokens"),
+        storeT)
+    }
+    (manifestT, sigT, storeT)
+  }
+
   /** DuckDB twin of [[funnelV2Stages]] PLUS the span-scrub token
     * survivors: CTEs `corpus` → NB chain → `s1` → entropy/threshold →
     * `s2` → `t2` (gated docs' word arrays) → `surv` (doc_id, pos, w —
@@ -580,6 +625,82 @@ private[queries] object TrainingQueries {
         "CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, " +
         "CAST(SUM(CAST(('0x' || substr(md5(ids), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM binned GROUP BY shard ORDER BY shard")),
+
+    // The incremental END-TO-END build — the nightly shape at 100 TB:
+    // the previous build's state is PERSISTED (snapshot manifest,
+    // signature index, curated store), a new snapshot arrives, and only
+    // the added/changed docs flow through the pipeline: manifest diff →
+    // quality gate → minhash → incremental LSH verdicts against the
+    // persisted index ([[graft.operators.Dedup.incrementalDropIds]] —
+    // the old-old quadrant never joins) → survivors merge with the
+    // carried-forward store rows. Ledger semantics (documented, closed-
+    // form in the oracle): a doc is dropped iff it band-collides with a
+    // gate-passing doc ingested EARLIER — old snapshot entries dominate
+    // every batch doc, batch docs order by doc_id — where the index
+    // retains every gate-passing signature ever ingested (a removed or
+    // re-edited doc's previous version still blocks other newcomers —
+    // tombstoned content stays blocked — but never blocks its own
+    // re-ingest). The query COMPUTES the post-update store (persisting
+    // the merge itself is Upsert's job, k5_upsert); the oracle is the
+    // full ledger recompute over both snapshots, so a hash match is the
+    // incremental-equals-batch correctness statement. Snapshots derive
+    // deterministically from `documents` exactly as snapshot_diff's:
+    // old = %10≠7 with ' v0' stale text for %5==0; new = %10≠3.
+    Q("pipeline_incremental",
+      (s, d) => {
+        import graft.operators.{Dedup, Snapshot}
+        val (manifestT, sigT, storeT) = ensureCuratedStore(s, d)
+        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+          .select("doc_id", "text")
+        // classify against the PERSISTED manifest — the old snapshot is
+        // never rescanned (locked in PlanSpec via the stale-text marker)
+        val cls = n
+          .withColumn("h", Snapshot.contentHash(Seq("text")))
+          .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
+            Seq("doc_id"), "left")
+          .localCheckpoint()
+        val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
+        val gated = batch
+          .filter(size(split(col("text"), " ")) >= 30)
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .localCheckpoint()
+        val batchSig = Dedup
+          .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+        val dropped = Dedup
+          .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
+        val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"), lit(true).as("from_batch"))
+        // carried: persisted store rows whose doc is UNCHANGED in the
+        // new snapshot (removed and changed rows drop out here)
+        val carried = s.table(storeT)
+          .join(cls.filter(col("old_h") === col("h")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_tokens"), lit(false).as("from_batch"))
+        carried.unionByName(survivors).orderBy("doc_id")
+      },
+      Some {
+        // the ledger, recomputed from scratch: epoch 0 = old snapshot,
+        // epoch 1 = added/changed docs of the new snapshot
+        "WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7), " +
+          "n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), " +
+          "led AS (SELECT doc_id, text, 0 AS epoch FROM o UNION ALL " +
+          "SELECT doc_id, text, 1 FROM n WHERE doc_id % 10 = 7 OR doc_id % 5 = 0), " +
+          "g AS (SELECT * FROM led WHERE len(string_split(text, ' ')) >= 30), " +
+          s"sig AS (${minhashSqlFrom("g", Seq("epoch"))}), " +
+          // earlier-ingested collider: smaller epoch, or same epoch and
+          // smaller id — never the doc's own previous version
+          "coll AS (SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h0 = y.h0 AND x.h1 = y.h1 " +
+          "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id)) " +
+          "UNION SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h2 = y.h2 AND x.h3 = y.h3 " +
+          "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id))), " +
+          // each new-snapshot doc's CURRENT ledger entry
+          "cur AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch FROM n) " +
+          "SELECT g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens, g.epoch = 1 AS from_batch " +
+          "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
+          "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+          "WHERE coll.doc_id IS NULL ORDER BY g.doc_id"
+      }),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact

@@ -167,6 +167,27 @@ class DedupSpec extends SparkSpec {
     inc.foreach { case ((a, b), cross) => assert(cross === (a <= 5L), s"($a,$b)") }
   }
 
+  test("incrementalDropIds: epoch dominance, in-batch id order, self never blocks") {
+    import spark.implicits._
+    val oldDocs = docs // ids 1..5; (1,2) exact dups
+    val newDocs = Seq(
+      // re-ingest of doc 5 (same id, same text — doc 5 collides with no
+      // other old doc): its own old signature must NOT block it
+      (5L, oldDocs.filter($"doc_id" === 5).select("text").collect().head.getString(0)),
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup of old 1,2 → dropped (epoch)
+      (102L, "the quick brown fox jumps over the lazy dog"), // dup of 101 → dropped (in-batch order)
+      (103L, "entirely novel text with no earlier relatives whatsoever"))
+      .toDF("doc_id", "text")
+    val oldSig = Dedup.minhashSignatures(oldDocs, "doc_id", "text", 4).localCheckpoint()
+    val newSig = Dedup.minhashSignatures(newDocs, "doc_id", "text", 4).localCheckpoint()
+    val dropped = Dedup.incrementalDropIds(newSig, oldSig, "doc_id", 4, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!dropped.contains(5L), "re-ingested doc blocked by its own previous version")
+    assert(dropped.contains(101L), "cross dup must be dropped regardless of id order")
+    assert(dropped.contains(102L), "in-batch dup with a smaller-id collider must drop")
+    assert(!dropped.contains(103L), "novel doc wrongly dropped")
+  }
+
   test("contaminated flags only corpus docs sharing enough shingles with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")

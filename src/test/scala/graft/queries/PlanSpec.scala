@@ -127,6 +127,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
+    val p = plan("pipeline_incremental")
+    // the merge plan reads ONLY persisted state (manifest/sigidx/store
+    // managed tables) plus the checkpointed new-batch rows: zero scans
+    // of the base corpus parquet, and no trace of the old-snapshot
+    // derivation (its ' v0' stale-text marker) — the base-rescan lock
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("pinc_sigidx"), p)
+    assert(p.contains("pinc_store"), p)
+    assert(!p.contains("v0"), p)
+    // dedup verdicts come from keyed band joins, never data-x-data
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
     // j12 proves the layout works the day it is written; j13 proves every
     // LATER consumer of an existing bucketed pair still joins + aggregates
