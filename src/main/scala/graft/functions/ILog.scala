@@ -34,6 +34,25 @@ object ILog {
     e.toLong * 1048576L + ((n - p) * 1048576L) / p
   }
 
+  /** Column twin of [[qlog2Fp20]] — the SAME expression tree
+    * [[qlogSqlSpark]] emits as text (length(bin)/shift/integral-divide,
+    * loud failure below 1), built directly so the SQL-surface
+    * registration ([[Registry.registerSql]]) can expose `qlog2_fp20` as
+    * a native codegen function. Variable-distance shift and integer
+    * division have no Column-API wrappers, so those two nodes go
+    * through ColumnBridge.
+    */
+  def qlog2Fp20Col(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, ShiftLeft}
+    val e = length(bin(v)) - 1
+    val p = column(ShiftLeft(expression(lit(1L)), expression(e)))
+    val frac = column(new IntegralDivide(expression((v - p) * 1048576), expression(p)))
+    when(v < 1, raise_error(lit("qlog2: value below 1")).cast("bigint"))
+      .otherwise(e.cast("bigint") * 1048576 + frac)
+  }
+
   /** Spark SQL text of qlog2 for value expression `v`. */
   def qlogSqlSpark(v: String): String = qlogSql(v, spark = true)
 

@@ -26,5 +26,21 @@ object Registry {
     spark.udf.register("hdr_sketch", udaf(HdrSketch(HdrSubBits)))
     spark.udf.register("kmv_uk", udaf(KmvSketch(KmvK)))
     spark.udf.register("kmv_buffer", udaf(KmvBuffer(KmvK)))
+    registerSql(spark)
   }
+
+  /** Runtime twin of [[graft.plans.GraftExtensions]] for a session that
+    * already exists (notebooks, the driver harness — extensions can
+    * only be installed at session BUILD time): registers the same
+    * scalar expression builders (`canonical_url`, `simhash16`,
+    * `minhash_sig`, `qlog2_fp20`, `dot_product`) as temp functions.
+    * Each call expands to the identical built-in/codegen expression
+    * tree the Scala Column API produces — SQL ≡ DataFrame is pinned in
+    * FingerprintsSpec. Idempotent (createOrReplace).
+    */
+  def registerSql(spark: SparkSession): Unit =
+    graft.plans.GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -447,6 +447,22 @@ private[queries] object AggScalarQueries {
       },
       Some(SqlExists)),
 
+    // S8: the LLM-curation primitives on the SQL front end — a pure-SQL
+    // user composes canonical_url / simhash16 / minhash_sig / qlog2_fp20
+    // like built-ins ([[graft.functions.Registry.registerSql]], the
+    // runtime twin of GraftExtensions). Every registered function
+    // expands to the same codegen expression tree the Column API emits
+    // (no UDFs — SQL ≡ DataFrame is additionally pinned in
+    // FingerprintsSpec); the oracle re-derives all four values from
+    // their proven cross-engine twins.
+    Q("s8_sql_curation",
+      (s, d) => {
+        graft.functions.Registry.registerSql(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents")
+        s.sql(SqlCuration)
+      },
+      Some(sqlCurationOracle)),
+
     // RANGE window frame: peers-by-value, not rows — count of same-
     // customer orders within $1000 below the current price (frame
     // membership by value comparison: deterministic under ties, unlike a

@@ -36,6 +36,35 @@ private[queries] object CatalogShared {
       "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) " +
       "ORDER BY c_custkey"
 
+  /** The SQL front end reaching the curation primitives
+    * (s8_sql_curation): one `spark.sql` statement composing the
+    * [[graft.functions.Registry.registerSql]] functions like built-ins.
+    * The messy URL is a deterministic function of doc_id (the
+    * url_canonical_dedup construction), so the DuckDB oracle
+    * ([[sqlCurationOracle]]) states its canonical form CLOSED-FORM and
+    * re-derives simhash/minhash/qlog2 from their proven SQL twins — a
+    * hash match proves the registered functions ≡ the Column API ≡ the
+    * cross-engine ground truth.
+    */
+  val SqlCuration: String =
+    "SELECT doc_id, " +
+      "canonical_url(concat('HTTP://WWW.Site', cast(doc_id % 7 as string), " +
+      "'.Example.COM:80/p/', cast(doc_id % 5 as string), '/?utm_source=x&id=', " +
+      "cast(doc_id % 9 as string), '#f')) AS curl, " +
+      "simhash16(text) AS simhash, " +
+      "minhash_sig(text, '0') AS h0, " +
+      "qlog2_fp20(doc_id + 1) AS ql " +
+      "FROM documents ORDER BY doc_id"
+
+  lazy val sqlCurationOracle: String =
+    s"WITH sh AS (${simhashSql(16)}), mh AS ($minhashSql) " +
+      "SELECT d.doc_id, " +
+      "'http://site' || (d.doc_id % 7) || '.example.com/p/' || (d.doc_id % 5) || '?id=' || (d.doc_id % 9) AS curl, " +
+      "sh.simhash AS simhash, mh.h0 AS h0, " +
+      graft.functions.ILog.qlogSqlDuck("(d.doc_id + 1)") + " AS ql " +
+      "FROM documents d JOIN sh ON sh.doc_id = d.doc_id JOIN mh ON mh.doc_id = d.doc_id " +
+      "ORDER BY d.doc_id"
+
   /** LSH projection against md5-parity hyperplane `p`
     * ([[graft.functions.Vectors.planeSign]]) — ±1 components, so the
     * sequential list_sum is the exact twin of the codegen DotProduct

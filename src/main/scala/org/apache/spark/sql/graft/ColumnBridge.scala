@@ -16,4 +16,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion. [[expression]] wraps the
+    * node lazily (ColumnNodeExpression), which only the Dataset
+    * analysis path unwraps — a function-registry builder must instead
+    * return a plain Catalyst tree the analyzer can resolve, or codegen
+    * later meets the still-wrapped node and throws INTERNAL_ERROR.
+    * Used by the SQL-surface registration of the Column-API helpers
+    * (graft.plans.GraftExtensions.sqlFunctions).
+    */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
