@@ -127,6 +127,36 @@ private[queries] object TextMultimodalQueries {
       "vh AS (SELECT doc_id, CAST(SUM(CASE WHEN cs * tc > ts * cc THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS vhash " +
       "FROM cells JOIN tot USING (doc_id) GROUP BY doc_id)"
 
+  /** The three modality near-dup PAIR queries as standalone SQL (no
+    * ORDER BY) — each modality's mm_*_neardup oracle, shared with the
+    * per-modality datasheet rollup (report_datacard_mm), which embeds
+    * them as derived tables (the recallMatrixSql pattern — the chains
+    * reuse CTE names, so they can't share one WITH).
+    */
+  private lazy val imageNearDupSql: String =
+    s"$bmpAHashCtes, " +
+      "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash " +
+      "FROM bs JOIN g USING (doc_id) GROUP BY doc_id) " +
+      "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+      "WHERE hamming <= 2"
+
+  private lazy val audioNearDupSql: String =
+    s"$wavEHashCtes, " +
+      "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN wsum * tn > tsum * wn THEN (CAST(1 AS BIGINT) << CAST(win AS INTEGER)) ELSE 0 END) AS BIGINT) AS ehash " +
+      "FROM ws JOIN g USING (doc_id) GROUP BY doc_id) " +
+      "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
+      "WHERE hamming <= 1"
+
+  private lazy val videoNearDupSql: String =
+    y4mVHashCtes +
+      " SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
+      "FROM vh a JOIN vh b ON a.doc_id < b.doc_id) WHERE hamming <= 2"
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -697,13 +727,7 @@ private[queries] object TextMultimodalQueries {
           Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
           "doc_id", maxHamming = 2)
         .orderBy("id_a", "id_b"),
-      Some(s"$bmpAHashCtes, " +
-        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash " +
-        "FROM bs JOIN g USING (doc_id) GROUP BY doc_id) " +
-        "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming " +
-        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
-        "WHERE hamming <= 2 ORDER BY id_a, id_b")),
+      Some(imageNearDupSql + " ORDER BY id_a, id_b")),
 
     // Image dedup closed end-to-end, mirroring the text trio
     // (pairs → clusters → canonical): connected components over the
@@ -812,13 +836,7 @@ private[queries] object TextMultimodalQueries {
           Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
           "doc_id", maxHamming = 1)
         .orderBy("id_a", "id_b"),
-      Some(s"$wavEHashCtes, " +
-        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN wsum * tn > tsum * wn THEN (CAST(1 AS BIGINT) << CAST(win AS INTEGER)) ELSE 0 END) AS BIGINT) AS ehash " +
-        "FROM ws JOIN g USING (doc_id) GROUP BY doc_id) " +
-        "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming " +
-        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id) " +
-        "WHERE hamming <= 1 ORDER BY id_a, id_b")),
+      Some(audioNearDupSql + " ORDER BY id_a, id_b")),
 
     // REAL compressed-container metadata — the third modality leg: even
     // ids synthesize an MP4 (ISO BMFF box walk; ids % 4 == 0 take the
@@ -936,10 +954,51 @@ private[queries] object TextMultimodalQueries {
           Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
           "doc_id", maxHamming = 2)
         .orderBy("id_a", "id_b"),
-      Some(y4mVHashCtes +
-        " SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
-        "FROM vh a JOIN vh b ON a.doc_id < b.doc_id) WHERE hamming <= 2 ORDER BY id_a, id_b")),
+      Some(videoNearDupSql + " ORDER BY id_a, id_b")),
+
+    // Per-modality datasheet rollup — report_datacard's missing half:
+    // the corpus datasheet now covers the NON-text surface too, one row
+    // per modality (image/audio/video) with item volume, near-dup pair
+    // count, and how many items sit in at least one near-dup pair (the
+    // slice an image/audio dedup stage would drop or link). Composes
+    // the three verified fingerprint+banding chains; each pair set is
+    // localCheckpoint'd (two consumers), the rollup rows are 1-row
+    // scalar aggregates. Oracle embeds the three closed-form pair
+    // queries as derived tables (they share CTE names, so they can't
+    // share one WITH — the recallMatrixSql pattern).
+    Q("report_datacard_mm",
+      (s, d) => {
+        val items = Tables.documents(s, d)
+          .filter(col("doc_id") < 100).select("doc_id").localCheckpoint()
+        val nItems = items.count()
+        def row(name: String, pairs0: DataFrame): DataFrame = {
+          val pairs = pairs0.localCheckpoint()
+          val dups = pairs.select(col("id_a").as("i"))
+            .unionByName(pairs.select(col("id_b").as("i")))
+          pairs.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(dups.agg(countDistinct(col("i")).as("n_dup_items")))
+            .select(lit(name).as("modality"), lit(nItems).as("n_items"),
+              col("n_pairs"), col("n_dup_items"))
+        }
+        row("1_image", graft.multimodal.Multimodal
+            .imageNearDupPairs(items, "doc_id", maxHamming = 2))
+          .unionByName(row("2_audio", graft.multimodal.Audio
+            .audioNearDupPairs(items, "doc_id", maxHamming = 1)))
+          .unionByName(row("3_video", graft.multimodal.Video
+            .videoNearDupPairs(items, "doc_id", maxHamming = 2)))
+          .orderBy("modality")
+      },
+      Some {
+        def roll(name: String, pairsSql: String): String =
+          s"SELECT '$name' AS modality, " +
+            "(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 100) AS n_items, " +
+            s"CAST((SELECT count(*) FROM ($pairsSql)) AS BIGINT) AS n_pairs, " +
+            s"CAST((SELECT count(DISTINCT i) FROM (SELECT id_a AS i FROM ($pairsSql) UNION ALL SELECT id_b FROM ($pairsSql))) AS BIGINT) AS n_dup_items"
+        roll("1_image", imageNearDupSql) +
+          " UNION ALL " + roll("2_audio", audioNearDupSql) +
+          " UNION ALL " + roll("3_video", videoNearDupSql) +
+          " ORDER BY modality"
+      }),
 
     // Token-entropy quality signal ([[graft.operators.InfoStats]]): the
     // per-doc Shannon entropy numerator N·qlog2(N) − Σ c·qlog2(c) in

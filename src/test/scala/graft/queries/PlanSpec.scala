@@ -163,6 +163,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality_ensemble: four broadcast-model signal passes, vote joins keyed — no data-x-data pairing") {
+    val p = plan("quality_ensemble")
+    // each signal is one linear pass with a broadcast model; the vote is
+    // a doc_id-keyed 4-way join of doc-sized frames. The NB/DSIR model
+    // scalars ride 1-row broadcast cross joins (the quality_nb
+    // exemption) — a true CartesianProduct is the defect.
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-lang entropy threshold joins as a broadcast (bounded
+    // bucket table), never a shuffled fact-fact join of the signal pass
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup_span_scrub: span flags join on the hash key, never doc-doc pairs") {
     val p = plan("dedup_span_scrub")
     assert(!p.contains("CartesianProduct"), p)
