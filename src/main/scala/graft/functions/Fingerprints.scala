@@ -20,17 +20,29 @@ object Fingerprints {
 
   /** Scalar twin of [[graft.operators.Dedup.simhash]]: `bits`-bit
     * fingerprint of one text value. Bit b votes +1/−1 by the high bit
-    * of hex digit b+1 of md5(token); the md5 array is materialized once
-    * and the per-bit votes fold over it.
+    * of hex digit b+1 of md5(token).
+    *
+    * Shape matters here: HOF lambdas are interpreted (CodegenFallback),
+    * so the naive per-bit form — `bits` separate folds, each
+    * re-hashing every token — costs bits × md5s per token (measured
+    * 12 s for 5k docs). This form hashes each token ONCE (one
+    * transform), folds the hash array ONCE into a `bits`-wide vote
+    * accumulator (zip_with against the 1-based digit positions), and
+    * packs the signs with one more bounded fold against the literal
+    * mask array — so every downstream column reference evaluates one
+    * linear pass, not sixteen.
     */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32, s"bits ($bits) must be in [1, 32]")
+    val pos = typedlit((1 to bits).toList)           // substr positions
+    val masks = typedlit((0 until bits).toList.map(b => 1L << b))
     val hs = transform(Text.tokens(text), w => md5(w))
-    (0 until bits).map { b =>
-      val v = aggregate(hs, lit(0),
-        (s, h) => s + when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1))
-      when(v >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val votes = aggregate(hs, array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, pos,
+        (a, p) => a + when(h.substr(p, lit(1)) >= "8", lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
   }
 
   /** Scalar twin of one [[graft.operators.Dedup.minhashSignatures]]

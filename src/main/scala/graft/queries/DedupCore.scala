@@ -195,7 +195,8 @@ private[queries] object DedupCoreQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        val centroids = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
         graft.operators.Ivf.search(emb, "vec_id", "embedding", centroids, 0L, k = 10, nprobe = 2)
           .select("vec_id")
       },
@@ -211,8 +212,9 @@ private[queries] object DedupCoreQueries {
     Q("sim_pq_ann",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
-          dim = 64, m = 4, k = 4, iters = 2)
+        val books = cachedModel(s"pq|${embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(emb, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
         graft.operators.Pq.search(emb, "vec_id", "embedding", books, 0L,
           k = 10, poolFactor = 8)
           .select("vec_id")
@@ -230,9 +232,11 @@ private[queries] object DedupCoreQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val kc = math.max(8L, (emb.count() + 511) / 512).toInt
-        val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2)
-        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
-          dim = 64, m = 4, k = 4, iters = 2)
+        val coarse = cachedModel(s"ivf|${embKey(d)}|k=$kc|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2) }
+        val books = cachedModel(s"pq|${embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(emb, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
         graft.operators.Pq.searchIvfPq(emb, "vec_id", "embedding",
           coarse, books, 0L, k = 10, nprobe = 2, poolFactor = 4)
           .select("vec_id")
@@ -250,7 +254,8 @@ private[queries] object DedupCoreQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        val centroids = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
         graft.operators.Ivf.searchQuantized(emb, "vec_id", "embedding",
           centroids, 0L, k = 10, nprobe = 2, poolFactor = 4)
           .select("vec_id")

@@ -57,7 +57,8 @@ private[queries] object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        val cents = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        val cents = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
         graft.operators.SemDedup
           .markDuplicates(emb, "vec_id", "embedding", cents, tau = 0.396)
           .orderBy("vec_id")
@@ -190,7 +191,8 @@ private[queries] object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        val cents = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2)
+        val cents = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
         val asg = graft.operators.Ivf
           .assignScoresByJoin(emb, "vec_id", "embedding", cents)
         val w = Window.partitionBy("centroid_id")
@@ -292,9 +294,11 @@ private[queries] object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val kc = math.max(8L, (emb.count() + 511) / 512).toInt
-        val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2)
-        val books = graft.operators.Pq.train(emb, "vec_id", "embedding",
-          dim = 64, m = 4, k = 4, iters = 2)
+        val coarse = cachedModel(s"ivf|${embKey(d)}|k=$kc|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = kc, iters = 2) }
+        val books = cachedModel(s"pq|${embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(emb, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
         def tagged(name: String, df: DataFrame): DataFrame =
           df.select(lit(name).as("method"), col("vec_id"))
         val ann = tagged("ivf", graft.operators.Ivf
@@ -321,8 +325,8 @@ private[queries] object VectorQueries {
             // retraining index vs the same exact ground truth
             val old = emb.filter(col("vec_id") < 250)
             val kS = math.max(8L, (old.count() + 511) / 512).toInt
-            val stale = graft.operators.Ivf
-              .train(old, "vec_id", "embedding", k = kS, iters = 2)
+            val stale = cachedModel(s"ivf_stale|${embKey(d)}|k=$kS|it=2") {
+              graft.operators.Ivf.train(old, "vec_id", "embedding", k = kS, iters = 2) }
             graft.operators.Ivf
               .search(emb, "vec_id", "embedding", stale, 0L, k = 10, nprobe = 2)
               .select("vec_id")
