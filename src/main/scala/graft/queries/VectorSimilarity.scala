@@ -256,7 +256,8 @@ private[queries] object VectorQueries {
       (s, d) => {
         val n = ensureIndex(s, d, "ivp", incremental = false)
         graft.operators.IvfIndex
-          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2)
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)))
           .select(col("vec_id"),
             col("centroid_id").cast("long").as("centroid_id"))
       },
@@ -272,7 +273,8 @@ private[queries] object VectorQueries {
       (s, d) => {
         val n = ensureIndex(s, d, "ivi", incremental = true)
         graft.operators.IvfIndex
-          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2)
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)))
           .select(col("vec_id"),
             col("centroid_id").cast("long").as("centroid_id"),
             (col("vec_id") >= 250).as("is_new"))
