@@ -113,4 +113,55 @@ object IvfIndex {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BATCH search over the persisted index: top-`k` neighbors for every
+    * query id in ONE pass — the nightly-scoring shape. The query set
+    * (ids, vectors, probe cells) is driver-bounded and BROADCASTS; the
+    * posting scan is pruned to the UNION of all probe cells and joins
+    * on `centroid_id`, so each posting row is scored only against the
+    * queries probing its cell; ranking is a per-qid window over the
+    * probed slice. Retrain-free like [[search]] (no Lloyd, no corpus
+    * aggregate — PlanSpec-locked).
+    */
+  def searchBatch(spark: SparkSession, n: Names, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 3, nprobe: Int = 2,
+      queryFrom: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val post = spark.table(n.postings)
+    val qs = queryFrom.getOrElse(post)
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), Vectors.toDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = loadCentroids(spark, n)
+    val probes = broadcast(qs.toSeq.flatMap { case (qid, qv) =>
+      Ivf.probeSet(qv, cents, nprobe).toSeq.map(cid => (qid, cid, qv.toSeq))
+    }.toDF("qid", "__pcid", "qv"))
+    val allCells = qs.flatMap { case (_, qv) =>
+      Ivf.probeSet(qv, cents, nprobe)
+    }.distinct.toSeq
+    val v = col(vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col(idCol))
+    post.filter(col("centroid_id").isin(allCells: _*))
+      .join(probes,
+        col("centroid_id") === col("__pcid") && col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        (Vectors.dot(v, col("qv")) / Vectors.norm(v)).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Index-health report: per-cell posting-list volume and id envelope
+    * — the balance view an index operator watches (a cell far above
+    * the mean says the quantizer is stale for the current distribution
+    * and a re-train/split is due). One pruned-free scan + one
+    * cell-keyed aggregate; at 100 TB this reads parquet footers'
+    * partition stats more than data.
+    */
+  def stats(spark: SparkSession, n: Names, idCol: String): DataFrame =
+    spark.table(n.postings)
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .orderBy("centroid_id")
 }

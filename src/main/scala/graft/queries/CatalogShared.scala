@@ -342,6 +342,34 @@ private[queries] object CatalogShared {
   lazy val ivfIncrementalSql: String = ivfSearchSql(ivfStaleCtes,
     "vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new")
 
+  /** Twin of `sim_index_stats` ([[graft.operators.IvfIndex.stats]]):
+    * the FULL persisted assignment, cell by cell — a hash match proves
+    * every vector's posting list, a much stronger statement than any
+    * single top-10.
+    */
+  lazy val ivfIndexStatsSql: String =
+    "WITH " + ivfModelCtes + " " +
+      "SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(count(*) AS BIGINT) AS n_vectors, " +
+      "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
+      "FROM asg3 GROUP BY cid ORDER BY centroid_id"
+
+  /** Twin of `sim_index_batch` ([[graft.operators.IvfIndex
+    * .searchBatch]]): per-query probe sets (ties toward the smaller
+    * cid, Ivf.probeSet's stable sort), scoring restricted to each
+    * query's probed cells, per-qid top-3.
+    */
+  lazy val ivfBatchAnnSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH " + ivfModelCtes + ", " +
+      "qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +
+      s"prs AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY $probeScore DESC, c.cid) AS rn FROM c2 c, qs q) WHERE rn <= 2), " +
+      "fin AS (SELECT p.qid, a.vec_id, a.v, q.qv FROM asg3 a JOIN prs p ON a.cid = p.cid JOIN qs q ON q.qid = p.qid AND a.vec_id <> q.qid), " +
+      s"ds AS (SELECT qid, vec_id, ${dotL("v", "qv")} AS dot, ${dotL("v", "v")} AS nx FROM fin), " +
+      "r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM ds) " +
+      "SELECT qid, vec_id FROM r WHERE rn <= 3 ORDER BY qid, vec_id"
+  }
+
   /** DuckDB twin of [[graft.operators.Ivf.searchQuantized]] (IVF-SQ8):
     * probe exactly like [[ivfAnnSql]], first-pass score the probed cells
     * on int8-quantized vectors (the emb_quantize house tree — one

@@ -263,6 +263,36 @@ private[queries] object VectorQueries {
       },
       Some(ivfPersistAnnSql)),
 
+    // BATCH search over the persisted index — the nightly-scoring
+    // shape: the query set (vec_id < 5) broadcasts with its probe
+    // cells, the posting scan is pruned to the union of probed
+    // partitions and joined on centroid_id, ranking is a per-qid
+    // window over the probed slice. Still zero Lloyd rounds / zero
+    // corpus aggregates in the plan (PlanSpec). Own index prefix so
+    // concurrent Verify entries never race a build.
+    Q("sim_index_batch",
+      (s, d) => {
+        val n = ensureIndex(s, d, "ivb", incremental = false)
+        graft.operators.IvfIndex
+          .searchBatch(s, n, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L),
+            k = 3, nprobe = 2, queryFrom = Some(Tables.embeddings(s, d)))
+          .select("qid", "vec_id")
+          .orderBy("qid", "vec_id")
+      },
+      Some(ivfBatchAnnSql)),
+
+    // Index-health report: per-cell posting volume + id envelope (the
+    // balance view that decides when the quantizer is stale enough to
+    // re-train). The oracle recomputes the FULL persisted assignment
+    // cell by cell — a hash match proves every vector's posting list,
+    // a far stronger statement than any single top-10.
+    Q("sim_index_stats",
+      (s, d) => {
+        val n = ensureIndex(s, d, "ivs", incremental = false)
+        graft.operators.IvfIndex.stats(s, n, "vec_id")
+      },
+      Some(ivfIndexStatsSql)),
+
     // Grow WITHOUT retraining: the new batch (vec_id >= 250) is
     // assigned to the OLD model's centroids and appended into the
     // posting partitions; search then spans old∪new through the same

@@ -40,10 +40,17 @@ object Warehouse {
   /** Write `df` as a parquet managed table partitioned by `partCol`
     * (directory-per-value layout → filters on `partCol` become
     * partition pruning). Overwrite-safe via [[dropWithLocation]].
+    *
+    * The shuffle by `partCol` first is the small-files guard: without
+    * it every input task writes a fragment into every partition value
+    * it sees (~tasks × values files — measured 3.8 s just to OPEN a
+    * 391-cell index's files for one aggregate), with it each value's
+    * rows co-locate and the layout lands ~one file per partition value.
     */
   def writePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
     dropWithLocation(df.sparkSession, table)
-    df.write.format("parquet").partitionBy(partCol).saveAsTable(table)
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.format("parquet").partitionBy(partCol).saveAsTable(table)
     refresh(df.sparkSession, table)
   }
 

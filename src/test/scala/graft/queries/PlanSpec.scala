@@ -125,6 +125,13 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
       assert(p.contains("PartitionFilters"), s"$q: $p")
     }
+    // batch search: still zero Lloyd/corpus aggregates — the probe set
+    // broadcasts, ranking is a per-qid window over the probed slice
+    val pb = plan("sim_index_batch")
+    assert(!pb.contains("HashAggregate"), pb)
+    assert(pb.contains("PartitionFilters"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
   }
 
   test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
