@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -45,10 +45,13 @@ object IvfIndex {
   /** Train on `emb` (k = max(8, ⌈n/512⌉) unless given, iters Lloyd
     * rounds) and persist model + assigned postings. The one-time cost a
     * production index pays at build; every [[search]] after it is
-    * retrain-free.
+    * retrain-free. `payloadCols` ride along in the posting lists —
+    * metadata a FILTERED search predicates on must live IN the index
+    * (joining a side table per query would defeat the pruned scan).
     */
   def build(emb: DataFrame, idCol: String, vecCol: String, n: Names,
-      k: Int, iters: Int = 2): Array[Array[Double]] = {
+      k: Int, iters: Int = 2,
+      payloadCols: Seq[String] = Nil): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = Ivf.train(emb, idCol, vecCol, k = k, iters = iters)
@@ -57,7 +60,7 @@ object IvfIndex {
       n.centroids)
     Warehouse.writePartitioned(
       Ivf.assignAny(emb, idCol, vecCol, cents)
-        .select(col(idCol), col(vecCol), col("centroid_id")),
+        .select((Seq(idCol, vecCol) ++ payloadCols :+ "centroid_id").map(col): _*),
       n.postings, "centroid_id")
     cents
   }
@@ -98,7 +101,8 @@ object IvfIndex {
     */
   def search(spark: SparkSession, n: Names, idCol: String, vecCol: String,
       queryId: Long, k: Int = 10, nprobe: Int = 2,
-      queryFrom: Option[DataFrame] = None): DataFrame = {
+      queryFrom: Option[DataFrame] = None,
+      payloadFilter: Column = lit(true)): DataFrame = {
     val post = spark.table(n.postings)
     val q = queryFrom.getOrElse(post).filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)))
@@ -107,7 +111,11 @@ object IvfIndex {
     val probed = Ivf.probeSet(q, cents, nprobe)
     val v = col(vecCol)
     post
-      .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+      // the payload predicate rides the SAME pruned scan (pushed to the
+      // posting files' row groups) — a filtered search costs the same
+      // probe as an unfiltered one, never a side-table join per query
+      .filter(col("centroid_id").isin(probed.toSeq: _*)
+        && col(idCol) =!= queryId && payloadFilter)
       .select(col(idCol), col("centroid_id"),
         (Vectors.dot(v, typedlit(q.toSeq)) / Vectors.norm(v)).as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -353,6 +353,24 @@ private[queries] object CatalogShared {
       "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
       "FROM asg3 GROUP BY cid ORDER BY centroid_id"
 
+  /** Twin of `sim_index_filtered` — the persisted-index search with a
+    * payload predicate (label ≤ 3) applied INSIDE the probed cells:
+    * same probe set as the unfiltered search, candidates additionally
+    * gated on the metadata the index carries.
+    */
+  lazy val ivfFilteredAnnSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH " + ivfModelCtes + ", " +
+      "lab AS (SELECT vec_id, label FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "fin AS (SELECT a.vec_id, a.cid, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid " +
+      "JOIN lab l ON l.vec_id = a.vec_id AND l.label <= 3 WHERE a.vec_id <> 0), " +
+      s"ds AS (SELECT f.vec_id, f.cid, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q) " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
   /** Twin of `sim_index_batch` ([[graft.operators.IvfIndex
     * .searchBatch]]): per-query probe sets (ties toward the smaller
     * cid, Ivf.probeSet's stable sort), scoring restricted to each

@@ -221,7 +221,8 @@ private[queries] object VectorQueries {
     * Verify's concurrent evaluation).
     */
   private def ensureIndex(s: SparkSession, d: String, prefix: String,
-      incremental: Boolean): graft.operators.IvfIndex.Names = {
+      incremental: Boolean,
+      payloadCols: Seq[String] = Nil): graft.operators.IvfIndex.Names = {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.names(prefix, fp)
@@ -238,7 +239,8 @@ private[queries] object VectorQueries {
           emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
       } else {
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        IvfIndex.build(emb, "vec_id", "embedding", n, k = k,
+          payloadCols = payloadCols)
       }
     }
     n
@@ -262,6 +264,25 @@ private[queries] object VectorQueries {
             col("centroid_id").cast("long").as("centroid_id"))
       },
       Some(ivfPersistAnnSql)),
+
+    // FILTERED search over the persisted index — the first-class
+    // vector-store feature on the deployed layout: the metadata the
+    // predicate gates on (label) is a PAYLOAD column in the posting
+    // lists, so the filter rides the same partition-pruned scan
+    // (pushed to the posting files' row groups) instead of joining a
+    // side table per query. Same probe set as the unfiltered search.
+    Q("sim_index_filtered",
+      (s, d) => {
+        val n = ensureIndex(s, d, "ivfl", incremental = false,
+          payloadCols = Seq("label"))
+        graft.operators.IvfIndex
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)),
+            payloadFilter = col("label") <= 3)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfFilteredAnnSql)),
 
     // BATCH search over the persisted index — the nightly-scoring
     // shape: the query set (vec_id < 5) broadcasts with its probe

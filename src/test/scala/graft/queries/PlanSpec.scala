@@ -118,13 +118,19 @@ class PlanSpec extends SparkSpec {
     // at build time, amortized like j13's bucketed writes), ranks via a
     // distributed top-k, and the probe reaches the posting scan as a
     // PARTITION filter on centroid_id (unprobed cells never open).
-    Seq("sim_index_persist", "sim_index_incremental").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("HashAggregate"), s"$q: $p")
-      assert(!p.contains("ObjectHashAggregate"), s"$q: $p")
-      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
-      assert(p.contains("PartitionFilters"), s"$q: $p")
-    }
+    Seq("sim_index_persist", "sim_index_incremental", "sim_index_filtered")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("HashAggregate"), s"$q: $p")
+        assert(!p.contains("ObjectHashAggregate"), s"$q: $p")
+        assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+        assert(p.contains("PartitionFilters"), s"$q: $p")
+      }
+    // filtered search: the payload predicate reaches the posting SCAN
+    // (pushed filter on the in-index label column), never a side join
+    val pf = plan("sim_index_filtered")
+    assert(pf.contains("LessThanOrEqual(label,3)"), pf)
+    assert(!pf.contains("SortMergeJoin"), pf)
     // batch search: still zero Lloyd/corpus aggregates — the probe set
     // broadcasts, ranking is a per-qid window over the probed slice
     val pb = plan("sim_index_batch")
