@@ -54,6 +54,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(stored === expect)
   }
 
+  test("searchBatch ≡ per-query search over the same index (one pass, same answers)") {
+    val n = builtNames
+    val batch = IvfIndex.searchBatch(spark, n, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), k = 5, nprobe = 2)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singles = Seq(0L, 1L, 2L).flatMap { qid =>
+      IvfIndex.search(spark, n, "vec_id", "embedding", qid, k = 5, nprobe = 2)
+        .select("vec_id").collect().map(r => qid -> r.getLong(0))
+    }.toSet
+    assert(batch === singles)
+  }
+
+  test("stats reports every cell's posting volume (sums to the corpus)") {
+    val n = builtNames
+    val rows = IvfIndex.stats(spark, n, "vec_id").collect()
+    assert(rows.map(_.getLong(1)).sum === emb.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "min_id must not exceed max_id")
+    }
+  }
+
   test("search plan is retrain-free and partition-pruned (the index's reason to exist)") {
     val n = builtNames
     val p = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
