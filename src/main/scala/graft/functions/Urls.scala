@@ -60,9 +60,13 @@ object Urls {
       .when(sch === "https" && port === "443", lit(""))
       .otherwise(concat(lit(":"), port))
     val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(length(path0) > 1, regexp_replace(path0, "/+$", ""))
-      .when(path0 === "", lit("/")) // empty path ≡ root (RFC 3986 §6.2.3)
-      .otherwise(path0)
+    // strip trailing slashes FIRST, then map any empty result to '/':
+    // '', '/', and '//' (an all-slash path strips to '') are all the
+    // root resource (RFC 3986 §6.2.3) and must land in ONE dedup group —
+    // normalizing before stripping split 'http://ex.com//' from the
+    // other two.
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
     val query = regexp_extract(noFrag, "\\?([^#]*)$", 1)
     val kept = filter(split(query, "&"), p =>
       !(p.startsWith("utm_") || p.startsWith("ref=") ||

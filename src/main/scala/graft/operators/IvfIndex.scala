@@ -76,13 +76,23 @@ object IvfIndex {
     * centroids (map-side — zero Lloyd rounds anywhere in the job) and
     * append into the postings partitions. At 100 TB this is the nightly
     * ingest: hours of new vectors, never a re-cluster of the corpus.
+    *
+    * Pass-through columns are derived from the POSTINGS schema (id +
+    * vector + any payload columns the index was built with), so a
+    * payload-built index (filtered search) grows exactly like a bare
+    * one — the batch just has to carry the same columns.
     */
   def appendBatch(spark: SparkSession, n: Names, batch: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val cents = loadCentroids(spark, n)
+    val passCols = spark.table(n.postings).columns.filterNot(_ == "centroid_id")
+    val missing = passCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing index column(s) ${missing.mkString(", ")} — " +
+        s"the ${n.postings} postings carry (${passCols.mkString(", ")})")
     Warehouse.appendInto(
       Ivf.assignAny(batch, idCol, vecCol, cents)
-        .select(col(idCol), col(vecCol), col("centroid_id")),
+        .select((passCols :+ "centroid_id").map(col).toSeq: _*),
       n.postings)
   }
 
@@ -129,7 +139,8 @@ object IvfIndex {
     * on `centroid_id`, so each posting row is scored only against the
     * queries probing its cell; ranking is a per-qid window over the
     * probed slice. Retrain-free like [[search]] (no Lloyd, no corpus
-    * aggregate — PlanSpec-locked).
+    * aggregate — PlanSpec-locked). Returns (qid, idCol, centroid_id,
+    * score) — [[search]]'s documented contract plus the query key.
     */
   def searchBatch(spark: SparkSession, n: Names, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int = 3, nprobe: Int = 2,
@@ -153,10 +164,11 @@ object IvfIndex {
     post.filter(col("centroid_id").isin(allCells: _*))
       .join(probes,
         col("centroid_id") === col("__pcid") && col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol),
+      .select(col("qid"), col(idCol), col("centroid_id"),
         (Vectors.dot(v, col("qv")) / Vectors.norm(v)).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .drop("rn")
   }
 
   /** Index-health report: per-cell posting-list volume and id envelope

@@ -67,12 +67,27 @@ object Warehouse {
     * `insertInto` is position-based: `df`'s columns are re-ordered to
     * the table's schema by name first, so callers can pass any column
     * order.
+    *
+    * The append is repartitioned by the table's partition column(s)
+    * first — the same small-files guard as [[writePartitioned]]:
+    * without it every append task fragments a file into every cell it
+    * touches, and nightly appends re-degrade the layout the
+    * partitioned write just paid to establish.
     */
   def appendInto(df: DataFrame, table: String): Unit = {
-    val cols = df.sparkSession.table(table).columns
-    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .write.insertInto(table)
-    refresh(df.sparkSession, table)
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val cols = spark.table(table).columns
+    val partCols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        table.toLowerCase(java.util.Locale.ROOT)))
+      .partitionColumnNames
+    val reordered = df.select(cols.map(col).toSeq: _*)
+    val placed =
+      if (partCols.isEmpty) reordered
+      else reordered.repartition(partCols.map(col).toSeq: _*)
+    placed.write.insertInto(table)
+    refresh(spark, table)
   }
 
   /** The session-wide FileStatusCache is keyed by PATH: if any earlier

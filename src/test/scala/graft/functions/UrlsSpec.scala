@@ -36,6 +36,11 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://ex.com") === Seq("http://ex.com/"))
     assert(canon("http://ex.com") === canon("http://ex.com/"))
     assert(canon("http://ex.com?a=1") === Seq("http://ex.com/?a=1"))
+    // an ALL-SLASH path strips to empty and is the root too: all three
+    // spellings of the root page land in one dedup group (the r13
+    // ordering bug split '//' from the other two)
+    assert(canon("http://ex.com//") === Seq("http://ex.com/"))
+    assert(canon("http://ex.com///") === Seq("http://ex.com/"))
   }
 
   test("userinfo and bracketed IPv6 authorities pass through untouched") {

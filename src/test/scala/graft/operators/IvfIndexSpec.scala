@@ -67,6 +67,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(batch === singles)
   }
 
+  test("searchBatch returns the search contract columns — no internal rank column") {
+    val n = builtNames
+    val out = IvfIndex.searchBatch(spark, n, "vec_id", "embedding",
+      Seq(0L), k = 3, nprobe = 2)
+    assert(out.columns.toSeq === Seq("qid", "vec_id", "centroid_id", "score"))
+  }
+
+  test("appendBatch grows a payload-built index — payload columns ride the append") {
+    val n = IvfIndex.names("ivxspec", "t3")
+    val old = emb.filter(col("vec_id") < 250)
+    IvfIndex.build(old, "vec_id", "embedding", n, k = 8,
+      payloadCols = Seq("label"))
+    IvfIndex.appendBatch(spark, n, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding")
+    // every corpus row is in the postings WITH its payload intact
+    val stored = spark.table(n.postings).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === expect)
+    // and filtered search spans the appended rows through the payload
+    val hits = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, queryFrom = Some(emb),
+      payloadFilter = col("label") <= 3)
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .collect()
+    hits.foreach(r => assert(r.getAs[Int]("label") <= 3))
+  }
+
+  test("appendBatch rejects a batch missing the index's columns (clear error, no mangled append)") {
+    val n = IvfIndex.names("ivxspec", "t4")
+    IvfIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding", n,
+      k = 8, payloadCols = Seq("label"))
+    val bare = emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendBatch(spark, n, bare, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("label"))
+  }
+
   test("stats reports every cell's posting volume (sums to the corpus)") {
     val n = builtNames
     val rows = IvfIndex.stats(spark, n, "vec_id").collect()
