@@ -171,6 +171,110 @@ object IvfIndex {
       .drop("rn")
   }
 
+  // --------------------------------------------------------------------
+  // Quantized persisted index (IVF-PQ): codes in the postings, not vectors
+  // --------------------------------------------------------------------
+
+  /** Table-name triple for one persisted QUANTIZED index: coarse
+    * centroids + per-subspace PQ codebooks (both bounded model tables)
+    * and code-only posting lists.
+    */
+  final case class PqNames(centroids: String, codebooks: String, postings: String)
+
+  def pqNames(prefix: String, fingerprint: String): PqNames =
+    PqNames(s"${prefix}_cent_$fingerprint", s"${prefix}_book_$fingerprint",
+      s"${prefix}_post_$fingerprint")
+
+  def pqExists(spark: SparkSession, n: PqNames): Boolean =
+    spark.catalog.tableExists(n.centroids) &&
+      spark.catalog.tableExists(n.codebooks) &&
+      spark.catalog.tableExists(n.postings)
+
+  /** Build the QUANTIZED persisted index — what [[build]] persists at
+    * 100 TB, where the posting payload IS the memory/IO bill: the
+    * posting lists carry m small integer CODES per vector (m bytes)
+    * instead of the flat vector (dim × 4-8 B — a 64-dim float vector is
+    * 256 B, its m=4 code row is 4 B: ~32-64× less probe IO), and the
+    * full-precision vectors stay in the SOURCE table, read only for the
+    * tiny re-rank pool. Coarse quantizer and PQ codebooks ([[Ivf.train]]
+    * / [[Pq.train]] — callers may hand in session-cached models; both
+    * are deterministic functions of the corpus) persist as bounded model
+    * tables; postings partition by `centroid_id` exactly like the flat
+    * layout, so a probe is still directory pruning.
+    */
+  def buildPq(emb: DataFrame, idCol: String, vecCol: String, n: PqNames,
+      k: Int, dim: Int, m: Int, pqK: Int, iters: Int = 2,
+      coarseModel: Option[Array[Array[Double]]] = None,
+      books: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = coarseModel.getOrElse(
+      Ivf.train(emb, idCol, vecCol, k = k, iters = iters))
+    val cbs = books.getOrElse(
+      Pq.train(emb, idCol, vecCol, dim, m, pqK, iters))
+    Warehouse.writeTable(
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cid", "c"),
+      n.centroids)
+    Warehouse.writeTable(
+      (for {
+        (cb, j) <- cbs.zipWithIndex.toSeq
+        (c, ci) <- cb.zipWithIndex
+      } yield (j, ci, c.toSeq)).toDF("sub", "cid", "c"),
+      n.codebooks)
+    // encode BEFORE the coarse assignment: Pq.encode's per-subspace
+    // argmax works through a scratch "centroid_id" column and would
+    // clobber an already-present coarse cell id
+    Warehouse.writePartitioned(
+      Ivf.assignAny(Pq.encode(emb, vecCol, cbs), idCol, vecCol, cents)
+        .select((col(idCol) +: (0 until m).map(j => col(s"code$j"))
+          :+ col("centroid_id")): _*),
+      n.postings, "centroid_id")
+  }
+
+  /** Load the persisted PQ codebooks: m × pqK rows off the codebooks
+    * table (bounded model state; doubles round-trip parquet bit-exactly,
+    * so these ARE the trained [[Pq.train]] arrays).
+    */
+  def loadCodebooks(spark: SparkSession, n: PqNames): Array[Array[Array[Double]]] =
+    spark.table(n.codebooks).orderBy("sub", "cid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray).toArray).toArray
+
+  /** Search the quantized index ADC-first: probe the `nprobe` nearest
+    * cells (partition pruning, as in [[search]]), score the pruned
+    * posting CODES with per-subspace lookup tables
+    * ([[Pq.adcApproxCosine]] — m `element_at`s per row, zero arithmetic
+    * on any original vector), keep the approximate top `k·poolFactor`
+    * pool, then re-rank the pool at full precision by fetching ONLY its
+    * vectors from the source table (`queryFrom`) through an id-keyed
+    * broadcast join — the standard PQ two-pass. Retrain-free: zero Lloyd
+    * rounds, zero corpus aggregates (PlanSpec-locked). Returns
+    * (idCol, centroid_id, score).
+    */
+  def searchPq(spark: SparkSession, n: PqNames, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10, nprobe: Int = 2, poolFactor: Int = 4,
+      queryFrom: DataFrame): DataFrame = {
+    val q = queryFrom.filter(col(idCol) === queryId)
+      .select(Vectors.toDouble(col(vecCol)))
+      .collect().head.getSeq[Double](0).toArray
+    val cents = loadCentroids(spark, Names(n.centroids, n.postings))
+    val books = loadCodebooks(spark, n)
+    val probed = Ivf.probeSet(q, cents, nprobe)
+    val pool = spark.table(n.postings)
+      .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("centroid_id"),
+        Pq.adcApproxCosine(books, q).as("__as"))
+      .orderBy(col("__as").desc, col(idCol))
+      .limit(k * poolFactor)
+    val v = col(vecCol)
+    queryFrom.select(col(idCol), v)
+      .join(broadcast(pool), Seq(idCol))
+      .select(col(idCol), col("centroid_id"),
+        (Vectors.dot(v, typedlit(q.toSeq)) / Vectors.norm(v)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Index-health report: per-cell posting-list volume and id envelope
     * — the balance view an index operator watches (a cell far above
     * the mean says the quantizer is stale for the current distribution

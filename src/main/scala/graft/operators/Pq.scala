@@ -102,15 +102,17 @@ object Pq {
     adcRerank(members, idCol, vecCol, codebooks, q, k, poolFactor)
   }
 
-  /** Shared ADC pool + exact re-rank over an already-restricted
-    * candidate set: per-subspace lookup tables from the full-precision
-    * query (driver-side, the same sequential folds the oracle's
-    * list_sum runs), approximate-cosine top `k·poolFactor`, exact
-    * cosine top `k` inside the pool.
+  /** The ADC approximate-cosine column over already-encoded rows
+    * (`code0..code{m-1}` present): per-subspace lookup tables from the
+    * full-precision query — driver-side, m·k doubles, the same
+    * sequential folds the oracle's list_sum runs — composed as m
+    * `element_at` lookups against broadcast literals. ONE definition of
+    * the ADC IEEE tree, shared by the inline searches here and the
+    * persisted quantized index ([[IvfIndex.searchPq]]), so the two can
+    * never drift by an ulp.
     */
-  private def adcRerank(candidates: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]], q: Array[Double],
-      k: Int, poolFactor: Int): DataFrame = {
+  private[operators] def adcApproxCosine(
+      codebooks: Array[Array[Array[Double]]], q: Array[Double]): Column = {
     val m = codebooks.length
     val offs = codebooks.scanLeft(0)(_ + _(0).length)
     val dotT = codebooks.zipWithIndex.map { case (cb, j) =>
@@ -121,9 +123,19 @@ object Pq {
       element_at(typedlit(t(j).toSeq), col(s"code$j").cast("int") + 1)
     val approxDot = (0 until m).map(j => lookup(dotT, j)).reduce(_ + _)
     val approxN2 = (0 until m).map(j => lookup(n2T, j)).reduce(_ + _)
+    approxDot / sqrt(approxN2)
+  }
+
+  /** Shared ADC pool + exact re-rank over an already-restricted
+    * candidate set: approximate-cosine top `k·poolFactor`
+    * ([[adcApproxCosine]]), exact cosine top `k` inside the pool.
+    */
+  private def adcRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], q: Array[Double],
+      k: Int, poolFactor: Int): DataFrame = {
     val pool = encode(candidates, vecCol, codebooks)
       .select(col(idCol), col(vecCol),
-        (approxDot / sqrt(approxN2)).as("__as"))
+        adcApproxCosine(codebooks, q).as("__as"))
       .orderBy(col("__as").desc, col(idCol))
       .limit(k * poolFactor)
     val v = col(vecCol)

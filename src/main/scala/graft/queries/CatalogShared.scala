@@ -299,6 +299,30 @@ private[queries] object CatalogShared {
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
 
+  /** Twin of `sim_index_pq` ([[graft.operators.IvfIndex.searchPq]]) —
+    * the QUANTIZED persisted index: same coarse model ([[ivfModelCtes]])
+    * and PQ chains as the inline IVF-PQ twin, but the output carries
+    * WHICH posting cell each hit came from (centroid_id), proving the
+    * persisted coarse assignment alongside the ADC pool + exact re-rank
+    * ranking. Model/codebook doubles round-trip parquet bit-exactly, so
+    * re-deriving both from the corpus is re-deriving the persisted
+    * artifacts.
+    */
+  lazy val ivfPqPersistSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
+    "WITH " + ivfModelCtes + ", " + pqChainsCtes + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      s"fin AS (SELECT a0.vec_id, ac.cid, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
+      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
+      "WHERE a0.vec_id <> 0), " +
+      "pool AS (SELECT vec_id, cid FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
+      s"ds AS (SELECT e.vec_id, pool.cid, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
+
   lazy val ivfAnnSql: String = ivfSearchSql(ivfModelCtes, "vec_id")
 
   /** Probe + posting-scan + exact-rank tail shared by the IVF model

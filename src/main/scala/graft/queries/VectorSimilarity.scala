@@ -226,22 +226,59 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.names(prefix, fp)
-    if (!IvfIndex.exists(s, n)) {
-      val emb = Tables.embeddings(s, d)
-      if (incremental) {
-        // the ingest boundary: vec_id < 250 was indexed at build time
-        // (model trained on it), >= 250 arrives later and is ASSIGNED,
-        // never retrained on — the dedup_incremental split applied to ANN
-        val old = emb.filter(col("vec_id") < 250)
-        val k = math.max(8L, (old.count() + 511) / 512).toInt
-        IvfIndex.build(old, "vec_id", "embedding", n, k = k)
-        IvfIndex.appendBatch(s, n,
-          emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
-      } else {
-        val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        IvfIndex.build(emb, "vec_id", "embedding", n, k = k,
-          payloadCols = payloadCols)
+    // cachedModel's computeIfAbsent serializes same-key builders, so two
+    // catalog entries SHARING an index prefix (e.g. the recall pricing
+    // row reusing the filtered/batch indexes) can never race a build
+    // under Verify's concurrent evaluation — the first arrival builds,
+    // the rest wait and reuse.
+    cachedModel(s"ivfidx|$prefix|$fp") {
+      if (!IvfIndex.exists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        if (incremental) {
+          // the ingest boundary: vec_id < 250 was indexed at build time
+          // (model trained on it), >= 250 arrives later and is ASSIGNED,
+          // never retrained on — the dedup_incremental split applied to ANN
+          val old = emb.filter(col("vec_id") < 250)
+          val k = math.max(8L, (old.count() + 511) / 512).toInt
+          IvfIndex.build(old, "vec_id", "embedding", n, k = k)
+          IvfIndex.appendBatch(s, n,
+            emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+        } else {
+          val k = math.max(8L, (emb.count() + 511) / 512).toInt
+          IvfIndex.build(emb, "vec_id", "embedding", n, k = k,
+            payloadCols = payloadCols)
+        }
       }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
+  /** Build-once wrapper for the QUANTIZED persisted index
+    * ([[graft.operators.IvfIndex.buildPq]]): coarse + PQ models come
+    * from the session model cache (shared with the inline IVF-PQ/recall
+    * queries — identical deterministic artifacts), postings persist
+    * CODES only.
+    */
+  private def ensurePqIndex(s: SparkSession, d: String,
+      prefix: String): graft.operators.IvfIndex.PqNames = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.pqNames(prefix, fp)
+    cachedModel(s"ivfidx_pq|$prefix|$fp") {
+      if (!IvfIndex.pqExists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        val coarse = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
+        val books = cachedModel(s"pq|${embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(emb, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
+        IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = k,
+          dim = 64, m = 4, pqK = 4,
+          coarseModel = Some(coarse), books = Some(books))
+      }
+      java.lang.Boolean.TRUE
     }
     n
   }
@@ -301,6 +338,27 @@ private[queries] object VectorQueries {
           .orderBy("qid", "vec_id")
       },
       Some(ivfBatchAnnSql)),
+
+    // The QUANTIZED persisted index — the 100 TB memory story: posting
+    // lists carry m=4 integer CODES per vector instead of the flat
+    // 64-float vector (~64× less probe IO), search is ADC-first over
+    // the pruned cells (m element_at lookups per row against broadcast
+    // tables — zero arithmetic on any original vector) with the exact
+    // re-rank fetching ONLY the 40-row pool's vectors from the source
+    // table via an id-keyed broadcast join. Retrain-free like the flat
+    // index (PlanSpec: no aggregate, partition-pruned); the oracle
+    // re-derives coarse model + all 4 codebooks + ADC pool + re-rank
+    // from the corpus and checks each hit's posting cell.
+    Q("sim_index_pq",
+      (s, d) => {
+        val n = ensurePqIndex(s, d, "ivq")
+        graft.operators.IvfIndex
+          .searchPq(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            poolFactor = 4, queryFrom = Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfPqPersistSql)),
 
     // Index-health report: per-cell posting volume + id envelope (the
     // balance view that decides when the quantizer is stale enough to

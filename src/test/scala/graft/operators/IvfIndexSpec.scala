@@ -107,6 +107,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("label"))
   }
 
+  test("quantized searchPq ≡ inline Pq.searchIvfPq on the same models (bit-identical ranking)") {
+    val n = IvfIndex.pqNames("ivxspec", "t5")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    val persisted = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val books = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 2)
+    val inline = Pq.searchIvfPq(emb, "vec_id", "embedding", coarse, books,
+      0L, k = 10, nprobe = 2, poolFactor = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(persisted === inline)
+    // codebooks round-trip parquet bit-exactly
+    val loaded = IvfIndex.loadCodebooks(spark, n)
+    assert(loaded.length === books.length)
+    loaded.zip(books).foreach { case (ls, bs) =>
+      ls.zip(bs).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+    // the postings carry CODES only — no vector column in the quantized layout
+    val cols = spark.table(n.postings).columns.toSeq
+    assert(cols === Seq("vec_id", "code0", "code1", "code2", "code3", "centroid_id"))
+  }
+
   test("stats reports every cell's posting volume (sums to the corpus)") {
     val n = builtNames
     val rows = IvfIndex.stats(spark, n, "vec_id").collect()

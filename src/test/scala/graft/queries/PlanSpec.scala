@@ -140,6 +140,23 @@ class PlanSpec extends SparkSpec {
     assert(!pb.contains("CartesianProduct"), pb)
   }
 
+  test("sim_index_pq: ADC over pruned code postings, retrain-free, id-keyed re-rank") {
+    val p = plan("sim_index_pq")
+    // zero Lloyd rounds / corpus aggregates — both models are persisted
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    // probe = partition pruning on the code postings
+    assert(p.contains("PartitionFilters"), p)
+    // ADC pool and final ranking are distributed top-ks
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the exact re-rank fetches pool vectors through an id-keyed
+    // BROADCAST join against the source table — never a shuffle of the
+    // corpus, never a cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
     val p = plan("pipeline_incremental")
     // the merge plan reads ONLY persisted state (manifest/sigidx/store
