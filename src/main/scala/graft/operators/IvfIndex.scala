@@ -94,6 +94,135 @@ object IvfIndex {
       Ivf.assignAny(batch, idCol, vecCol, cents)
         .select((passCols :+ "centroid_id").map(col).toSeq: _*),
       n.postings)
+    // re-ingest clears a tombstone: the appended version IS the live row
+    // (a takedown blocks the old vector, never a future re-ingest — the
+    // pipeline_incremental ledger rule applied to the vector index)
+    val tombT = tombstoneTable(n)
+    if (spark.catalog.tableExists(tombT)) {
+      val remaining = spark.table(tombT)
+        .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      Warehouse.writeTable(remaining, tombT)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Deletion lifecycle: tombstones → filtered reads → compaction
+  // --------------------------------------------------------------------
+
+  /** The index's tombstone side-table (created by the first [[delete]];
+    * absent on an index that never deleted — zero plan overhead until
+    * the feature is used).
+    */
+  def tombstoneTable(n: Names): String = s"${n.postings}_tomb"
+
+  /** Delete vectors by id — the PII-takedown / dedup-drop reality of a
+    * curation pipeline: ids land in a bounded tombstone table (the
+    * delete-bitmap design every production index uses — a takedown
+    * list is driver-bounded by nature), every read path
+    * ([[search]] / [[searchBatch]] / [[stats]] / [[health]]) anti-joins
+    * it, and [[compact]] folds the tombstones into a physical rewrite
+    * of ONLY the affected partitions. Idempotent (distinct ids).
+    */
+  def delete(spark: SparkSession, n: Names, idCol: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "delete needs at least one id")
+    import spark.implicits._
+    val tombT = tombstoneTable(n)
+    val add = ids.toDF(idCol)
+    val merged =
+      if (spark.catalog.tableExists(tombT))
+        // localCheckpoint: writeTable drops the table this frame reads
+        spark.table(tombT).unionByName(add).distinct().localCheckpoint()
+      else add.distinct()
+    Warehouse.writeTable(merged, tombT)
+  }
+
+  /** Anti-join the tombstones onto a frame carrying `idCol` — the
+    * read-path guard. The tombstone side is bounded and broadcasts; an
+    * index that never deleted pays nothing (no table, no join).
+    */
+  private def excludeTombstones(spark: SparkSession, n: Names,
+      idCol: String, df: DataFrame): DataFrame = {
+    val tombT = tombstoneTable(n)
+    if (spark.catalog.tableExists(tombT))
+      df.join(broadcast(spark.table(tombT)), Seq(idCol), "left_anti")
+    else df
+  }
+
+  /** Fold the tombstones into the physical layout: rewrite ONLY the
+    * partitions that contain tombstoned rows (dynamic partition
+    * overwrite — untouched cells' files never move), drop any cell the
+    * deletes emptied entirely, then drop the tombstone table. At 100 TB
+    * this is the nightly compaction: IO proportional to the affected
+    * cells, not the index.
+    */
+  def compact(spark: SparkSession, n: Names, idCol: String): Unit = {
+    val tombT = tombstoneTable(n)
+    if (!spark.catalog.tableExists(tombT)) return
+    val tomb = broadcast(spark.table(tombT))
+    val post = spark.table(n.postings)
+    val affected = post.join(tomb, Seq(idCol), "left_semi")
+      .select(col("centroid_id")).distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      // materialize the survivors BEFORE overwriting their own source
+      // partitions (a lazy plan would read files the write deletes)
+      val survivors = post
+        .filter(col("centroid_id").isInCollection(affected))
+        .join(tomb, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val keptCells = survivors.select(col("centroid_id"))
+        .distinct().collect().map(_.get(0)).toSet
+      // dynamic partition overwrite must be set on the SESSION for
+      // insertInto (the writer-level option is ignored on this path —
+      // static mode would truncate the whole table); scoped + restored
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = spark.conf.get(modeKey, "STATIC")
+      spark.conf.set(modeKey, "dynamic")
+      try survivors
+        .select(post.columns.map(col).toSeq: _*)
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite")
+        .insertInto(n.postings)
+      finally spark.conf.set(modeKey, prevMode)
+      // a cell whose EVERY row was tombstoned has no survivor rows, so
+      // dynamic overwrite never touches it — drop it explicitly or the
+      // deleted rows resurrect
+      affected.filterNot(keptCells).foreach { c =>
+        spark.sql(
+          s"ALTER TABLE ${n.postings} DROP IF EXISTS PARTITION (centroid_id=$c)")
+      }
+      spark.catalog.refreshTable(n.postings)
+    }
+    Warehouse.dropWithLocation(spark, tombT)
+  }
+
+  /** Index-health decision row — what [[stats]] observes, turned into
+    * the operator's rebuild signal: live/tombstone volume, the
+    * max-cell/mean-cell imbalance (a stale quantizer concentrates new
+    * mass in few cells), and `rebuild_due` when tombstones are ≥ 10% of
+    * the index or the hottest cell is ≥ 3× the mean. All-integer math
+    * (truncating div), so the decision is hash-exact cross-engine.
+    */
+  def health(spark: SparkSession, n: Names, idCol: String): DataFrame = {
+    val post = spark.table(n.postings).select(col(idCol), col("centroid_id"))
+    val tombT = tombstoneTable(n)
+    val tombstoned =
+      if (spark.catalog.tableExists(tombT))
+        post.join(broadcast(spark.table(tombT)), Seq(idCol), "left_semi")
+      else post.limit(0)
+    val cells = excludeTombstones(spark, n, idCol, post)
+      .groupBy("centroid_id").agg(count(lit(1)).as("nc"))
+    cells
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum("nc").cast("long").as("n_live"),
+        max("nc").cast("long").as("max_cell"))
+      .crossJoin(broadcast(
+        tombstoned.agg(count(lit(1)).cast("long").as("n_tombstones"))))
+      .select(col("n_cells"), col("n_live"), col("n_tombstones"),
+        expr("n_tombstones * 100 div (n_live + n_tombstones)").as("tomb_pct"),
+        expr("max_cell * 100 * n_cells div n_live").as("imbalance_x100"))
+      .withColumn("rebuild_due",
+        col("tomb_pct") >= 10 || col("imbalance_x100") >= 300)
   }
 
   /** Search the persisted index: cosine top-`k` over the `nprobe`
@@ -120,12 +249,12 @@ object IvfIndex {
     val cents = loadCentroids(spark, n)
     val probed = Ivf.probeSet(q, cents, nprobe)
     val v = col(vecCol)
-    post
+    excludeTombstones(spark, n, idCol, post
       // the payload predicate rides the SAME pruned scan (pushed to the
       // posting files' row groups) — a filtered search costs the same
       // probe as an unfiltered one, never a side-table join per query
       .filter(col("centroid_id").isin(probed.toSeq: _*)
-        && col(idCol) =!= queryId && payloadFilter)
+        && col(idCol) =!= queryId && payloadFilter))
       .select(col(idCol), col("centroid_id"),
         (Vectors.dot(v, typedlit(q.toSeq)) / Vectors.norm(v)).as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -161,7 +290,8 @@ object IvfIndex {
     val v = col(vecCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col(idCol))
-    post.filter(col("centroid_id").isin(allCells: _*))
+    excludeTombstones(spark, n, idCol,
+        post.filter(col("centroid_id").isin(allCells: _*)))
       .join(probes,
         col("centroid_id") === col("__pcid") && col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), col("centroid_id"),
@@ -283,7 +413,7 @@ object IvfIndex {
     * partition stats more than data.
     */
   def stats(spark: SparkSession, n: Names, idCol: String): DataFrame =
-    spark.table(n.postings)
+    excludeTombstones(spark, n, idCol, spark.table(n.postings))
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))

@@ -332,18 +332,45 @@ private[queries] object CatalogShared {
     * score is the twin of Ivf.queryAndProbes — −((|q|² − 2·c·q) + |c|²),
     * ties toward the SMALLER cid (Scala's stable sortBy keeps
     * ascending-cid order). `sel` picks output columns from the scored
-    * CTE `ds` (vec_id, cid, dot, nx).
+    * CTE `ds` (vec_id, cid, dot, nx); `finExtra` appends a candidate
+    * predicate (the tombstone exclusion of the delete twin).
     */
-  private def ivfSearchSql(modelCtes: String, sel: String): String = {
+  private def ivfSearchSql(modelCtes: String, sel: String,
+      finExtra: String = ""): String = {
     def dotL = ivfDotL _
     val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
     "WITH " + modelCtes + ", " +
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
-      "fin AS (SELECT a.vec_id, a.cid, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
+      s"fin AS (SELECT a.vec_id, a.cid, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0$finExtra), " +
       s"ds AS (SELECT f.vec_id, f.cid, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q) " +
       s"SELECT $sel FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
+
+  /** Twin of `sim_index_delete`: the persisted search with the takedown
+    * set (vec_id % 10 = 3 — 10% of the corpus, closed-form) tombstoned
+    * out of the candidates. Same model, same probe set — deleted ids can
+    * never rank, and the top-10 backfills from the live rows.
+    */
+  lazy val ivfDeleteAnnSql: String = ivfSearchSql(ivfModelCtes,
+    "vec_id, CAST(cid AS BIGINT) AS centroid_id", " AND a.vec_id % 10 <> 3")
+
+  /** Twin of `sim_index_rebuild` ([[graft.operators.IvfIndex.health]])
+    * over the same tombstoned index: live/tombstone volume, max/mean
+    * cell imbalance ×100, and the rebuild decision — all integer math
+    * (truncating div on both engines).
+    */
+  lazy val ivfHealthSql: String =
+    "WITH " + ivfModelCtes + ", " +
+      "live AS (SELECT vec_id, cid FROM asg3 WHERE vec_id % 10 <> 3), " +
+      "cells AS (SELECT cid, count(*) AS nc FROM live GROUP BY cid), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(SUM(nc) AS BIGINT) AS n_live, CAST(MAX(nc) AS BIGINT) AS max_cell FROM cells), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n_tombstones FROM asg3 WHERE vec_id % 10 = 3) " +
+      "SELECT n_cells, n_live, n_tombstones, " +
+      "n_tombstones * 100 // (n_live + n_tombstones) AS tomb_pct, " +
+      "max_cell * 100 * n_cells // n_live AS imbalance_x100, " +
+      "((n_tombstones * 100 // (n_live + n_tombstones)) >= 10 OR (max_cell * 100 * n_cells // n_live) >= 300) AS rebuild_due " +
+      "FROM a, t"
 
   /** Twin of `sim_index_persist` ([[graft.operators.IvfIndex]]): the
     * persisted model IS Ivf.train over the full corpus (centroid

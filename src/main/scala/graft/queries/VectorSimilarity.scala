@@ -283,6 +283,30 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the TOMBSTONED index the deletion-lifecycle
+    * queries share: full build, then a closed-form takedown list
+    * (vec_id % 10 == 3 — 10% of the corpus, arriving as a bounded id
+    * list the way PII/dedup drops do) lands in the tombstone table.
+    */
+  private def ensureDeletedIndex(s: SparkSession,
+      d: String): graft.operators.IvfIndex.Names = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.names("ivd", fp)
+    cachedModel(s"ivfidx|ivd|$fp") {
+      if (!IvfIndex.exists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        val takedown = emb.filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        IvfIndex.delete(s, n, "vec_id", takedown)
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   private val persistedIndex = Seq(
     // Search the PERSISTED index: the plan is posting-scan (partition-
     // pruned to the probed cells) → codegen DotProduct → distributed
@@ -371,6 +395,39 @@ private[queries] object VectorQueries {
         graft.operators.IvfIndex.stats(s, n, "vec_id")
       },
       Some(ivfIndexStatsSql)),
+
+    // DELETE-BY-ID on the persisted index — the takedown reality of a
+    // curation pipeline (PII removal, dedup drops AFTER indexing):
+    // deleted ids land in a bounded tombstone table every read path
+    // anti-joins (broadcast — an index that never deleted pays zero),
+    // so a search can never resurrect them; IvfIndex.compact later
+    // folds tombstones into a rewrite of only the affected partitions.
+    // The delete set removes 3 of the baseline top-10 at sf0.01, so
+    // this row proves the exclusion AND the backfill, not just a
+    // no-op filter. Probe stays partition-pruned (PlanSpec).
+    Q("sim_index_delete",
+      (s, d) => {
+        val n = ensureDeletedIndex(s, d)
+        graft.operators.IvfIndex
+          .search(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)))
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfDeleteAnnSql)),
+
+    // The rebuild DECISION over the tombstoned index
+    // ([[graft.operators.IvfIndex.health]]): live/tombstone volume,
+    // max/mean cell imbalance ×100, rebuild_due when tombstones ≥ 10%
+    // or the hottest cell ≥ 3× the mean — the signal that closes the
+    // index lifecycle (build → search → append → delete → rebuild).
+    // All-integer math; with 10% deleted, rebuild_due lands true.
+    Q("sim_index_rebuild",
+      (s, d) => {
+        val n = ensureDeletedIndex(s, d)
+        graft.operators.IvfIndex.health(s, n, "vec_id")
+      },
+      Some(ivfHealthSql)),
 
     // Grow WITHOUT retraining: the new batch (vec_id >= 250) is
     // assigned to the OLD model's centroids and appended into the

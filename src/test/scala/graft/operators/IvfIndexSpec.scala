@@ -131,6 +131,91 @@ class IvfIndexSpec extends SparkSpec {
     assert(cols === Seq("vec_id", "code0", "code1", "code2", "code3", "centroid_id"))
   }
 
+  test("delete tombstones a ranking hit: search backfills, never resurrects") {
+    val n = IvfIndex.names("ivxspec", "t6")
+    IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
+    val before = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val victim = before.head
+    IvfIndex.delete(spark, n, "vec_id", Seq(victim))
+    val after = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim))
+    assert(after.size === 10, "top-10 backfills from live rows")
+    // batch + stats exclude it too
+    val batch = IvfIndex.searchBatch(spark, n, "vec_id", "embedding",
+      Seq(0L), k = 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0))
+    assert(!batch.contains(victim))
+    assert(IvfIndex.stats(spark, n, "vec_id").collect().map(_.getLong(1)).sum
+      === emb.count() - 1)
+    // post-delete search plan: still partition-pruned, still aggregate-free
+    val p = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && p.contains("PartitionFilters"), p)
+  }
+
+  test("re-ingest clears a tombstone (a takedown blocks the old row, never a future version)") {
+    val n = IvfIndex.names("ivxspec", "t7")
+    IvfIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding", n, k = 8)
+    IvfIndex.delete(spark, n, "vec_id", Seq(7L, 9L))
+    // 7 comes back in a new batch; 9 stays tombstoned
+    IvfIndex.appendBatch(spark, n, emb.filter(col("vec_id") === 7),
+      "vec_id", "embedding")
+    val live = IvfIndex.stats(spark, n, "vec_id")
+      .collect().map(_.getLong(1)).sum
+    // 250 rows built - 2 deleted + 1 re-ingested duplicate of id 7, and
+    // id 7's BOTH physical rows are live again (tombstone cleared)
+    val sevens = spark.table(n.postings).filter(col("vec_id") === 7).count()
+    assert(sevens === 2)
+    assert(live === 250 - 2 + 2)
+    val hits = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 250, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(7L) && !hits.contains(9L))
+  }
+
+  test("compact folds tombstones into the layout: affected partitions rewritten, emptied cells dropped") {
+    val n = IvfIndex.names("ivxspec", "t8")
+    IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
+    // empty one whole cell + delete one row of another
+    val byCell = spark.table(n.postings).select("vec_id", "centroid_id")
+      .collect().groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    // keep the query vector (vec_id 0) out of the emptied cell and the
+    // single-row delete — deleting the query itself is a different test
+    val (emptyCell, emptyIds) = byCell.filterNot(_._2.contains(0L)).minBy(_._2.size)
+    val otherCell = byCell.keys.filter(_ != emptyCell).head
+    val oneId = byCell(otherCell).filter(_ != 0L).head
+    IvfIndex.delete(spark, n, "vec_id", emptyIds :+ oneId)
+    val preCompact = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.compact(spark, n, "vec_id")
+    // tombstone table gone, physical rows gone, emptied partition dropped
+    assert(!spark.catalog.tableExists(IvfIndex.tombstoneTable(n)))
+    assert(spark.table(n.postings).count() === emb.count() - emptyIds.size - 1)
+    assert(spark.table(n.postings)
+      .filter(col("centroid_id") === emptyCell).count() === 0)
+    // reads are identical before and after the physical fold
+    val postCompact = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(postCompact === preCompact)
+  }
+
+  test("health turns stats into the rebuild decision (integer-exact)") {
+    val n = IvfIndex.names("ivxspec", "t9")
+    IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
+    val clean = IvfIndex.health(spark, n, "vec_id").collect().head
+    assert(clean.getAs[Long]("n_tombstones") === 0L)
+    assert(clean.getAs[Long]("tomb_pct") === 0L)
+    // delete 10% → tombstone share trips the rebuild signal
+    val ids = emb.filter(col("vec_id") % 10 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.delete(spark, n, "vec_id", ids)
+    val dirty = IvfIndex.health(spark, n, "vec_id").collect().head
+    assert(dirty.getAs[Long]("n_tombstones") === ids.size.toLong)
+    assert(dirty.getAs[Long]("tomb_pct") >= 10L)
+    assert(dirty.getAs[Boolean]("rebuild_due"))
+    assert(dirty.getAs[Long]("n_live") === emb.count() - ids.size)
+  }
+
   test("stats reports every cell's posting volume (sums to the corpus)") {
     val n = builtNames
     val rows = IvfIndex.stats(spark, n, "vec_id").collect()

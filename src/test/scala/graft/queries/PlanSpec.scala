@@ -157,6 +157,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_index_delete: tombstone anti-join is a bounded broadcast — search stays pruned and aggregate-free") {
+    val p = plan("sim_index_delete")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the exclusion is a broadcast LeftAnti on the bounded tombstone
+    // table — never a shuffle of the postings
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
     val p = plan("pipeline_incremental")
     // the merge plan reads ONLY persisted state (manifest/sigidx/store
