@@ -121,4 +121,27 @@ object Bpe {
     merges.foldLeft(df.withColumn("w", wrap(col(wordCol)))) { (d, m) =>
       d.withColumn("w", applyMerge(col("w"), m.lft, m.rgt))
     }
+
+  /** Persist a trained merge list as a model table — how a tokenizer
+    * actually deploys: train ONCE on the corpus, ship the (tiny,
+    * vocab-bounded) merge table, encode everywhere retrain-free. The
+    * same train-once/apply-many economics as the persisted vector index
+    * ([[IvfIndex]]); the merge strings/counts round-trip parquet
+    * exactly, so the loaded model IS the trained one.
+    */
+  def persistModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], table: String): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeTable(merges.toDF(), table)
+  }
+
+  /** Load a persisted merge list in training order — the retrain-free
+    * encode path: [[encode]] over the result touches no corpus
+    * aggregate (the 8 pair-count rounds happened at train time).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Merge] =
+    spark.table(table).orderBy("round").collect()
+      .map(r => Merge(r.getAs[Int]("round"), r.getAs[String]("lft"),
+        r.getAs[String]("rgt"), r.getAs[Long]("cnt"))).toSeq
 }

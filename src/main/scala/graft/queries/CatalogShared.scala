@@ -607,6 +607,19 @@ private[queries] object CatalogShared {
       s" SELECT word, CAST(len(sy) AS BIGINT) AS n_pieces, array_to_string(sy, ' ') AS pieces " +
       s"FROM (SELECT word, string_split(substr(w, 2, length(w)-2), chr(1)||chr(1)) AS sy FROM w$rounds) ORDER BY word"
 
+  /** Twin of `text_bpe_persist`: the SAME `rounds` unrolled merge rounds
+    * (the model is a deterministic function of the corpus, and merge
+    * strings round-trip parquet exactly — re-deriving it IS re-deriving
+    * the persisted table), then the final segmentation restricted to the
+    * encode slice's words (doc_id % 3 == 0 — fresh input through the
+    * deployed model, the tokenizer-inference shape).
+    */
+  def bpePersistEncodeSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      ", sl AS (SELECT DISTINCT w AS word FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> regexp_matches(t, '^[a-z0-9]+$'))) AS w FROM documents WHERE doc_id % 3 = 0))" +
+      s" SELECT word, CAST(len(sy) AS BIGINT) AS n_pieces, array_to_string(sy, ' ') AS pieces " +
+      s"FROM (SELECT w$rounds.word, string_split(substr(w, 2, length(w)-2), chr(1)||chr(1)) AS sy FROM w$rounds JOIN sl USING (word)) ORDER BY word"
+
   /** Hub-capped band-join pair SQL (8 hubs per bucket) — the DuckDB twin
     * of [[graft.operators.Dedup.lshCandidatePairsBounded]]: only the 8
     * smallest ids of a bucket pair with the rest, bounding a hot bucket's

@@ -157,6 +157,30 @@ private[queries] object TextMultimodalQueries {
       "CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming " +
       "FROM vh a JOIN vh b ON a.doc_id < b.doc_id) WHERE hamming <= 2"
 
+  /** Train-once wrapper for the persisted BPE model (`text_bpe_persist`):
+    * the 8-round merge table persists per corpus fingerprint; repeat
+    * invocations (bench passes, re-runs) load it retrain-free.
+    * cachedModel serializes concurrent first builds (the ensureIndex
+    * pattern).
+    */
+  private def ensureBpeModel(s: SparkSession, d: String): String = {
+    import graft.operators.Bpe
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val table = s"bpm_merges_$fp"
+    cachedModel(s"bpemodel|$table") {
+      if (!s.catalog.tableExists(table)) {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z0-9]+$"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val (merges, _) = Bpe.train(vocab, "word", "freq", rounds = 8)
+        Bpe.persistModel(s, merges, table)
+      }
+      java.lang.Boolean.TRUE
+    }
+    table
+  }
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -556,6 +580,34 @@ private[queries] object TextMultimodalQueries {
           .orderBy("word")
       },
       Some(bpeEncodeSql(8))),
+
+    // The PERSISTED tokenizer — how BPE actually deploys (the IvfIndex
+    // lesson applied to text): train ONCE per corpus, write the
+    // vocab-bounded merge table as a model table, encode RETRAIN-FREE
+    // from the loaded artifact. The encode input is a FRESH slice
+    // (doc_id % 3 == 0 — tokenizer inference on new data, not the train
+    // replay text_bpe_encode does), and the plan carries zero pair-count
+    // aggregations — the 8 merge rounds happened at build time. Oracle
+    // re-derives the identical merges (deterministic function of the
+    // corpus; strings round-trip parquet exactly) and segments the same
+    // slice.
+    Q("text_bpe_persist",
+      (s, d) => {
+        import graft.operators.Bpe
+        val table = ensureBpeModel(s, d)
+        val merges = Bpe.loadModel(s, table)
+        val words = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 0)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z0-9]+$"))
+          .distinct()
+        Bpe.encode(words, "word", merges)
+          .select(col("word"),
+            size(Bpe.symbols(col("w"))).cast("long").as("n_pieces"),
+            array_join(Bpe.symbols(col("w")), " ").as("pieces"))
+          .orderBy("word")
+      },
+      Some(bpePersistEncodeSql(8))),
 
     // Document frequency (how many docs contain each word — the IDF
     // numerator, distinct from text_vocab's collection frequency).

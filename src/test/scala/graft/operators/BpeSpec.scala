@@ -67,4 +67,22 @@ class BpeSpec extends SparkSpec {
       "word", "freq", rounds = 5)
     assert(merges.isEmpty)
   }
+
+  test("persisted model round-trips exactly; loaded-model encode ≡ train's segmentation") {
+    val vocab = Seq(("lower", 5L), ("low", 3L), ("newest", 6L), ("widest", 2L))
+      .toDF("word", "freq")
+    val (merges, words) = Bpe.train(vocab, "word", "freq", rounds = 6)
+    Bpe.persistModel(spark, merges, "bpespec_model")
+    val loaded = Bpe.loadModel(spark, "bpespec_model")
+    assert(loaded === merges)
+    // encode through the PERSISTED artifact reproduces the trainer's
+    // final segmentation word for word — the retrain-free deploy path
+    val fromModel = Bpe.encode(vocab.select("word"), "word", loaded)
+      .select(col("word"), array_join(Bpe.symbols(col("w")), " ").as("p"))
+      .as[(String, String)].collect().toMap
+    val fromTrain = words
+      .select(col("word"), array_join(Bpe.symbols(col("w")), " ").as("p"))
+      .as[(String, String)].collect().toMap
+    assert(fromModel === fromTrain)
+  }
 }
