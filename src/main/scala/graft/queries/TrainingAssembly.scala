@@ -347,11 +347,52 @@ private[queries] object TrainingQueries {
     * concurrent evaluation).
     */
   private def ensureCuratedStore(s: SparkSession, d: String): (String, String, String) = {
-    import graft.operators.{Dedup, Snapshot}
-    import graft.sources.Warehouse
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
     val (manifestT, sigT, storeT) =
       (s"pinc_manifest_$fp", s"pinc_sigidx_$fp", s"pinc_store_$fp")
+    // computeIfAbsent-serialized: pipeline_incremental and the
+    // store-idempotency row SHARE this read-only persisted state, and
+    // Verify evaluates catalog entries concurrently — first arrival
+    // builds, the other waits (the ensureIndex pattern).
+    CatalogShared.cachedModel(s"pincstore|$fp") {
+      buildCuratedStore(s, d, manifestT, sigT, storeT)
+      java.lang.Boolean.TRUE
+    }
+    (manifestT, sigT, storeT)
+  }
+
+  /** The incremental ledger, recomputed from scratch (epoch 0 = old
+    * snapshot, epoch 1 = added/changed docs of the new snapshot) — the
+    * closed-form post-update store shared by `pipeline_incremental`
+    * (with the from_batch flag) and `pipeline_store_idempotent` (the
+    * persisted-store face; hash match after TWO applications = the
+    * idempotency statement). `sel` picks the output columns from
+    * (g.doc_id, g.text, g.epoch).
+    */
+  private def incrementalLedgerSql(sel: String): String =
+    "WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7), " +
+      "n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), " +
+      "led AS (SELECT doc_id, text, 0 AS epoch FROM o UNION ALL " +
+      "SELECT doc_id, text, 1 FROM n WHERE doc_id % 10 = 7 OR doc_id % 5 = 0), " +
+      "g AS (SELECT * FROM led WHERE len(string_split(text, ' ')) >= 30), " +
+      s"sig AS (${minhashSqlFrom("g", Seq("epoch"))}), " +
+      // earlier-ingested collider: smaller epoch, or same epoch and
+      // smaller id — never the doc's own previous version
+      "coll AS (SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h0 = y.h0 AND x.h1 = y.h1 " +
+      "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id)) " +
+      "UNION SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h2 = y.h2 AND x.h3 = y.h3 " +
+      "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id))), " +
+      // each new-snapshot doc's CURRENT ledger entry
+      "cur AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch FROM n) " +
+      s"SELECT $sel " +
+      "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
+      "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE coll.doc_id IS NULL ORDER BY g.doc_id"
+
+  private def buildCuratedStore(s: SparkSession, d: String,
+      manifestT: String, sigT: String, storeT: String): Unit = {
+    import graft.operators.{Dedup, Snapshot}
+    import graft.sources.Warehouse
     if (!Seq(manifestT, sigT, storeT).forall(s.catalog.tableExists)) {
       val o = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
         .select(col("doc_id"),
@@ -377,7 +418,6 @@ private[queries] object TrainingQueries {
           .select("doc_id", "n_tokens"),
         storeT)
     }
-    (manifestT, sigT, storeT)
   }
 
   /** DuckDB twin of [[funnelV2Stages]] PLUS the span-scrub token
@@ -699,28 +739,74 @@ private[queries] object TrainingQueries {
           .select(col("doc_id"), col("n_tokens"), lit(false).as("from_batch"))
         carried.unionByName(survivors).orderBy("doc_id")
       },
-      Some {
-        // the ledger, recomputed from scratch: epoch 0 = old snapshot,
-        // epoch 1 = added/changed docs of the new snapshot
-        "WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7), " +
-          "n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), " +
-          "led AS (SELECT doc_id, text, 0 AS epoch FROM o UNION ALL " +
-          "SELECT doc_id, text, 1 FROM n WHERE doc_id % 10 = 7 OR doc_id % 5 = 0), " +
-          "g AS (SELECT * FROM led WHERE len(string_split(text, ' ')) >= 30), " +
-          s"sig AS (${minhashSqlFrom("g", Seq("epoch"))}), " +
-          // earlier-ingested collider: smaller epoch, or same epoch and
-          // smaller id — never the doc's own previous version
-          "coll AS (SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h0 = y.h0 AND x.h1 = y.h1 " +
-          "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id)) " +
-          "UNION SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h2 = y.h2 AND x.h3 = y.h3 " +
-          "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id))), " +
-          // each new-snapshot doc's CURRENT ledger entry
-          "cur AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch FROM n) " +
-          "SELECT g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens, g.epoch = 1 AS from_batch " +
-          "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
-          "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
-          "WHERE coll.doc_id IS NULL ORDER BY g.doc_id"
-      }),
+      Some(incrementalLedgerSql(
+        "g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens, g.epoch = 1 AS from_batch"))),
+
+    // PERSIST the incremental merge — pipeline_incremental COMPUTES the
+    // post-update store; this row WRITES it, through the real
+    // MERGE machinery ([[graft.operators.Upsert.applyChanges]]): the
+    // changeset against the persisted epoch-0 store is survivors as
+    // upserts + tombstones for store docs that are neither carried nor
+    // re-admitted (removed docs, and changed docs whose new version got
+    // gated/deduped out), applied and persisted — then applied a SECOND
+    // time from the persisted result (the nightly re-run reality) and
+    // persisted again. The output reads the store table AFTER TWO
+    // applications; the oracle is the single closed-form ledger
+    // recompute, so a hash match IS the idempotency statement
+    // (apply∘apply = apply). Scale: one keyed full-outer merge per
+    // application (the k5_upsert shape), changeset bounded by the
+    // batch, base store read from its managed table.
+    Q("pipeline_store_idempotent",
+      (s, d) => {
+        import graft.operators.{Dedup, Snapshot, Upsert}
+        import graft.sources.Warehouse
+        val (manifestT, sigT, storeT) = ensureCuratedStore(s, d)
+        val outT = s"pups_out_${graft.util.Paths.corpusFingerprint(d, Seq("documents"))}"
+        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+          .select("doc_id", "text")
+        val cls = n
+          .withColumn("h", Snapshot.contentHash(Seq("text")))
+          .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
+            Seq("doc_id"), "left")
+          .localCheckpoint()
+        val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
+        val gated = batch
+          .filter(size(split(col("text"), " ")) >= 30)
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .localCheckpoint()
+        val batchSig = Dedup
+          .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+        val dropped = Dedup
+          .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
+        val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"))
+        val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
+        // tombstones: store rows neither carried nor re-admitted — a
+        // changed doc that SURVIVED re-enters via its upsert, never a
+        // delete (delete-wins would silently drop it)
+        val tomb = s.table(storeT).select("doc_id")
+          .join(carriedIds, Seq("doc_id"), "left_anti")
+          .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(null).cast("long").as("n_tokens"),
+            lit(true).as("__del"))
+        val changes = survivors.withColumn("__del", lit(false))
+          .unionByName(tomb)
+          .localCheckpoint()
+        // apply #1: persisted base -> persisted post-state
+        Warehouse.writeTable(
+          Upsert.applyChanges(s.table(storeT), changes, "doc_id", "__del"),
+          outT)
+        // apply #2: the SAME changeset against the already-updated store
+        // (localCheckpoint first — writeTable drops the table it reads)
+        Warehouse.writeTable(
+          Upsert.applyChanges(s.table(outT), changes, "doc_id", "__del")
+            .localCheckpoint(),
+          outT)
+        s.table(outT).orderBy("doc_id")
+      },
+      Some(incrementalLedgerSql(
+        "g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens"))),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact
