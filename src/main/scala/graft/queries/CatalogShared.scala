@@ -479,6 +479,41 @@ private[queries] object CatalogShared {
     Seq("ivf" -> 80L, "ivf_stale" -> 40L, "ivfpq" -> 60L, "lsh" -> 70L,
       "pq" -> 60L, "sq8" -> 80L)
 
+  /** Recall floors for the persisted-index OPERATIONAL paths (the
+    * sim_recall_matrix methodology applied to `sim_index_filtered` /
+    * `sim_index_batch`): filtered search vs the exact-filtered top-10,
+    * batch search vs the per-query exact top-3. Measured 100/90/90
+    * (filtered) and 93/93/100 (batch, ×100÷15) at sf0.001/0.01/0.1 —
+    * floors 80 price how the payload filter and the per-query probe
+    * sets interact with nprobe=2.
+    */
+  lazy val recallPathFloors: Map[String, Long] =
+    Map("index_filtered" -> 80L, "index_batch" -> 80L)
+
+  lazy val recallPathsSql: String = {
+    val exactF =
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> 0 AND label <= 3), " +
+        "dd AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY vec_id) " +
+        "SELECT vec_id FROM dd ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+    val exactB =
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "u AS (SELECT qid, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, CAST(unnest(qe) AS DOUBLE) AS y FROM embeddings, q WHERE vec_id <> qid), " +
+        "dd AS (SELECT qid, vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx FROM u GROUP BY qid, vec_id), " +
+        "r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM dd) " +
+        "SELECT qid, vec_id FROM r WHERE rn <= 3"
+    s"WITH fidx AS (SELECT vec_id FROM ($ivfFilteredAnnSql)), " +
+      s"fex AS (SELECT vec_id, 1 AS hit FROM ($exactF)), " +
+      s"bidx AS (SELECT qid, vec_id FROM ($ivfBatchAnnSql)), " +
+      s"bex AS (SELECT qid, vec_id, 1 AS hit FROM ($exactB)), " +
+      "fr AS (SELECT 'index_filtered' AS method, CAST(count(fex.hit) AS BIGINT) AS hits, CAST(count(fex.hit) * 10 AS BIGINT) AS recall_pct FROM fidx LEFT JOIN fex USING (vec_id)), " +
+      "br AS (SELECT 'index_batch' AS method, CAST(count(bex.hit) AS BIGINT) AS hits, CAST(count(bex.hit) * 100 // 15 AS BIGINT) AS recall_pct FROM bidx LEFT JOIN bex ON bidx.qid = bex.qid AND bidx.vec_id = bex.vec_id) " +
+      "SELECT method, hits, recall_pct, " +
+      s"CAST(CASE method WHEN 'index_filtered' THEN ${recallPathFloors("index_filtered")} ELSE ${recallPathFloors("index_batch")} END AS BIGINT) AS floor_pct, " +
+      s"recall_pct >= (CASE method WHEN 'index_filtered' THEN ${recallPathFloors("index_filtered")} ELSE ${recallPathFloors("index_batch")} END) AS meets_floor " +
+      "FROM (SELECT * FROM fr UNION ALL SELECT * FROM br) ORDER BY method"
+  }
+
   lazy val recallMatrixSql: String = {
     val bruteSql =
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +

@@ -516,6 +516,72 @@ private[queries] object VectorQueries {
       },
       Some(recallMatrixSql)))
 
+  /** Recall floors for the persisted index's OPERATIONAL paths — the
+    * quality ladder (`sim_recall_matrix`) applied to the deployed
+    * layout: `sim_index_filtered`'s top-10 vs the exact-FILTERED
+    * brute-force top-10 (the payload filter changes the candidate set,
+    * so the unfiltered ground truth would be the wrong ruler), and
+    * `sim_index_batch`'s per-qid top-3 vs each query's exact top-3
+    * (hits out of 15, recall = ×100÷15 integer). Reuses the SAME
+    * persisted indexes as those rows (build serialization via
+    * cachedModel — no duplicate builds, no races); ground truths are
+    * bounded broadcasts.
+    */
+  private val recallPaths = Seq(
+    Q("sim_recall_paths",
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+        val nf = ensureIndex(s, d, "ivfl", incremental = false,
+          payloadCols = Seq("label"))
+        val nb = ensureIndex(s, d, "ivb", incremental = false)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val exactF = emb.filter(col("label") <= 3 && col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10).select(col("vec_id"), lit(1).as("hit"))
+        val fr = IvfIndex
+          .search(s, nf, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(emb), payloadFilter = col("label") <= 3)
+          .select("vec_id")
+          .join(broadcast(exactF), Seq("vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(lit("index_filtered").as("method"), col("hits"),
+            (col("hits") * 10).cast("long").as("recall_pct"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        val exactB = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        val br = IvfIndex
+          .searchBatch(s, nb, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L),
+            k = 3, nprobe = 2, queryFrom = Some(emb))
+          .select("qid", "vec_id")
+          .join(broadcast(exactB), Seq("qid", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+          .select(lit("index_batch").as("method"), col("hits"),
+            expr("hits * 100 div 15").as("recall_pct"))
+        val floorCol = CatalogShared.recallPathFloors
+          .foldLeft(lit(null).cast("long")) { case (acc, (m, f)) =>
+            when(col("method") === m, lit(f)).otherwise(acc)
+          }
+        fr.unionByName(br)
+          .withColumn("floor_pct", floorCol)
+          .withColumn("meets_floor", col("recall_pct") >= col("floor_pct"))
+          .orderBy("method")
+      },
+      Some(recallPathsSql)))
+
   /** Johnson–Lindenstrauss random projection 64 → 16 dims
     * ([[graft.functions.Vectors.randomProjection]]) — the
     * dimensionality-reduction front-end a billion-vector pipeline runs
@@ -542,5 +608,6 @@ private[queries] object VectorQueries {
         " FROM embeddings ORDER BY vec_id")))
 
   val all: Seq[Q] =
-    vectors ++ hybrid ++ batchAnn ++ persistedIndex ++ recall ++ projection
+    vectors ++ hybrid ++ batchAnn ++ persistedIndex ++ recall ++
+      recallPaths ++ projection
 }
