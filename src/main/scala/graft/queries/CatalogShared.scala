@@ -299,6 +299,31 @@ private[queries] object CatalogShared {
       "SELECT vec_id FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
   }
 
+  /** The persisted-index search as ONE Spark SQL statement
+    * (s9_sql_index_search) — the table-level SQL face of
+    * [[graft.operators.IvfIndex.search]]: probe = a CTE ranking the
+    * centroids model table by the SAME probe-score IEEE tree
+    * (`dot_product` is the registered native [[graft.functions
+    * .DotProduct]]), scan = the postings table joined to the 2-row
+    * probe CTE (Spark's dynamic partition pruning turns that join into
+    * the same unprobed-cells-never-open pruning the driver-side probe
+    * achieves), rank = the same exact-cosine top-10. A SQL-only user
+    * searches the index with no Scala at all; the oracle is the
+    * standing [[ivfPersistAnnSql]], so a hash match proves
+    * SQL ≡ IvfIndex.search ≡ the cross-engine ground truth.
+    */
+  def sqlIndexSearch(centT: String, postT: String): String =
+    "WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+      "FROM embeddings WHERE vec_id = 0), " +
+      "pr AS (SELECT cid FROM (SELECT c.cid, " +
+      "-((dot_product(q.qv, q.qv) - 2 * dot_product(c.c, q.qv)) + dot_product(c.c, c.c)) AS s " +
+      s"FROM $centT c, q) ORDER BY s DESC, cid LIMIT 2) " +
+      "SELECT p.vec_id, CAST(p.centroid_id AS BIGINT) AS centroid_id " +
+      s"FROM $postT p JOIN pr ON p.centroid_id = pr.cid, q " +
+      "WHERE p.vec_id <> 0 " +
+      "ORDER BY dot_product(p.embedding, q.qv) / sqrt(dot_product(p.embedding, p.embedding)) DESC, p.vec_id " +
+      "LIMIT 10"
+
   /** Twin of `sim_index_pq` ([[graft.operators.IvfIndex.searchPq]]) —
     * the QUANTIZED persisted index: same coarse model ([[ivfModelCtes]])
     * and PQ chains as the inline IVF-PQ twin, but the output carries

@@ -384,6 +384,24 @@ private[queries] object VectorQueries {
       },
       Some(ivfPqPersistSql)),
 
+    // S9: the persisted index on the SQL front end — one spark.sql
+    // statement composes probe (centroids CTE ranked by the registered
+    // native dot_product), pruned posting scan (the 2-row probe CTE
+    // joins on the partition column, so DYNAMIC partition pruning does
+    // in-plan what IvfIndex.search's driver-side probe does), and the
+    // exact-cosine top-10 — a SQL-only user searches the index with
+    // zero Scala. Same index tables as sim_index_persist (ivp prefix,
+    // build-serialized); oracle is the standing persisted-search twin,
+    // so the hash match proves SQL ≡ IvfIndex.search.
+    Q("s9_sql_index_search",
+      (s, d) => {
+        graft.functions.Registry.registerSql(s)
+        val n = ensureIndex(s, d, "ivp", incremental = false)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(sqlIndexSearch(n.centroids, n.postings))
+      },
+      Some(ivfPersistAnnSql)),
+
     // Index-health report: per-cell posting volume + id envelope (the
     // balance view that decides when the quantizer is stale enough to
     // re-train). The oracle recomputes the FULL persisted assignment

@@ -170,6 +170,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s9_sql_index_search: DPP prunes the posting scan; SQL ≡ IvfIndex.search row for row") {
+    val p = plan("s9_sql_index_search")
+    // the 2-row probe CTE reaches the partitioned posting scan as a
+    // DYNAMIC partition-pruning filter — the SQL plan's equivalent of
+    // the driver-side probe (unprobed cells never open)
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // still retrain-free: no Lloyd round, no corpus aggregate anywhere
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the SQL statement returns EXACTLY what the Scala API returns
+    val viaSql = SparkEntry.queries("s9_sql_index_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = SparkEntry.queries("sim_index_persist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi)
+  }
+
   test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
     val p = plan("pipeline_incremental")
     // the merge plan reads ONLY persisted state (manifest/sigidx/store
