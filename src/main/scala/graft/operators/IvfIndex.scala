@@ -112,9 +112,13 @@ object IvfIndex {
 
   /** The index's tombstone side-table (created by the first [[delete]];
     * absent on an index that never deleted — zero plan overhead until
-    * the feature is used).
+    * the feature is used). Keyed on the POSTINGS table, so the flat
+    * ([[Names]]) and quantized ([[PqNames]]) layouts share one
+    * lifecycle.
     */
-  def tombstoneTable(n: Names): String = s"${n.postings}_tomb"
+  def tombstoneTable(postings: String): String = s"${postings}_tomb"
+  def tombstoneTable(n: Names): String = tombstoneTable(n.postings)
+  def tombstoneTable(n: PqNames): String = tombstoneTable(n.postings)
 
   /** Delete vectors by id — the PII-takedown / dedup-drop reality of a
     * curation pipeline: ids land in a bounded tombstone table (the
@@ -124,10 +128,18 @@ object IvfIndex {
     * it, and [[compact]] folds the tombstones into a physical rewrite
     * of ONLY the affected partitions. Idempotent (distinct ids).
     */
-  def delete(spark: SparkSession, n: Names, idCol: String, ids: Seq[Long]): Unit = {
+  def delete(spark: SparkSession, n: Names, idCol: String, ids: Seq[Long]): Unit =
+    deleteFrom(spark, n.postings, idCol, ids)
+
+  /** [[delete]] for the quantized layout — same tombstone semantics. */
+  def delete(spark: SparkSession, n: PqNames, idCol: String, ids: Seq[Long]): Unit =
+    deleteFrom(spark, n.postings, idCol, ids)
+
+  private def deleteFrom(spark: SparkSession, postings: String,
+      idCol: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete needs at least one id")
     import spark.implicits._
-    val tombT = tombstoneTable(n)
+    val tombT = tombstoneTable(postings)
     val add = ids.toDF(idCol)
     val merged =
       if (spark.catalog.tableExists(tombT))
@@ -141,9 +153,9 @@ object IvfIndex {
     * read-path guard. The tombstone side is bounded and broadcasts; an
     * index that never deleted pays nothing (no table, no join).
     */
-  private def excludeTombstones(spark: SparkSession, n: Names,
+  private def excludeTombstones(spark: SparkSession, postings: String,
       idCol: String, df: DataFrame): DataFrame = {
-    val tombT = tombstoneTable(n)
+    val tombT = tombstoneTable(postings)
     if (spark.catalog.tableExists(tombT))
       df.join(broadcast(spark.table(tombT)), Seq(idCol), "left_anti")
     else df
@@ -210,7 +222,7 @@ object IvfIndex {
       if (spark.catalog.tableExists(tombT))
         post.join(broadcast(spark.table(tombT)), Seq(idCol), "left_semi")
       else post.limit(0)
-    val cells = excludeTombstones(spark, n, idCol, post)
+    val cells = excludeTombstones(spark, n.postings, idCol, post)
       .groupBy("centroid_id").agg(count(lit(1)).as("nc"))
     cells
       .agg(count(lit(1)).cast("long").as("n_cells"),
@@ -249,7 +261,7 @@ object IvfIndex {
     val cents = loadCentroids(spark, n)
     val probed = Ivf.probeSet(q, cents, nprobe)
     val v = col(vecCol)
-    excludeTombstones(spark, n, idCol, post
+    excludeTombstones(spark, n.postings, idCol, post
       // the payload predicate rides the SAME pruned scan (pushed to the
       // posting files' row groups) — a filtered search costs the same
       // probe as an unfiltered one, never a side-table join per query
@@ -290,7 +302,7 @@ object IvfIndex {
     val v = col(vecCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col(idCol))
-    excludeTombstones(spark, n, idCol,
+    excludeTombstones(spark, n.postings, idCol,
         post.filter(col("centroid_id").isin(allCells: _*)))
       .join(probes,
         col("centroid_id") === col("__pcid") && col(idCol) =!= col("qid"))
@@ -361,6 +373,31 @@ object IvfIndex {
       n.postings, "centroid_id")
   }
 
+  /** Grow the QUANTIZED index without retraining: the new batch is
+    * encoded with the persisted codebooks and assigned to the persisted
+    * coarse centroids — one map-side pass, zero Lloyd rounds anywhere —
+    * then appended into the code postings. Re-ingest clears tombstones
+    * exactly like the flat [[appendBatch]].
+    */
+  def appendBatchPq(spark: SparkSession, n: PqNames, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cents = loadCentroids(spark, Names(n.centroids, n.postings))
+    val books = loadCodebooks(spark, n)
+    val m = books.length
+    Warehouse.appendInto(
+      Ivf.assignAny(Pq.encode(batch, vecCol, books), idCol, vecCol, cents)
+        .select((col(idCol) +: (0 until m).map(j => col(s"code$j"))
+          :+ col("centroid_id")): _*),
+      n.postings)
+    val tombT = tombstoneTable(n)
+    if (spark.catalog.tableExists(tombT)) {
+      val remaining = spark.table(tombT)
+        .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      Warehouse.writeTable(remaining, tombT)
+    }
+  }
+
   /** Load the persisted PQ codebooks: m × pqK rows off the codebooks
     * table (bounded model state; doubles round-trip parquet bit-exactly,
     * so these ARE the trained [[Pq.train]] arrays).
@@ -390,8 +427,8 @@ object IvfIndex {
     val cents = loadCentroids(spark, Names(n.centroids, n.postings))
     val books = loadCodebooks(spark, n)
     val probed = Ivf.probeSet(q, cents, nprobe)
-    val pool = spark.table(n.postings)
-      .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+    val pool = excludeTombstones(spark, n.postings, idCol, spark.table(n.postings)
+        .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId))
       .select(col(idCol), col("centroid_id"),
         Pq.adcApproxCosine(books, q).as("__as"))
       .orderBy(col("__as").desc, col(idCol))
@@ -413,7 +450,7 @@ object IvfIndex {
     * partition stats more than data.
     */
   def stats(spark: SparkSession, n: Names, idCol: String): DataFrame =
-    excludeTombstones(spark, n, idCol, spark.table(n.postings))
+    excludeTombstones(spark, n.postings, idCol, spark.table(n.postings))
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))

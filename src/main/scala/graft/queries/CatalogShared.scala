@@ -423,11 +423,21 @@ private[queries] object CatalogShared {
     * every vector's posting list, a much stronger statement than any
     * single top-10.
     */
-  lazy val ivfIndexStatsSql: String =
+  lazy val ivfIndexStatsSql: String = ivfIndexStatsSqlWhere("")
+
+  private def ivfIndexStatsSqlWhere(where: String): String =
     "WITH " + ivfModelCtes + " " +
       "SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(count(*) AS BIGINT) AS n_vectors, " +
       "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
-      "FROM asg3 GROUP BY cid ORDER BY centroid_id"
+      s"FROM asg3 $where GROUP BY cid ORDER BY centroid_id"
+
+  /** Twin of `sim_index_compact`: the full persisted assignment MINUS
+    * the folded takedown set, cell by cell — a hash match proves the
+    * physical rewrite kept exactly the right rows in exactly the right
+    * partitions (and dropped any cell the deletes emptied).
+    */
+  lazy val ivfCompactStatsSql: String =
+    ivfIndexStatsSqlWhere("WHERE vec_id % 10 <> 3")
 
   /** Twin of `sim_index_filtered` — the persisted-index search with a
     * payload predicate (label ≤ 3) applied INSIDE the probed cells:

@@ -307,6 +307,33 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the COMPACTED index: build → delete the
+    * same closed-form takedown set → [[graft.operators.IvfIndex
+    * .compact]] folds the tombstones into a dynamic partition
+    * overwrite of only the affected cells and drops the tombstone
+    * table — the post-compaction physical state the `sim_index_compact`
+    * row verifies.
+    */
+  private def ensureCompactedIndex(s: SparkSession,
+      d: String): graft.operators.IvfIndex.Names = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.names("ivc", fp)
+    cachedModel(s"ivfidx|ivc|$fp") {
+      if (!IvfIndex.exists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        val takedown = emb.filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        IvfIndex.delete(s, n, "vec_id", takedown)
+        IvfIndex.compact(s, n, "vec_id")
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   private val persistedIndex = Seq(
     // Search the PERSISTED index: the plan is posting-scan (partition-
     // pruned to the probed cells) → codegen DotProduct → distributed
@@ -446,6 +473,21 @@ private[queries] object VectorQueries {
         graft.operators.IvfIndex.health(s, n, "vec_id")
       },
       Some(ivfHealthSql)),
+
+    // COMPACTION, driver-verified: the tombstoned index physically
+    // rewritten (dynamic partition overwrite of only the affected
+    // cells, emptied cells dropped, tombstone table gone) — the output
+    // is the per-cell physical state AFTER the fold, and the oracle is
+    // the full assignment minus the takedown set, so a hash match
+    // proves the rewrite kept exactly the right rows in exactly the
+    // right partitions. This closes the lifecycle loop the delete row
+    // opens: tombstone-filtered reads, then the nightly fold.
+    Q("sim_index_compact",
+      (s, d) => {
+        val n = ensureCompactedIndex(s, d)
+        graft.operators.IvfIndex.stats(s, n, "vec_id")
+      },
+      Some(ivfCompactStatsSql)),
 
     // Grow WITHOUT retraining: the new batch (vec_id >= 250) is
     // assigned to the OLD model's centroids and appended into the

@@ -216,6 +216,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(dirty.getAs[Long]("n_live") === emb.count() - ids.size)
   }
 
+  test("quantized lifecycle parity: appendBatchPq grows retrain-free; delete excludes from searchPq") {
+    val n = IvfIndex.pqNames("ivxspec", "t10")
+    val old = emb.filter(col("vec_id") < 250)
+    IvfIndex.buildPq(old, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    IvfIndex.appendBatchPq(spark, n, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding")
+    // grown index ≡ the inline stale composition: coarse + codebooks
+    // trained on the OLD slice, searched over the full corpus
+    val persisted = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val coarse = Ivf.train(old, "vec_id", "embedding", k = 8, iters = 2)
+    val books = Pq.train(old, "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 2)
+    val inline = Pq.searchIvfPq(emb, "vec_id", "embedding", coarse, books,
+      0L, k = 10, nprobe = 2, poolFactor = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(persisted === inline)
+    // tombstoned id never resurfaces from the quantized search either
+    val victim = persisted.head
+    IvfIndex.delete(spark, n, "vec_id", Seq(victim))
+    val after = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim))
+    assert(after.size === 10)
+  }
+
   test("stats reports every cell's posting volume (sums to the corpus)") {
     val n = builtNames
     val rows = IvfIndex.stats(spark, n, "vec_id").collect()
