@@ -205,27 +205,30 @@ private[queries] object CatalogShared {
     * suffix, so the PQ oracle can learn one codebook PER SUBSPACE.
     * `eName` must provide (vec_id, v: DOUBLE list of `dim`). Emits
     * `c2$sfx` (cid, c — final centroids) and `asg3$sfx` (vec_id, v, cid
-    * — final codes).
+    * — final codes). `finalSrc` lets the FINAL assignment run over a
+    * different (larger) source than training — the stale-model shape:
+    * codebooks learned on the pre-ingest slice, codes assigned to the
+    * full grown corpus ([[graft.operators.IvfIndex.appendBatchPq]]).
     */
   private def lloydCtes(sfx: String, eName: String, dim: Int,
-      seedPred: String): String = {
+      seedPred: String, finalSrc: Option[String] = None): String = {
     def dotL(a: String, b: String): String =
       s"list_sum([$a[i+1] * $b[i+1] for i in generate_series(0, ${dim - 1})])"
     def negSqDist(v: String, c: String): String =
       s"((2 * ${dotL(v, c)} - ${dotL(v, v)}) - ${dotL(c, c)})"
-    def assignCte(name: String, cents: String): String =
+    def assignCte(name: String, src: String, cents: String): String =
       s"$name AS (SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, c.cid, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${negSqDist("e.v", "c.c")} DESC, c.cid DESC) AS rn " +
-        s"FROM $eName e CROSS JOIN $cents c) WHERE rn = 1)"
+        s"FROM $src e CROSS JOIN $cents c) WHERE rn = 1)"
     def updateCte(name: String, asg: String, prev: String): String =
       s"$name AS (SELECT $prev.cid, coalesce(nc.c, $prev.c) AS c FROM $prev LEFT JOIN " +
         s"(SELECT cid, list(m ORDER BY pos) AS c FROM " +
         s"(SELECT cid, i AS pos, CAST(SUM(CAST(floor(v[i+1] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS m " +
         s"FROM $asg, LATERAL unnest(generate_series(0, ${dim - 1})) AS t(i) GROUP BY cid, i) GROUP BY cid) nc USING (cid))"
     s"c0$sfx AS (SELECT vec_id AS cid, v AS c FROM $eName WHERE $seedPred), " +
-      assignCte(s"asg1$sfx", s"c0$sfx") + ", " + updateCte(s"c1$sfx", s"asg1$sfx", s"c0$sfx") + ", " +
-      assignCte(s"asg2$sfx", s"c1$sfx") + ", " + updateCte(s"c2$sfx", s"asg2$sfx", s"c1$sfx") + ", " +
-      assignCte(s"asg3$sfx", s"c2$sfx")
+      assignCte(s"asg1$sfx", eName, s"c0$sfx") + ", " + updateCte(s"c1$sfx", s"asg1$sfx", s"c0$sfx") + ", " +
+      assignCte(s"asg2$sfx", eName, s"c1$sfx") + ", " + updateCte(s"c2$sfx", s"asg2$sfx", s"c1$sfx") + ", " +
+      assignCte(s"asg3$sfx", finalSrc.getOrElse(eName), s"c2$sfx")
   }
 
   /** DuckDB twin of [[graft.operators.Pq.search]] (sim_pq_ann): m=4
@@ -266,6 +269,48 @@ private[queries] object CatalogShared {
       (1 until pqM).map(j =>
         s"JOIN asg3_$j a$j ON a$j.vec_id = a0.vec_id JOIN c2_$j co$j ON a$j.cid = co$j.cid ")
         .mkString
+
+  /** [[pqChainsCtes]]'s STALE twin: subspace slices over the full
+    * corpus (e0..e3), codebooks trained ONLY on the pre-ingest slice
+    * (eo0..eo3, vec_id < 250 — the `sim_index_incremental` boundary),
+    * final codes assigned to the FULL corpus — exactly what
+    * [[graft.operators.IvfIndex.appendBatchPq]] persists when a new
+    * batch is encoded with the existing codebooks.
+    */
+  private lazy val pqChainsStaleCtes: String = {
+    val eDefs = (0 until pqM).map(j =>
+      s"e$j AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[${j * pqSub + 1}:${(j + 1) * pqSub}]] AS v FROM embeddings), " +
+        s"eo$j AS (SELECT * FROM e$j WHERE vec_id < 250)")
+      .mkString(", ")
+    val chains = (0 until pqM).map(j =>
+      lloydCtes(s"_$j", s"eo$j", pqSub, s"vec_id < $pqK",
+        finalSrc = Some(s"e$j"))).mkString(", ")
+    val qs = (0 until pqM).map(j =>
+      s"q$j AS (SELECT v AS qv FROM e$j WHERE vec_id = 0)").mkString(", ")
+    eDefs + ", " + chains + ", " + qs
+  }
+
+  /** Twin of `sim_index_pq_incremental` — the quantized index GROWN
+    * without retraining: stale coarse model ([[ivfStaleCtes]] — trained
+    * on vec_id < 250, full-corpus assignment) + stale PQ codebooks
+    * ([[pqChainsStaleCtes]]), ADC pool + exact re-rank over old∪new,
+    * hits flagged by ingest side.
+    */
+  lazy val ivfPqIncrementalSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
+    "WITH " + ivfStaleCtes + ", " + pqChainsStaleCtes + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      s"fin AS (SELECT a0.vec_id, ac.cid, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
+      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
+      "WHERE a0.vec_id <> 0), " +
+      "pool AS (SELECT vec_id, cid FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
+      s"ds AS (SELECT e.vec_id, pool.cid, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new " +
+      "FROM ds ORDER BY dot / sqrt(nx) DESC, vec_id LIMIT 10"
+  }
 
   lazy val pqAnnSql: String = {
     val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")

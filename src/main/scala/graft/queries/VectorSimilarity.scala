@@ -334,6 +334,38 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the GROWN quantized index: models trained
+    * on the pre-ingest slice (vec_id < 250 — the stale coarse model is
+    * the SAME artifact `sim_recall_matrix`'s ivf_stale row prices),
+    * then the new slice is encoded with the existing codebooks and
+    * appended — never a re-train of either quantizer.
+    */
+  private def ensurePqIncIndex(s: SparkSession,
+      d: String): graft.operators.IvfIndex.PqNames = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.pqNames("ivqi", fp)
+    cachedModel(s"ivfidx_pq|ivqi|$fp") {
+      if (!IvfIndex.pqExists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        val old = emb.filter(col("vec_id") < 250)
+        val k = math.max(8L, (old.count() + 511) / 512).toInt
+        val coarse = cachedModel(s"ivf_stale|${embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(old, "vec_id", "embedding", k = k, iters = 2) }
+        val books = cachedModel(s"pq_stale|${embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(old, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
+        IvfIndex.buildPq(old, "vec_id", "embedding", n, k = k,
+          dim = 64, m = 4, pqK = 4,
+          coarseModel = Some(coarse), books = Some(books))
+        IvfIndex.appendBatchPq(s, n,
+          emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   private val persistedIndex = Seq(
     // Search the PERSISTED index: the plan is posting-scan (partition-
     // pruned to the probed cells) → codegen DotProduct → distributed
@@ -473,6 +505,26 @@ private[queries] object VectorQueries {
         graft.operators.IvfIndex.health(s, n, "vec_id")
       },
       Some(ivfHealthSql)),
+
+    // The QUANTIZED index GROWN without retraining — appendBatchPq's
+    // driver row: the new slice (vec_id >= 250) is encoded with the
+    // EXISTING codebooks and assigned to the EXISTING coarse centroids
+    // (both trained on the pre-ingest slice only), search spans old∪new
+    // ADC-first through both stale models. The oracle re-derives the
+    // stale coarse chain AND four stale codebook chains with
+    // full-corpus final assignments — a hash match pins every grown
+    // posting's cell and code path. is_new flags the ingest side.
+    Q("sim_index_pq_incremental",
+      (s, d) => {
+        val n = ensurePqIncIndex(s, d)
+        graft.operators.IvfIndex
+          .searchPq(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            poolFactor = 4, queryFrom = Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            (col("vec_id") >= 250).as("is_new"))
+      },
+      Some(ivfPqIncrementalSql)),
 
     // COMPACTION, driver-verified: the tombstoned index physically
     // rewritten (dynamic partition overwrite of only the affected
