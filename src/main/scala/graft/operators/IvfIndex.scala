@@ -347,7 +347,8 @@ object IvfIndex {
   def buildPq(emb: DataFrame, idCol: String, vecCol: String, n: PqNames,
       k: Int, dim: Int, m: Int, pqK: Int, iters: Int = 2,
       coarseModel: Option[Array[Array[Double]]] = None,
-      books: Option[Array[Array[Array[Double]]]] = None): Unit = {
+      books: Option[Array[Array[Array[Double]]]] = None,
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = coarseModel.getOrElse(
@@ -365,11 +366,14 @@ object IvfIndex {
       n.codebooks)
     // encode BEFORE the coarse assignment: Pq.encode's per-subspace
     // argmax works through a scratch "centroid_id" column and would
-    // clobber an already-present coarse cell id
+    // clobber an already-present coarse cell id. Payload columns ride
+    // the code postings exactly like the flat layout's — a filtered
+    // quantized search predicates on the pruned code scan, never a
+    // side-table join.
     Warehouse.writePartitioned(
       Ivf.assignAny(Pq.encode(emb, vecCol, cbs), idCol, vecCol, cents)
-        .select((col(idCol) +: (0 until m).map(j => col(s"code$j"))
-          :+ col("centroid_id")): _*),
+        .select((col(idCol) +: ((0 until m).map(j => col(s"code$j"))
+          ++ payloadCols.map(col)) :+ col("centroid_id")): _*),
       n.postings, "centroid_id")
   }
 
@@ -383,11 +387,18 @@ object IvfIndex {
       idCol: String, vecCol: String): Unit = {
     val cents = loadCentroids(spark, Names(n.centroids, n.postings))
     val books = loadCodebooks(spark, n)
-    val m = books.length
+    // pass-through = postings schema minus the partition column (id +
+    // codes + any payload the index was built with); codes come from
+    // the encode below, the rest must ride in on the batch
+    val passCols = spark.table(n.postings).columns.filterNot(_ == "centroid_id")
+    val codeCols = books.indices.map(j => s"code$j").toSet
+    val missing = passCols.filterNot(codeCols).filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing index column(s) ${missing.mkString(", ")} — " +
+        s"the ${n.postings} postings carry (${passCols.mkString(", ")})")
     Warehouse.appendInto(
       Ivf.assignAny(Pq.encode(batch, vecCol, books), idCol, vecCol, cents)
-        .select((col(idCol) +: (0 until m).map(j => col(s"code$j"))
-          :+ col("centroid_id")): _*),
+        .select((passCols :+ "centroid_id").map(col).toSeq: _*),
       n.postings)
     val tombT = tombstoneTable(n)
     if (spark.catalog.tableExists(tombT)) {
@@ -420,7 +431,8 @@ object IvfIndex {
     */
   def searchPq(spark: SparkSession, n: PqNames, idCol: String, vecCol: String,
       queryId: Long, k: Int = 10, nprobe: Int = 2, poolFactor: Int = 4,
-      queryFrom: DataFrame): DataFrame = {
+      queryFrom: DataFrame,
+      payloadFilter: Column = lit(true)): DataFrame = {
     val q = queryFrom.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)))
       .collect().head.getSeq[Double](0).toArray
@@ -428,7 +440,8 @@ object IvfIndex {
     val books = loadCodebooks(spark, n)
     val probed = Ivf.probeSet(q, cents, nprobe)
     val pool = excludeTombstones(spark, n.postings, idCol, spark.table(n.postings)
-        .filter(col("centroid_id").isin(probed.toSeq: _*) && col(idCol) =!= queryId))
+        .filter(col("centroid_id").isin(probed.toSeq: _*)
+          && col(idCol) =!= queryId && payloadFilter))
       .select(col(idCol), col("centroid_id"),
         Pq.adcApproxCosine(books, q).as("__as"))
       .orderBy(col("__as").desc, col(idCol))

@@ -378,15 +378,30 @@ private[queries] object CatalogShared {
     * re-deriving both from the corpus is re-deriving the persisted
     * artifacts.
     */
-  lazy val ivfPqPersistSql: String = {
+  lazy val ivfPqPersistSql: String = ivfPqSearchSql("", "")
+
+  /** Twin of `sim_index_pq_filtered`: the quantized search with the
+    * payload predicate (label ≤ 3) applied inside the probed CODE
+    * cells — same probe set, candidates additionally gated on the
+    * metadata the index carries.
+    */
+  lazy val ivfPqFilteredSql: String = ivfPqSearchSql(
+    "lab AS (SELECT vec_id, label FROM embeddings), ",
+    " JOIN lab l ON l.vec_id = a0.vec_id AND l.label <= 3")
+
+  /** Shared builder for the quantized-persisted-search twins:
+    * `extraCtes` prepends CTEs, `finExtra` adds a join to the
+    * candidate set (the payload filter of the filtered variant).
+    */
+  private def ivfPqSearchSql(extraCtes: String, finExtra: String): String = {
     def dotL = ivfDotL _
     val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
     val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
-    "WITH " + ivfModelCtes + ", " + pqChainsCtes + ", " +
+    "WITH " + ivfModelCtes + ", " + pqChainsCtes + ", " + extraCtes +
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
       s"fin AS (SELECT a0.vec_id, ac.cid, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
-      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
+      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid$finExtra, $qRefs " +
       "WHERE a0.vec_id <> 0), " +
       "pool AS (SELECT vec_id, cid FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
       s"ds AS (SELECT e.vec_id, pool.cid, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +

@@ -260,8 +260,8 @@ private[queries] object VectorQueries {
     * queries — identical deterministic artifacts), postings persist
     * CODES only.
     */
-  private def ensurePqIndex(s: SparkSession, d: String,
-      prefix: String): graft.operators.IvfIndex.PqNames = {
+  private def ensurePqIndex(s: SparkSession, d: String, prefix: String,
+      payloadCols: Seq[String] = Nil): graft.operators.IvfIndex.PqNames = {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.pqNames(prefix, fp)
@@ -276,7 +276,8 @@ private[queries] object VectorQueries {
             dim = 64, m = 4, k = 4, iters = 2) }
         IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = k,
           dim = 64, m = 4, pqK = 4,
-          coarseModel = Some(coarse), books = Some(books))
+          coarseModel = Some(coarse), books = Some(books),
+          payloadCols = payloadCols)
       }
       java.lang.Boolean.TRUE
     }
@@ -505,6 +506,25 @@ private[queries] object VectorQueries {
         graft.operators.IvfIndex.health(s, n, "vec_id")
       },
       Some(ivfHealthSql)),
+
+    // FILTERED search on the QUANTIZED index — at 100 TB the code
+    // postings are the only index you have, so the payload predicate
+    // must ride the pruned CODE scan exactly as it rides the flat
+    // layout's (a side-table join per query would defeat both the
+    // pruning and the 64× payload compression). Same probe set as the
+    // unfiltered quantized search; ADC pool gated on the in-index
+    // label, exact re-rank unchanged.
+    Q("sim_index_pq_filtered",
+      (s, d) => {
+        val n = ensurePqIndex(s, d, "ivqf", payloadCols = Seq("label"))
+        graft.operators.IvfIndex
+          .searchPq(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            poolFactor = 4, queryFrom = Tables.embeddings(s, d),
+            payloadFilter = col("label") <= 3)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfPqFilteredSql)),
 
     // The QUANTIZED index GROWN without retraining — appendBatchPq's
     // driver row: the new slice (vec_id >= 250) is encoded with the

@@ -140,21 +140,27 @@ class PlanSpec extends SparkSpec {
     assert(!pb.contains("CartesianProduct"), pb)
   }
 
-  test("sim_index_pq: ADC over pruned code postings, retrain-free, id-keyed re-rank") {
-    val p = plan("sim_index_pq")
-    // zero Lloyd rounds / corpus aggregates — both models are persisted
-    assert(!p.contains("HashAggregate"), p)
-    assert(!p.contains("ObjectHashAggregate"), p)
-    // probe = partition pruning on the code postings
-    assert(p.contains("PartitionFilters"), p)
-    // ADC pool and final ranking are distributed top-ks
-    assert(p.contains("TakeOrderedAndProject"), p)
-    // the exact re-rank fetches pool vectors through an id-keyed
-    // BROADCAST join against the source table — never a shuffle of the
-    // corpus, never a cartesian
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("sim_index_pq family: ADC over pruned code postings, retrain-free, id-keyed re-rank") {
+    Seq("sim_index_pq", "sim_index_pq_filtered", "sim_index_pq_incremental")
+      .foreach { q =>
+        val p = plan(q)
+        // zero Lloyd rounds / corpus aggregates — both models persisted
+        assert(!p.contains("HashAggregate"), s"$q: $p")
+        assert(!p.contains("ObjectHashAggregate"), s"$q: $p")
+        // probe = partition pruning on the code postings
+        assert(p.contains("PartitionFilters"), s"$q: $p")
+        // ADC pool and final ranking are distributed top-ks
+        assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+        // the exact re-rank fetches pool vectors through an id-keyed
+        // BROADCAST join against the source table — never a shuffle of
+        // the corpus, never a cartesian
+        assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+        assert(!p.contains("SortMergeJoin"), s"$q: $p")
+        assert(!p.contains("CartesianProduct"), s"$q: $p")
+      }
+    // filtered: the payload predicate is PUSHED to the code-posting scan
+    val pf = plan("sim_index_pq_filtered")
+    assert(pf.contains("LessThanOrEqual(label,3)"), pf)
   }
 
   test("sim_index_delete: tombstone anti-join is a bounded broadcast — search stays pruned and aggregate-free") {
