@@ -491,6 +491,18 @@ private[queries] object CatalogShared {
       "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
       s"FROM asg3 $where GROUP BY cid ORDER BY centroid_id"
 
+  /** Twin of `stream_index_ingest`: the per-cell stats of an index
+    * built on the pre-boundary slice and grown by STREAMED appends —
+    * which is exactly the stale-model assignment of the full corpus
+    * ([[ivfStaleCtes]]), independent of how the stream batched the new
+    * rows.
+    */
+  lazy val ivfStaleStatsSql: String =
+    "WITH " + ivfStaleCtes + " " +
+      "SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(count(*) AS BIGINT) AS n_vectors, " +
+      "CAST(MIN(vec_id) AS BIGINT) AS min_id, CAST(MAX(vec_id) AS BIGINT) AS max_id " +
+      "FROM asg3 GROUP BY cid ORDER BY centroid_id"
+
   /** Twin of `sim_index_compact`: the full persisted assignment MINUS
     * the folded takedown set, cell by cell — a hash match proves the
     * physical rewrite kept exactly the right rows in exactly the right

@@ -213,6 +213,24 @@ private[queries] object StreamingQueries {
     // Event funnel: users whose first view precedes their first click
     // precedes their first purchase. Oracle truncates to microseconds to
     // match Spark's parquet timestamp precision before comparing.
+    // Streaming INDEX MAINTENANCE ([[graft.streaming.EventStream
+    // .drainIndexIngest]]): the persisted IVF index built on the
+    // pre-boundary slice, then the new vectors arrive as a STREAM and
+    // each micro-batch flows through foreachBatch → IvfIndex.appendBatch
+    // — assign to the existing centroids, append into the posting
+    // partitions, zero Lloyd rounds per batch. Output = post-ingest
+    // per-cell stats; the oracle is the stale-model assignment of the
+    // full corpus, so the hash match proves the streamed ingest landed
+    // every vector in exactly the cell the batch ledger demands,
+    // independent of micro-batch boundaries. Parquet feed (exact float
+    // round-trip); invocation-unique index tables, dropped after.
+    Q("stream_index_ingest",
+      (s, d) => graft.streaming.EventStream
+        .drainIndexIngest(s, Tables.embeddings(s, d),
+          "vec_id", "embedding", splitId = 250L)
+        .orderBy("centroid_id"),
+      Some(ivfStaleStatsSql)),
+
     Q("stream_funnel",
       (s, d) => {
         val ev = Tables.events(s, d)

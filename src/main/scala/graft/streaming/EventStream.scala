@@ -291,6 +291,53 @@ object EventStream {
     * would return a plausible-but-wrong partial result — a correctness
     * check must error instead.
     */
+  /** Streaming INDEX MAINTENANCE drain — the nightly vector ingest as a
+    * Structured Streaming job: the persisted IVF index
+    * ([[graft.operators.IvfIndex]]) is built once on the pre-boundary
+    * slice, then every micro-batch of new vectors flows through
+    * `foreachBatch` → [[graft.operators.IvfIndex.appendBatch]] (assign
+    * to the EXISTING centroids, append into the posting partitions —
+    * zero Lloyd rounds per batch). Returns the post-ingest per-cell
+    * stats, which a batch oracle computes as the stale-model assignment
+    * of the full corpus — the same ledger the `sim_index_incremental`
+    * family verifies, here maintained BY A STREAM. The feed is parquet
+    * (exact float round-trip — a JSONL feed could perturb vector bits),
+    * one file per micro-batch; index tables are invocation-unique and
+    * dropped after the stats materialize, so repeat invocations never
+    * double-append.
+    */
+  def drainIndexIngest(spark: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, splitId: Long,
+      nFiles: Int = 3): DataFrame = {
+    import graft.operators.IvfIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_ivix_")
+    val sfx = base.getFileName.toString.replace("graft_ivix_", "")
+    val n = IvfIndex.names(s"ivst$sfx", "stream")
+    try {
+      val old = emb.filter(col(idCol) < splitId)
+      val k = math.max(8L, (old.count() + 511) / 512).toInt
+      IvfIndex.build(old, idCol, vecCol, n, k = k)
+      val newRows = emb.filter(col(idCol) >= splitId).select(col(idCol), col(vecCol))
+      val feed = base.resolve("feed").toString
+      newRows.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(newRows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfIndex.appendBatch(spark, n, batch, idCol, vecCol)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      IvfIndex.stats(spark, n, idCol).localCheckpoint()
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.centroids)
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.util.Paths.deleteRecursively(base)
+    }
+  }
+
   private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 300000): Unit = {
     val done = try q.awaitTermination(timeoutMs) finally q.stop()
