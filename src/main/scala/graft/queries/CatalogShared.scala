@@ -31,6 +31,20 @@ private[queries] object CatalogShared {
   def cachedModel[T <: AnyRef](key: String)(train: => T): T =
     modelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
 
+  /** Separate map for BUILD-ONCE wrappers (the ensure* index/store/model
+    * builders): a builder routinely trains its models through
+    * [[cachedModel]], and a NESTED computeIfAbsent on one
+    * ConcurrentHashMap throws "Recursive update" whenever the outer and
+    * inner keys land in the same bin (intermittent by hash). Two maps
+    * make the nesting safe while keeping same-key build serialization —
+    * an outer builder never calls another outer builder.
+    */
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  def cachedBuild[T <: AnyRef](key: String)(build: => T): T =
+    buildCache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
   /** Cache key prefix for corpus `d`: content fingerprint of the
     * embeddings table (regenerated corpus → new key → retrain).
     */

@@ -167,7 +167,7 @@ private[queries] object TextMultimodalQueries {
     import graft.operators.Bpe
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
     val table = s"bpm_merges_$fp"
-    cachedModel(s"bpemodel|$table") {
+    cachedBuild(s"bpemodel|$table") {
       if (!s.catalog.tableExists(table)) {
         val vocab = Tables.documents(s, d)
           .select(explode(split(lower(col("text")), " ")).as("word"))

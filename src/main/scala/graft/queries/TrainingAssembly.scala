@@ -354,7 +354,7 @@ private[queries] object TrainingQueries {
     // store-idempotency row SHARE this read-only persisted state, and
     // Verify evaluates catalog entries concurrently — first arrival
     // builds, the other waits (the ensureIndex pattern).
-    CatalogShared.cachedModel(s"pincstore|$fp") {
+    CatalogShared.cachedBuild(s"pincstore|$fp") {
       buildCuratedStore(s, d, manifestT, sigT, storeT)
       java.lang.Boolean.TRUE
     }
@@ -642,7 +642,7 @@ private[queries] object TrainingQueries {
         val vocabT = {
           val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
           val t = s"pasm_vocab_$fp"
-          CatalogShared.cachedModel(s"pasmvocab|$t") {
+          CatalogShared.cachedBuild(s"pasmvocab|$t") {
             if (!s.catalog.tableExists(t))
               graft.sources.Warehouse.writeTable(
                 tok.groupBy("w").agg(count(lit(1)).as("cnt"))

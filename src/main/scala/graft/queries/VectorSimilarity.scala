@@ -231,7 +231,7 @@ private[queries] object VectorQueries {
     // row reusing the filtered/batch indexes) can never race a build
     // under Verify's concurrent evaluation — the first arrival builds,
     // the rest wait and reuse.
-    cachedModel(s"ivfidx|$prefix|$fp") {
+    cachedBuild(s"ivfidx|$prefix|$fp") {
       if (!IvfIndex.exists(s, n)) {
         val emb = Tables.embeddings(s, d)
         if (incremental) {
@@ -265,7 +265,7 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.pqNames(prefix, fp)
-    cachedModel(s"ivfidx_pq|$prefix|$fp") {
+    cachedBuild(s"ivfidx_pq|$prefix|$fp") {
       if (!IvfIndex.pqExists(s, n)) {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
@@ -294,7 +294,7 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.names("ivd", fp)
-    cachedModel(s"ivfidx|ivd|$fp") {
+    cachedBuild(s"ivfidx|ivd|$fp") {
       if (!IvfIndex.exists(s, n)) {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
@@ -320,7 +320,7 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.names("ivc", fp)
-    cachedModel(s"ivfidx|ivc|$fp") {
+    cachedBuild(s"ivfidx|ivc|$fp") {
       if (!IvfIndex.exists(s, n)) {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
@@ -346,7 +346,7 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.pqNames("ivqi", fp)
-    cachedModel(s"ivfidx_pq|ivqi|$fp") {
+    cachedBuild(s"ivfidx_pq|ivqi|$fp") {
       if (!IvfIndex.pqExists(s, n)) {
         val emb = Tables.embeddings(s, d)
         val old = emb.filter(col("vec_id") < 250)
