@@ -226,13 +226,20 @@ object IvfIndex {
       .groupBy("centroid_id").agg(count(lit(1)).as("nc"))
     cells
       .agg(count(lit(1)).cast("long").as("n_cells"),
-        sum("nc").cast("long").as("n_live"),
-        max("nc").cast("long").as("max_cell"))
+        // coalesce: a FULLY-tombstoned index has zero live cells — the
+        // sums go null and the div-by-zero ratios would go null too,
+        // silently un-flagging the one index that most needs a rebuild
+        coalesce(sum("nc"), lit(0L)).cast("long").as("n_live"),
+        coalesce(max("nc"), lit(0L)).cast("long").as("max_cell"))
       .crossJoin(broadcast(
         tombstoned.agg(count(lit(1)).cast("long").as("n_tombstones"))))
       .select(col("n_cells"), col("n_live"), col("n_tombstones"),
-        expr("n_tombstones * 100 div (n_live + n_tombstones)").as("tomb_pct"),
-        expr("max_cell * 100 * n_cells div n_live").as("imbalance_x100"))
+        when(col("n_live") + col("n_tombstones") === 0, lit(0L))
+          .otherwise(expr("n_tombstones * 100 div (n_live + n_tombstones)"))
+          .as("tomb_pct"),
+        when(col("n_live") === 0, lit(0L))
+          .otherwise(expr("max_cell * 100 * n_cells div n_live"))
+          .as("imbalance_x100"))
       .withColumn("rebuild_due",
         col("tomb_pct") >= 10 || col("imbalance_x100") >= 300)
   }

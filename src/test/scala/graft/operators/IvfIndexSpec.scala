@@ -244,6 +244,18 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.size === 10)
   }
 
+  test("health on a fully-tombstoned index flags rebuild emphatically, never nulls") {
+    val n = IvfIndex.names("ivxspec", "t11")
+    val slice = emb.filter(col("vec_id") < 64)
+    IvfIndex.build(slice, "vec_id", "embedding", n, k = 8)
+    IvfIndex.delete(spark, n, "vec_id",
+      slice.select("vec_id").collect().map(_.getLong(0)).toSeq)
+    val h = IvfIndex.health(spark, n, "vec_id").collect().head
+    assert(h.getAs[Long]("n_live") === 0L)
+    assert(h.getAs[Long]("tomb_pct") === 100L)
+    assert(h.getAs[Boolean]("rebuild_due"))
+  }
+
   test("stats reports every cell's posting volume (sums to the corpus)") {
     val n = builtNames
     val rows = IvfIndex.stats(spark, n, "vec_id").collect()
