@@ -1022,14 +1022,19 @@ private[queries] object TextMultimodalQueries {
       (s, d) => {
         val items = Tables.documents(s, d)
           .filter(col("doc_id") < 100).select("doc_id").localCheckpoint()
-        val nItems = items.count()
+        // the item count stays IN the plan (a 1-row scalar broadcast per
+        // modality row) — a driver-side .count() was fine under the
+        // fixed slice cap but becomes a blocking extra job the moment
+        // the cap lifts (r13 watch-list)
+        val nItems = items.agg(count(lit(1)).as("n_items"))
         def row(name: String, pairs0: DataFrame): DataFrame = {
           val pairs = pairs0.localCheckpoint()
           val dups = pairs.select(col("id_a").as("i"))
             .unionByName(pairs.select(col("id_b").as("i")))
           pairs.agg(count(lit(1)).as("n_pairs"))
             .crossJoin(dups.agg(countDistinct(col("i")).as("n_dup_items")))
-            .select(lit(name).as("modality"), lit(nItems).as("n_items"),
+            .crossJoin(broadcast(nItems))
+            .select(lit(name).as("modality"), col("n_items"),
               col("n_pairs"), col("n_dup_items"))
         }
         row("1_image", graft.multimodal.Multimodal
