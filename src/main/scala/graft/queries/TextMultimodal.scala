@@ -181,6 +181,57 @@ private[queries] object TextMultimodalQueries {
     table
   }
 
+  /** Train-once wrapper for the persisted NB quality classifier
+    * (`quality_nb_persist`): the vocab-bounded class-count table and the
+    * 1-row model scalars persist per corpus fingerprint — the
+    * "train the filter on the curated slice once, score every crawl
+    * batch retrain-free" deployment shape (the IvfIndex / BPE-model
+    * economics applied to the quality filter). All columns are BIGINT,
+    * so the parquet round-trip is exact and the persisted model IS the
+    * inline one. Returns (countsTable, scalarsTable).
+    */
+  private def ensureNbModel(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.NbClassifier
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (countsT, scalT) = (s"nbm_counts_$fp", s"nbm_scal_$fp")
+    cachedBuild(s"nbmodel|$fp") {
+      if (!s.catalog.tableExists(countsT) || !s.catalog.tableExists(scalT)) {
+        val train = Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("source").isin("src0", "src1", "src2", "src3", "src4")
+              .as("is_pos"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("doc_id") % 10 < 8)
+        graft.sources.Warehouse.writeTable(
+          NbClassifier.tokenClassCounts(train), countsT)
+        graft.sources.Warehouse.writeTable(
+          NbClassifier.modelScalars(train), scalT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (countsT, scalT)
+  }
+
+  /** Shared DuckDB twin of the NB scoring chain: trains on the 80%
+    * slice and scores EVERY document — `quality_nb` runs it against the
+    * inline-trained model, `quality_nb_persist` against the persisted
+    * model tables, so one oracle hash-pins that persisted ≡ inline ≡
+    * closed form.
+    */
+  private lazy val nbScoreSql: String =
+    "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+      "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
+      "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+      "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+      "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+      "j AS (SELECT tok.doc_id, " +
+      s"${ILog.qlogSqlDuck("(COALESCE(cp, 0) + 1)")} - ${ILog.qlogSqlDuck("(npos + vsz)")} - ${ILog.qlogSqlDuck("(COALESCE(cn, 0) + 1)")} + ${ILog.qlogSqlDuck("(nneg + vsz)")} AS wt, dpos, dneg " +
+      "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms) " +
+      "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      s"CAST(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt) AS BIGINT) AS score_fp20, " +
+      s"(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt)) > 0 AS pred_pos " +
+      "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -1294,20 +1345,7 @@ private[queries] object TextMultimodalQueries {
             col("n_tokens"), col("score_fp20"), col("pred_pos"))
           .orderBy("doc_id")
       },
-      Some {
-        "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
-          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
-          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
-          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
-          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
-          "j AS (SELECT tok.doc_id, " +
-          s"${ILog.qlogSqlDuck("(COALESCE(cp, 0) + 1)")} - ${ILog.qlogSqlDuck("(npos + vsz)")} - ${ILog.qlogSqlDuck("(COALESCE(cn, 0) + 1)")} + ${ILog.qlogSqlDuck("(nneg + vsz)")} AS wt, dpos, dneg " +
-          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms) " +
-          "SELECT doc_id, doc_id % 10 >= 8 AS held_out, CAST(count(*) AS BIGINT) AS n_tokens, " +
-          s"CAST(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt) AS BIGINT) AS score_fp20, " +
-          s"(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt)) > 0 AS pred_pos " +
-          "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
-      }),
+      Some(nbScoreSql)),
 
     // The classifier's EVALUATION — held-out confusion matrix: the same
     // NB model scored on the 20% slice it never trained on, bucketed by
@@ -1348,6 +1386,29 @@ private[queries] object TextMultimodalQueries {
           "FROM j WHERE doc_id % 10 >= 8 GROUP BY doc_id, dpos, dneg) " +
           "SELECT label, pred_pos, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1, 2 ORDER BY 1, 2"
       }),
+
+    // The PERSISTED quality classifier — how the NB filter actually
+    // deploys at crawl scale: train ONCE on the curated slice, persist
+    // the vocab-bounded class counts + 1-row scalars as model tables
+    // (ensureNbModel), and score every batch retrain-free — the scoring
+    // plan reads the two model tables and the corpus tokens, with ZERO
+    // training aggregates (no countDistinct, no is_pos label anywhere —
+    // PlanSpec-locked). All-BIGINT model → exact parquet round-trip, so
+    // the oracle is quality_nb's verbatim: the hash match proves
+    // persisted-model scoring ≡ inline training ≡ closed form.
+    Q("quality_nb_persist",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        val (countsT, scalT) = ensureNbModel(s, d)
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+        NbClassifier.score(tok, s.table(countsT), s.table(scalT))
+          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+            col("n_tokens"), col("score_fp20"), col("pred_pos"))
+          .orderBy("doc_id")
+      },
+      Some(nbScoreSql)),
 
     // Corpus id-encoding — the "apply the trained tokenizer to every
     // document" step that materializes training input: top-200 vocab

@@ -26,6 +26,24 @@ class NbClassifierSpec extends SparkSpec {
         (r.getAs[Long]("score_fp20"), r.getAs[Boolean]("pred_pos")))
       .toMap
 
+  test("persisted model tables score identically to the inline model (exact BIGINT round-trip)") {
+    val (countsT, scalT) = ("nbspec_counts", "nbspec_scal")
+    try {
+      graft.sources.Warehouse.writeTable(counts, countsT)
+      graft.sources.Warehouse.writeTable(scalars, scalT)
+      val toScore = tokens.select("doc_id", "w")
+      val inline = NbClassifier.score(toScore, counts, scalars)
+        .orderBy("doc_id").collect().toSeq
+      val persisted = NbClassifier
+        .score(toScore, spark.table(countsT), spark.table(scalT))
+        .orderBy("doc_id").collect().toSeq
+      assert(persisted === inline)
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, countsT)
+      graft.sources.Warehouse.dropWithLocation(spark, scalT)
+    }
+  }
+
   test("class counts and scalars are the plain training-set counts") {
     val c = counts.collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

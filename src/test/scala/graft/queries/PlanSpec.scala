@@ -140,6 +140,19 @@ class PlanSpec extends SparkSpec {
     assert(!pb.contains("CartesianProduct"), pb)
   }
 
+  test("quality_nb_persist: scoring is retrain-free — model tables scanned, zero training aggregates") {
+    val p = plan("quality_nb_persist")
+    // the persisted model IS the plan's input: both tables scanned
+    assert(p.contains("nbm_counts_"), p)
+    assert(p.contains("nbm_scal_"), p)
+    // training signatures absent: no class label anywhere, no vocab
+    // countDistinct — the model is read, never re-derived per batch
+    assert(!p.contains("is_pos"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
+    // contrast: the inline row trains in-plan
+    assert(plan("quality_nb").toLowerCase.contains("distinct"))
+  }
+
   test("sim_index_pq family: ADC over pruned code postings, retrain-free, id-keyed re-rank") {
     Seq("sim_index_pq", "sim_index_pq_filtered", "sim_index_pq_incremental")
       .foreach { q =>
