@@ -338,6 +338,53 @@ object EventStream {
     }
   }
 
+  /** Streaming INDEX SERVING drain — the other half of the index's
+    * streaming story ([[drainIndexIngest]] maintains it; this SEARCHES
+    * it): query vectors arrive as a stream (each request CARRIES its
+    * vector — the production serving shape, where the query embedding
+    * comes from the application, not a corpus lookup), and every
+    * micro-batch flows through `foreachBatch` →
+    * [[graft.operators.IvfIndex.searchBatch]] against the STATIC
+    * persisted index — probe cells from the bounded centroid model,
+    * partition-pruned posting scan, per-query top-k — with results
+    * appended to the sink. Per-query results are independent of
+    * micro-batch boundaries (each query's top-k sees the whole static
+    * index), so the drained union is bit-identical to one batch search
+    * over the full query set — which is exactly what the oracle
+    * computes. The index is NEVER mutated by serving, so callers pass a
+    * shared build-once index ([[graft.operators.IvfIndex.Names]]);
+    * parquet feed for exact float round-trip, one file per micro-batch.
+    */
+  def drainIndexSearch(spark: SparkSession,
+      n: graft.operators.IvfIndex.Names, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      nFiles: Int = 3): DataFrame = {
+    import graft.operators.IvfIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_ivsv_")
+    try {
+      val feed = base.resolve("feed").toString
+      val out = base.resolve("out").toString
+      val qrows = queries.select(col(idCol), col(vecCol))
+      qrows.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(qrows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the request batch IS the query source: ids + vectors ride in
+          val qids = batch.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+          if (qids.nonEmpty)
+            IvfIndex.searchBatch(spark, n, idCol, vecCol, qids,
+                k = k, nprobe = nprobe, queryFrom = Some(batch))
+              .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.read.parquet(out).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
+  }
+
   private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 300000): Unit = {
     val done = try q.awaitTermination(timeoutMs) finally q.stop()

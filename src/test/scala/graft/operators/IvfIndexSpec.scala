@@ -67,6 +67,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(batch === singles)
   }
 
+  test("streamed index serving ≡ one batch search (micro-batch boundaries invisible)") {
+    val n = builtNames
+    val queries = emb.filter(col("vec_id") < 5)
+    val streamed = graft.streaming.EventStream
+      .drainIndexSearch(spark, n, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, nFiles = 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = IvfIndex.searchBatch(spark, n, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 2, queryFrom = Some(emb))
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
+  test("recall@10 is monotone in nprobe (probe sets are nested)") {
+    val n = builtNames
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = qids.flatMap { qid =>
+      Similarity.topKBruteForce(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(r => qid -> r.getLong(0))
+    }.toSet
+    val hits = (1 to 3).map { np =>
+      IvfIndex.searchBatch(spark, n, "vec_id", "embedding", qids,
+        k = 10, nprobe = np, queryFrom = Some(emb))
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .count(exact.contains)
+    }
+    assert(hits.sliding(2).forall(p => p.head <= p.last), hits)
+  }
+
   test("searchBatch returns the search contract columns — no internal rank column") {
     val n = builtNames
     val out = IvfIndex.searchBatch(spark, n, "vec_id", "embedding",
