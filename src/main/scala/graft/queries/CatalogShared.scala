@@ -635,6 +635,41 @@ private[queries] object CatalogShared {
       "FROM (SELECT * FROM fr UNION ALL SELECT * FROM br) ORDER BY method"
   }
 
+  /** Recall target for the nprobe auto-tuner (`sim_nprobe_tune`): the
+    * operational floor the chosen probe width must clear — shared
+    * literal so Spark and the oracle emit the identical decision.
+    */
+  lazy val nprobeTarget: Long = 90L
+
+  /** DuckDB twin of `sim_nprobe_tune`: the nprobe ladder re-derived end
+    * to end — coarse model ([[ivfModelCtes]]), per-query probe RANKS
+    * (≤ 3, [[graft.operators.Ivf.probeSet]]'s stable ordering), per-
+    * nprobe top-10 over the rank-filtered cells, recall@10 against the
+    * exact per-query top-10, and the min-nprobe-meeting-target choice.
+    * All-integer recall (hits of 50) — no FP threshold anywhere.
+    */
+  lazy val nprobeTuneSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val ladder = (1 to 3).map { np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, CAST(count(ex.hit) AS BIGINT) AS hits FROM " +
+        s"(SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM ds WHERE prn <= $np) WHERE rn <= 10) t " +
+        "LEFT JOIN ex ON t.qid = ex.qid AND t.vec_id = ex.vec_id"
+    }.mkString(" UNION ALL ")
+    "WITH " + ivfModelCtes + ", " +
+      "qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +
+      s"prs AS (SELECT qid, cid, rn FROM (SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY $probeScore DESC, c.cid) AS rn FROM c2 c, qs q) WHERE rn <= 3), " +
+      "fin AS (SELECT p.qid, p.rn AS prn, a.vec_id, a.v, q.qv FROM asg3 a JOIN prs p ON a.cid = p.cid JOIN qs q ON q.qid = p.qid AND a.vec_id <> q.qid), " +
+      s"ds AS (SELECT qid, prn, vec_id, ${dotL("v", "qv")} AS dot, ${dotL("v", "v")} AS nx FROM fin), " +
+      s"exd AS (SELECT q.qid, a.vec_id, ${dotL("a.v", "q.qv")} AS dot, ${dotL("a.v", "a.v")} AS nx FROM asg3 a, qs q WHERE a.vec_id <> q.qid), " +
+      "ex AS (SELECT qid, vec_id, 1 AS hit FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM exd) WHERE rn <= 10), " +
+      s"lad AS ($ladder), " +
+      s"best AS (SELECT min(CASE WHEN hits * 100 // 50 >= $nprobeTarget THEN nprobe END) AS b FROM lad) " +
+      "SELECT nprobe, hits, CAST(hits * 100 // 50 AS BIGINT) AS recall_pct, " +
+      s"hits * 100 // 50 >= $nprobeTarget AS meets_target, " +
+      "nprobe = COALESCE(b, -1) AS chosen FROM lad, best ORDER BY nprobe"
+  }
+
   lazy val recallMatrixSql: String = {
     val bruteSql =
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +

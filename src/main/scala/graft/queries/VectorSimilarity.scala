@@ -714,6 +714,63 @@ private[queries] object VectorQueries {
       },
       Some(recallPathsSql)))
 
+  /** nprobe AUTO-TUNING over the persisted index — the deployment
+    * decision every IVF operator makes before a config ships: search
+    * the SAME build-once index (`ivb`, shared with sim_index_batch /
+    * sim_recall_paths) at nprobe ∈ {1,2,3}, price each width's
+    * recall@10 against the exact per-query top-10 (5 queries × 10
+    * slots — all-integer recall), and choose the SMALLEST nprobe
+    * meeting the target ([[CatalogShared.nprobeTarget]]): probe width
+    * is the index's direct recall↔latency dial (each +1 nprobe is one
+    * more partition scanned per query at 100 TB), so the tuned value
+    * is the cheapest configuration that clears the quality bar. The
+    * ladder is monotone by construction (probe sets are nested —
+    * Ivf.probeSet's stable ranking), spec-asserted in IvfIndexSpec.
+    */
+  private val nprobeTune = Seq(
+    Q("sim_nprobe_tune",
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+        val nb = ensureIndex(s, d, "ivb", incremental = false)
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        val exact = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (Vectors.dot(col("embedding"), col("qv"))
+              / Vectors.norm(col("embedding"))).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        // 3-row ladder, materialized once so the min-nprobe choice
+        // below doesn't re-run the three searches
+        val ladder = Seq(1, 2, 3).map { np =>
+          IvfIndex.searchBatch(s, nb, "vec_id", "embedding",
+              Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = np,
+              queryFrom = Some(emb))
+            .select("qid", "vec_id")
+            .join(broadcast(exact), Seq("qid", "vec_id"), "left")
+            .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"),
+              expr("hits * 100 div 50").as("recall_pct"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val best = ladder
+          .filter(col("recall_pct") >= CatalogShared.nprobeTarget)
+          .agg(min(col("nprobe")).as("best_np"))
+        ladder
+          .withColumn("meets_target",
+            col("recall_pct") >= CatalogShared.nprobeTarget)
+          .crossJoin(broadcast(best))
+          .withColumn("chosen",
+            col("nprobe") === coalesce(col("best_np"), lit(-1L)))
+          .drop("best_np")
+          .orderBy("nprobe")
+      },
+      Some(nprobeTuneSql)))
+
   /** Johnson–Lindenstrauss random projection 64 → 16 dims
     * ([[graft.functions.Vectors.randomProjection]]) — the
     * dimensionality-reduction front-end a billion-vector pipeline runs
@@ -741,5 +798,5 @@ private[queries] object VectorQueries {
 
   val all: Seq[Q] =
     vectors ++ hybrid ++ batchAnn ++ persistedIndex ++ recall ++
-      recallPaths ++ projection
+      recallPaths ++ nprobeTune ++ projection
 }
