@@ -462,6 +462,76 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** BATCH search on the QUANTIZED index — [[searchBatch]]'s one-pass
+    * nightly-scoring shape on the code postings: the query set is
+    * driver-bounded and BROADCASTS carrying, per query, its probe cells
+    * AND its m ADC dot-lookup tables (m·pqK doubles — the per-query
+    * half of [[Pq.adcApproxCosine]]'s state; the codeword-norm table is
+    * query-INDEPENDENT and rides as one literal). The pruned code scan
+    * joins the probe rows on `centroid_id`, each posting row ADC-scores
+    * only against the queries probing its cell (m nested `element_at`s
+    * — zero arithmetic on any original vector), the per-qid approximate
+    * top-(k·poolFactor) pools re-rank exactly from the source table
+    * through ONE id-keyed broadcast join. Retrain-free (no Lloyd, no
+    * corpus aggregate — PlanSpec-locked). Returns (qid, idCol,
+    * centroid_id, score).
+    */
+  def searchBatchPq(spark: SparkSession, n: PqNames, idCol: String,
+      vecCol: String, queryIds: Seq[Long], k: Int = 3, nprobe: Int = 2,
+      poolFactor: Int = 4, queryFrom: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qs = queryFrom.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), Vectors.toDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = loadCentroids(spark, Names(n.centroids, n.postings))
+    val books = loadCodebooks(spark, n)
+    val m = books.length
+    val offs = books.scanLeft(0)(_ + _(0).length)
+    // per-query ADC dot tables (the SAME per-subspace sequential folds
+    // as Pq.adcApproxCosine, so batch and single search can never
+    // drift by an ulp), attached to each probe row
+    val probes = broadcast(qs.toSeq.flatMap { case (qid, qv) =>
+      val dt = books.zipWithIndex.map { case (cb, j) =>
+        cb.map(c => c.zipWithIndex.map { case (x, i) =>
+          x * qv(offs(j) + i) }.sum).toSeq
+      }.toSeq
+      Ivf.probeSet(qv, cents, nprobe).toSeq.map(cid => (qid, cid, qv.toSeq, dt))
+    }.toDF("qid", "__pcid", "qv", "dt"))
+    val allCells = qs.flatMap { case (_, qv) =>
+      Ivf.probeSet(qv, cents, nprobe)
+    }.distinct.toSeq
+    val n2T: Seq[Seq[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq
+    def codeAt(j: Int) = col(s"code$j").cast("int") + 1
+    val approxDot = (0 until m)
+      .map(j => element_at(element_at(col("dt"), j + 1), codeAt(j)))
+      .reduce(_ + _)
+    val approxN2 = (0 until m)
+      .map(j => element_at(element_at(typedlit(n2T), j + 1), codeAt(j)))
+      .reduce(_ + _)
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__as").desc, col(idCol))
+    val pool = excludeTombstones(spark, n.postings, idCol,
+        spark.table(n.postings).filter(col("centroid_id").isin(allCells: _*)))
+      .join(probes,
+        col("centroid_id") === col("__pcid") && col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("centroid_id"), col("qv"),
+        (approxDot / sqrt(approxN2)).as("__as"))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= k * poolFactor)
+      .select(col("qid"), col(idCol), col("centroid_id"), col("qv"))
+    val v = col(vecCol)
+    val wFin = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col(idCol))
+    queryFrom.select(col(idCol), v)
+      .join(broadcast(pool), Seq(idCol))
+      .select(col("qid"), col(idCol), col("centroid_id"),
+        (Vectors.dot(v, col("qv")) / Vectors.norm(v)).as("score"))
+      .withColumn("rn", row_number().over(wFin))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Index-health report: per-cell posting-list volume and id envelope
     * — the balance view an index operator watches (a cell far above
     * the mean says the quantizer is stale for the current distribution

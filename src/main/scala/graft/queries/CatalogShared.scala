@@ -403,6 +403,36 @@ private[queries] object CatalogShared {
     "lab AS (SELECT vec_id, label FROM embeddings), ",
     " JOIN lab l ON l.vec_id = a0.vec_id AND l.label <= 3")
 
+  /** Twin of `sim_index_pq_batch` ([[graft.operators.IvfIndex
+    * .searchBatchPq]]): the quantized search for EVERY query in one
+    * statement — per-qid probe ranks over the coarse model, ADC scoring
+    * of the rank-filtered code cells against each query's per-subspace
+    * dot tables (qb0..qb3 joined on qid; codeword norms are
+    * query-independent), per-qid approximate top-12 pool, per-qid exact
+    * re-rank to top-3 from the source vectors.
+    */
+  lazy val ivfPqBatchSql: String = {
+    def dotL = ivfDotL _
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val qbDefs = (0 until pqM).map(j =>
+      s"qb$j AS (SELECT vec_id AS qid, v AS qv FROM e$j WHERE vec_id < 5)")
+      .mkString(", ")
+    val qbJoins = (0 until pqM).map(j =>
+      s"JOIN qb$j ON qb$j.qid = p.qid").mkString(" ")
+    val adB = (0 until pqM)
+      .map(j => pqDotN(s"co$j.c", s"qb$j.qv", pqSub)).mkString(" + ")
+    "WITH " + ivfModelCtes + ", " + pqChainsCtes + ", " + qbDefs + ", " +
+      "qsf AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +
+      s"prs AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY $probeScore DESC, c.cid) AS rn FROM c2 c, qsf q) WHERE rn <= 2), " +
+      s"fin AS (SELECT p.qid, a0.vec_id, ac.cid, ($adB) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
+      s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN prs p ON ac.cid = p.cid $qbJoins " +
+      "WHERE a0.vec_id <> p.qid), " +
+      "pool AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY ad / sqrt(an2) DESC, vec_id) AS rn FROM fin) WHERE rn <= 12), " +
+      s"ds AS (SELECT pool.qid, e.vec_id, ${pqDotN("e.v", "qsf.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx " +
+      "FROM e JOIN pool ON e.vec_id = pool.vec_id JOIN qsf ON qsf.qid = pool.qid) " +
+      "SELECT qid, vec_id FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nx) DESC, vec_id) AS rn FROM ds) WHERE rn <= 3 ORDER BY qid, vec_id"
+  }
+
   /** Shared builder for the quantized-persisted-search twins:
     * `extraCtes` prepends CTEs, `finExtra` adds a join to the
     * candidate set (the payload filter of the filtered variant).

@@ -546,6 +546,28 @@ private[queries] object VectorQueries {
       },
       Some(ivfPqIncrementalSql)),
 
+    // BATCH search on the QUANTIZED index — nightly scoring where the
+    // code postings are the only index you have: the query set
+    // broadcasts carrying each query's probe cells AND its m ADC
+    // dot-lookup tables (the per-query half of Pq.adcApproxCosine's
+    // state; codeword norms are query-independent and ride as one
+    // literal), the pruned code scan joins probes on centroid_id and
+    // ADC-scores each posting row only against the queries probing its
+    // cell, per-qid pools re-rank exactly via ONE id-keyed broadcast
+    // fetch from the source table. Same build-once ivq index as
+    // sim_index_pq; retrain-free (PlanSpec).
+    Q("sim_index_pq_batch",
+      (s, d) => {
+        val n = ensurePqIndex(s, d, "ivq")
+        graft.operators.IvfIndex
+          .searchBatchPq(s, n, "vec_id", "embedding",
+            Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 2, poolFactor = 4,
+            queryFrom = Tables.embeddings(s, d))
+          .select("qid", "vec_id")
+          .orderBy("qid", "vec_id")
+      },
+      Some(ivfPqBatchSql)),
+
     // COMPACTION, driver-verified: the tombstoned index physically
     // rewritten (dynamic partition overwrite of only the affected
     // cells, emptied cells dropped, tombstone table gone) — the output

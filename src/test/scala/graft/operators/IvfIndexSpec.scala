@@ -163,6 +163,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(cols === Seq("vec_id", "code0", "code1", "code2", "code3", "centroid_id"))
   }
 
+  test("searchBatchPq ≡ per-query searchPq over the same quantized index") {
+    val n = IvfIndex.pqNames("ivxspec", "t9")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    val qids = Seq(0L, 1L, 2L)
+    val batch = IvfIndex.searchBatchPq(spark, n, "vec_id", "embedding",
+      qids, k = 5, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singles = qids.flatMap { qid =>
+      IvfIndex.searchPq(spark, n, "vec_id", "embedding", qid,
+        k = 5, nprobe = 2, poolFactor = 4, queryFrom = emb)
+        .select("vec_id").collect().map(r => qid -> r.getLong(0))
+    }.toSet
+    assert(batch === singles)
+  }
+
   test("delete tombstones a ranking hit: search backfills, never resurrects") {
     val n = IvfIndex.names("ivxspec", "t6")
     IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)

@@ -174,6 +174,15 @@ class PlanSpec extends SparkSpec {
     // filtered: the payload predicate is PUSHED to the code-posting scan
     val pf = plan("sim_index_pq_filtered")
     assert(pf.contains("LessThanOrEqual(label,3)"), pf)
+    // batch: still zero Lloyd/corpus aggregates; probe rows broadcast
+    // onto the pruned code scan; per-qid ranking is a window, and the
+    // exact re-rank is the same id-keyed broadcast fetch
+    val pb = plan("sim_index_pq_batch")
+    assert(!pb.contains("HashAggregate"), pb)
+    assert(pb.contains("PartitionFilters"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("SortMergeJoin"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
   }
 
   test("sim_index_delete: tombstone anti-join is a bounded broadcast — search stays pruned and aggregate-free") {
