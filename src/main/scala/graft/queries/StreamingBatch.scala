@@ -276,6 +276,28 @@ private[queries] object StreamingQueries {
       },
       Some(ivfBatchAnnSql)),
 
+    // Streaming QUALITY SCORING ([[graft.streaming.EventStream
+    // .drainNbScore]]) — "score the crawl as it arrives": documents
+    // flow as micro-batches through foreachBatch, each batch tokenized
+    // and scored against the PERSISTED NB model tables
+    // (quality_nb_persist's train-once artifact — zero training
+    // aggregates per batch, a token-keyed lookup join + per-doc sum).
+    // Per-document scores are independent of micro-batch boundaries,
+    // so the drained union is bit-identical to one batch scoring pass
+    // — the oracle is quality_nb's verbatim, and the hash match proves
+    // streamed scoring ≡ persisted-model batch scoring ≡ inline
+    // training ≡ closed form.
+    Q("stream_nb_score",
+      (s, d) => {
+        val (countsT, scalT) = TextMultimodalQueries.ensureNbModel(s, d)
+        graft.streaming.EventStream
+          .drainNbScore(s, Tables.documents(s, d), countsT, scalT)
+          .select(col("doc_id"), (col("doc_id") % 10 >= 8).as("held_out"),
+            col("n_tokens"), col("score_fp20"), col("pred_pos"))
+          .orderBy("doc_id")
+      },
+      Some(TextMultimodalQueries.nbScoreSql)),
+
     Q("stream_funnel",
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -190,7 +190,7 @@ private[queries] object TextMultimodalQueries {
     * so the parquet round-trip is exact and the persisted model IS the
     * inline one. Returns (countsTable, scalarsTable).
     */
-  private def ensureNbModel(s: SparkSession, d: String): (String, String) = {
+  private[queries] def ensureNbModel(s: SparkSession, d: String): (String, String) = {
     import graft.operators.NbClassifier
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
     val (countsT, scalT) = (s"nbm_counts_$fp", s"nbm_scal_$fp")
@@ -218,7 +218,7 @@ private[queries] object TextMultimodalQueries {
     * model tables, so one oracle hash-pins that persisted ≡ inline ≡
     * closed form.
     */
-  private lazy val nbScoreSql: String =
+  private[queries] lazy val nbScoreSql: String =
     "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
       "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
       "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +

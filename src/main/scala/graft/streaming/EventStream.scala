@@ -385,6 +385,43 @@ object EventStream {
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
+  /** Streaming QUALITY SCORING drain — the persisted NB filter
+    * ([[graft.operators.NbClassifier]] model tables) applied to
+    * documents AS THEY ARRIVE: every micro-batch tokenizes and scores
+    * against the train-once model (token-keyed lookup join + per-doc
+    * sum — zero training aggregates per batch, the
+    * `quality_nb_persist` economics on a stream). Per-document scores
+    * are independent of micro-batch boundaries, so the drained union
+    * is bit-identical to one batch scoring pass — which is what the
+    * oracle computes. Parquet feed (exact text round-trip).
+    */
+  def drainNbScore(spark: SparkSession, docs: DataFrame,
+      countsTable: String, scalarsTable: String,
+      nFiles: Int = 3): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_nbsc_")
+    try {
+      val feed = base.resolve("feed").toString
+      val out = base.resolve("out").toString
+      val rows = docs.select(col("doc_id"), col("text"))
+      rows.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val tok = batch.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          graft.operators.NbClassifier
+            .score(tok, spark.table(countsTable), spark.table(scalarsTable))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.read.parquet(out).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
+  }
+
   private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 300000): Unit = {
     val done = try q.awaitTermination(timeoutMs) finally q.stop()

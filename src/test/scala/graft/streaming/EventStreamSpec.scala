@@ -309,4 +309,31 @@ class EventStreamSpec extends SparkSpec {
     try q.awaitTermination(60000) finally q.stop()
     assert(spark.read.parquet(out).count() === 100L)
   }
+
+  test("streamed NB scoring equals one batch scoring pass over the persisted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.NbClassifier
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "car door car"),
+      (3L, "apple car"), (4L, "banana banana door")
+    ).toDF("doc_id", "text")
+    val train = docs.select(col("doc_id"), (col("doc_id") <= 2).as("is_pos"),
+      explode(split(lower(col("text")), " ")).as("w"))
+    val (countsT, scalT) = ("nbstream_counts", "nbstream_scal")
+    try {
+      graft.sources.Warehouse.writeTable(NbClassifier.tokenClassCounts(train), countsT)
+      graft.sources.Warehouse.writeTable(NbClassifier.modelScalars(train), scalT)
+      val streamed = EventStream.drainNbScore(spark, docs, countsT, scalT, nFiles = 2)
+        .orderBy("doc_id").collect().toSeq
+      val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val batch = NbClassifier.score(tok, spark.table(countsT), spark.table(scalT))
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed === batch)
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, countsT)
+      graft.sources.Warehouse.dropWithLocation(spark, scalT)
+    }
+  }
 }
