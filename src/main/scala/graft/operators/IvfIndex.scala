@@ -168,11 +168,22 @@ object IvfIndex {
     * this is the nightly compaction: IO proportional to the affected
     * cells, not the index.
     */
-  def compact(spark: SparkSession, n: Names, idCol: String): Unit = {
-    val tombT = tombstoneTable(n)
+  def compact(spark: SparkSession, n: Names, idCol: String): Unit =
+    compactPostings(spark, n.postings, idCol)
+
+  /** [[compact]] for the quantized layout — the code postings fold
+    * their tombstones exactly like the flat ones (same partition
+    * scheme, same dynamic-overwrite rewrite of only affected cells).
+    */
+  def compact(spark: SparkSession, n: PqNames, idCol: String): Unit =
+    compactPostings(spark, n.postings, idCol)
+
+  private def compactPostings(spark: SparkSession, postings: String,
+      idCol: String): Unit = {
+    val tombT = tombstoneTable(postings)
     if (!spark.catalog.tableExists(tombT)) return
     val tomb = broadcast(spark.table(tombT))
-    val post = spark.table(n.postings)
+    val post = spark.table(postings)
     val affected = post.join(tomb, Seq(idCol), "left_semi")
       .select(col("centroid_id")).distinct().collect().map(_.get(0))
     if (affected.nonEmpty) {
@@ -194,16 +205,16 @@ object IvfIndex {
         .select(post.columns.map(col).toSeq: _*)
         .repartition(col("centroid_id"))
         .write.mode("overwrite")
-        .insertInto(n.postings)
+        .insertInto(postings)
       finally spark.conf.set(modeKey, prevMode)
       // a cell whose EVERY row was tombstoned has no survivor rows, so
       // dynamic overwrite never touches it — drop it explicitly or the
       // deleted rows resurrect
       affected.filterNot(keptCells).foreach { c =>
         spark.sql(
-          s"ALTER TABLE ${n.postings} DROP IF EXISTS PARTITION (centroid_id=$c)")
+          s"ALTER TABLE $postings DROP IF EXISTS PARTITION (centroid_id=$c)")
       }
-      spark.catalog.refreshTable(n.postings)
+      spark.catalog.refreshTable(postings)
     }
     Warehouse.dropWithLocation(spark, tombT)
   }

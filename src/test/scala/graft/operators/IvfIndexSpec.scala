@@ -164,7 +164,7 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("searchBatchPq ≡ per-query searchPq over the same quantized index") {
-    val n = IvfIndex.pqNames("ivxspec", "t9")
+    val n = IvfIndex.pqNames("ivxspec", "t10")
     IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
       m = 4, pqK = 4)
     val qids = Seq(0L, 1L, 2L)
@@ -245,6 +245,30 @@ class IvfIndexSpec extends SparkSpec {
     // reads are identical before and after the physical fold
     val postCompact = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
       k = 10, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(postCompact === preCompact)
+  }
+
+  test("quantized compact parity: code postings fold tombstones exactly like flat ones") {
+    val n = IvfIndex.pqNames("ivxspec", "t11")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    val byCell = spark.table(n.postings).select("vec_id", "centroid_id")
+      .collect().groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    val (emptyCell, emptyIds) = byCell.filterNot(_._2.contains(0L)).minBy(_._2.size)
+    val otherCell = byCell.keys.filter(_ != emptyCell).head
+    val oneId = byCell(otherCell).filter(_ != 0L).head
+    IvfIndex.delete(spark, n, "vec_id", emptyIds :+ oneId)
+    val preCompact = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 8, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.compact(spark, n, "vec_id")
+    assert(!spark.catalog.tableExists(IvfIndex.tombstoneTable(n)))
+    assert(spark.table(n.postings).count() === emb.count() - emptyIds.size - 1)
+    assert(spark.table(n.postings)
+      .filter(col("centroid_id") === emptyCell).count() === 0)
+    val postCompact = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 8, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(postCompact === preCompact)
   }
 
