@@ -219,6 +219,34 @@ object IvfIndex {
     Warehouse.dropWithLocation(spark, tombT)
   }
 
+  /** ACT on [[health]]'s rebuild signal — the one sanctioned time to
+    * pay Lloyd again: retrain the coarse quantizer on the LIVE rows
+    * (tombstones excluded — the takedowns that triggered the rebuild
+    * never shape the new model), rewrite centroids + postings, and
+    * fold the tombstone table away (the physical rows are gone, so the
+    * read-path guard has nothing left to exclude). Payload columns are
+    * carried from the old postings schema, so a filtered index rebuilds
+    * intact. Flat layout only — the postings must carry `vecCol` (a
+    * quantized index re-encodes from the source table instead).
+    * Closes the lifecycle loop: build → search → grow → delete →
+    * observe ([[stats]]) → decide ([[health]]) → act (this).
+    */
+  def rebuild(spark: SparkSession, n: Names, idCol: String, vecCol: String,
+      iters: Int = 2): Array[Array[Double]] = {
+    val post = spark.table(n.postings)
+    val payload = post.columns
+      .filterNot(Set(idCol, vecCol, "centroid_id")).toSeq
+    // materialize the live rows BEFORE build overwrites their source
+    val live = excludeTombstones(spark, n.postings, idCol,
+      post.select((Seq(idCol, vecCol) ++ payload).map(col): _*))
+      .localCheckpoint()
+    val k = math.max(8L, (live.count() + 511) / 512).toInt
+    val cents = build(live, idCol, vecCol, n, k = k, iters = iters,
+      payloadCols = payload)
+    Warehouse.dropWithLocation(spark, tombstoneTable(n))
+    cents
+  }
+
   /** Index-health decision row — what [[stats]] observes, turned into
     * the operator's rebuild signal: live/tombstone volume, the
     * max-cell/mean-cell imbalance (a stale quantizer concentrates new

@@ -484,6 +484,31 @@ private[queries] object CatalogShared {
   lazy val ivfDeleteAnnSql: String = ivfSearchSql(ivfModelCtes,
     "vec_id, CAST(cid AS BIGINT) AS centroid_id", " AND a.vec_id % 10 <> 3")
 
+  /** Twin of `sim_index_rebuild_exec` — [[graft.operators.IvfIndex
+    * .health]] AFTER [[graft.operators.IvfIndex.rebuild]] acted on the
+    * signal: the coarse model retrained on the LIVE slice
+    * (vec_id % 10 <> 3 — the standing takedown set), seeds = the first
+    * k live ids by rank (Ivf.train's first-k-by-id over the live
+    * corpus; k = GREATEST(8, ⌈live/512⌉)), final assignment over live
+    * rows only, tombstones folded (0 by construction). The health
+    * numbers are cid-LABEL-independent (counts + max-cell only, and
+    * the oracle's seed-id cids map to Spark's 0..k-1 by a monotone
+    * relabeling that preserves the larger-cid tie-break), so the hash
+    * match pins the rebuilt model's whole partition structure.
+    */
+  lazy val ivfRebuildExecSql: String = {
+    val kExpr = "(SELECT GREATEST(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) FROM el)"
+    "WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+      "el AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3), " +
+      "elr AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM el), " +
+      lloydCtes("_rb", "elr", ivfDim, s"rk <= $kExpr") + ", " +
+      "cells AS (SELECT cid, count(*) AS nc FROM asg3_rb GROUP BY cid), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(SUM(nc) AS BIGINT) AS n_live, CAST(MAX(nc) AS BIGINT) AS max_cell FROM cells) " +
+      "SELECT n_cells, n_live, CAST(0 AS BIGINT) AS n_tombstones, CAST(0 AS BIGINT) AS tomb_pct, " +
+      "CAST(max_cell * 100 * n_cells // n_live AS BIGINT) AS imbalance_x100, " +
+      "(max_cell * 100 * n_cells // n_live) >= 300 AS rebuild_due FROM a"
+  }
+
   /** Twin of `sim_index_rebuild` ([[graft.operators.IvfIndex.health]])
     * over the same tombstoned index: live/tombstone volume, max/mean
     * cell imbalance ×100, and the rebuild decision — all integer math

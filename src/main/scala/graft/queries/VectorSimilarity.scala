@@ -308,6 +308,31 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the REBUILT index: build → delete the
+    * standing takedown set (the health signal fires at 10% tombstones)
+    * → [[graft.operators.IvfIndex.rebuild]] ACTS on it — retrain on
+    * the live rows, rewrite both tables, fold the tombstones away.
+    */
+  private def ensureRebuiltIndex(s: SparkSession,
+      d: String): graft.operators.IvfIndex.Names = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.names("ivrr", fp)
+    cachedBuild(s"ivfidx|ivrr|$fp") {
+      if (!IvfIndex.exists(s, n)) {
+        val emb = Tables.embeddings(s, d)
+        val k = math.max(8L, (emb.count() + 511) / 512).toInt
+        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        val takedown = emb.filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        IvfIndex.delete(s, n, "vec_id", takedown)
+        IvfIndex.rebuild(s, n, "vec_id", "embedding")
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   /** Build-once wrapper for the COMPACTED index: build → delete the
     * same closed-form takedown set → [[graft.operators.IvfIndex
     * .compact]] folds the tombstones into a dynamic partition
@@ -506,6 +531,22 @@ private[queries] object VectorQueries {
         graft.operators.IvfIndex.health(s, n, "vec_id")
       },
       Some(ivfHealthSql)),
+
+    // The rebuild EXECUTED — acting on the signal the row above only
+    // decides, closing the lifecycle's last arrow (observe → decide →
+    // ACT): the takedown-tombstoned index retrained on its LIVE rows
+    // (the one sanctioned Lloyd payment; the takedowns never shape the
+    // new model), both tables rewritten, tombstones folded away. The
+    // output is health-after-rebuild; the oracle re-derives the
+    // live-slice Lloyd chain (seeds = first k live ids, k scaled to
+    // the live count) and its closed-form health, so the hash match
+    // pins the rebuilt model's entire partition structure.
+    Q("sim_index_rebuild_exec",
+      (s, d) => {
+        val n = ensureRebuiltIndex(s, d)
+        graft.operators.IvfIndex.health(s, n, "vec_id")
+      },
+      Some(ivfRebuildExecSql)),
 
     // FILTERED search on the QUANTIZED index — at 100 TB the code
     // postings are the only index you have, so the payload predicate

@@ -272,6 +272,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(postCompact === preCompact)
   }
 
+  test("rebuild acts on the health signal: retrain on live rows, tombstones folded, decision clears") {
+    val n = IvfIndex.names("ivxspec", "t12")
+    IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
+    val takedown = emb.filter(col("vec_id") % 10 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.delete(spark, n, "vec_id", takedown)
+    assert(IvfIndex.health(spark, n, "vec_id")
+      .collect().head.getAs[Boolean]("rebuild_due"))
+    IvfIndex.rebuild(spark, n, "vec_id", "embedding")
+    val h = IvfIndex.health(spark, n, "vec_id").collect().head
+    assert(h.getAs[Long]("n_tombstones") === 0L)
+    assert(h.getAs[Long]("tomb_pct") === 0L)
+    assert(!spark.catalog.tableExists(IvfIndex.tombstoneTable(n)))
+    // the rebuilt index ≡ a fresh build on the live slice, search-for-search
+    val live = emb.filter(col("vec_id") % 10 =!= 3)
+    val n2 = IvfIndex.names("ivxspec", "t13")
+    IvfIndex.build(live, "vec_id", "embedding", n2,
+      k = math.max(8L, (live.count() + 511) / 512).toInt)
+    val rebuilt = IvfIndex.search(spark, n, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, queryFrom = Some(emb))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val fresh = IvfIndex.search(spark, n2, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, queryFrom = Some(emb))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(rebuilt === fresh)
+  }
+
   test("health turns stats into the rebuild decision (integer-exact)") {
     val n = IvfIndex.names("ivxspec", "t9")
     IvfIndex.build(emb, "vec_id", "embedding", n, k = 8)
