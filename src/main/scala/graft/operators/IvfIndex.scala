@@ -240,7 +240,16 @@ object IvfIndex {
     val live = excludeTombstones(spark, n.postings, idCol,
       post.select((Seq(idCol, vecCol) ++ payload).map(col): _*))
       .localCheckpoint()
-    val k = math.max(8L, (live.count() + 511) / 512).toInt
+    val liveCount = live.count()
+    // a FULLY tombstoned index has nothing to retrain on: Lloyd over
+    // zero rows would write an empty model that health then calls
+    // healthy (n_cells=0, rebuild_due=false) — the one index that most
+    // needs attention silently passing. The takedown-everything case is
+    // a DROP decision, not a retrain; refuse loudly.
+    require(liveCount > 0,
+      s"rebuild of ${n.postings}: zero live rows (fully tombstoned) — " +
+        "drop the index instead of retraining on an empty corpus")
+    val k = math.max(8L, (liveCount + 511) / 512).toInt
     val cents = build(live, idCol, vecCol, n, k = k, iters = iters,
       payloadCols = payload)
     Warehouse.dropWithLocation(spark, tombstoneTable(n))
@@ -525,22 +534,18 @@ object IvfIndex {
     val cents = loadCentroids(spark, Names(n.centroids, n.postings))
     val books = loadCodebooks(spark, n)
     val m = books.length
-    val offs = books.scanLeft(0)(_ + _(0).length)
-    // per-query ADC dot tables (the SAME per-subspace sequential folds
-    // as Pq.adcApproxCosine, so batch and single search can never
-    // drift by an ulp), attached to each probe row
+    // per-query ADC dot tables (Pq.adcDotTables — the ONE definition of
+    // the per-subspace sequential folds, shared with Pq.adcApproxCosine
+    // so batch and single search can never drift by an ulp), attached
+    // to each probe row
     val probes = broadcast(qs.toSeq.flatMap { case (qid, qv) =>
-      val dt = books.zipWithIndex.map { case (cb, j) =>
-        cb.map(c => c.zipWithIndex.map { case (x, i) =>
-          x * qv(offs(j) + i) }.sum).toSeq
-      }.toSeq
+      val dt = Pq.adcDotTables(books, qv).map(_.toSeq).toSeq
       Ivf.probeSet(qv, cents, nprobe).toSeq.map(cid => (qid, cid, qv.toSeq, dt))
     }.toDF("qid", "__pcid", "qv", "dt"))
     val allCells = qs.flatMap { case (_, qv) =>
       Ivf.probeSet(qv, cents, nprobe)
     }.distinct.toSeq
-    val n2T: Seq[Seq[Double]] =
-      books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq
+    val n2T: Seq[Seq[Double]] = Pq.adcNormTables(books).map(_.toSeq).toSeq
     def codeAt(j: Int) = col(s"code$j").cast("int") + 1
     val approxDot = (0 until m)
       .map(j => element_at(element_at(col("dt"), j + 1), codeAt(j)))

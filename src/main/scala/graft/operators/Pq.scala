@@ -102,23 +102,43 @@ object Pq {
     adcRerank(members, idCol, vecCol, codebooks, q, k, poolFactor)
   }
 
+  /** Per-subspace ADC dot-lookup tables for query `q`: `dotT(j)(c)` =
+    * ⟨codeword c of subspace j, query subvector j⟩, each a sequential
+    * left-to-right fold (the oracle's list_sum). THE single source of
+    * truth for the per-query half of the ADC IEEE tree — consumed by
+    * [[adcApproxCosine]] and by [[IvfIndex.searchBatchPq]]'s broadcast
+    * probe rows, so single and batch search can never drift by an ulp.
+    */
+  private[operators] def adcDotTables(
+      codebooks: Array[Array[Array[Double]]], q: Array[Double]): Array[Array[Double]] = {
+    val offs = codebooks.scanLeft(0)(_ + _(0).length)
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(offs(j) + i) }.sum)
+    }
+  }
+
+  /** Query-INDEPENDENT half of the ADC state: `n2T(j)(c)` = |codeword c
+    * of subspace j|², the same sequential fold. Shared like
+    * [[adcDotTables]].
+    */
+  private[operators] def adcNormTables(
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum))
+
   /** The ADC approximate-cosine column over already-encoded rows
     * (`code0..code{m-1}` present): per-subspace lookup tables from the
     * full-precision query — driver-side, m·k doubles, the same
     * sequential folds the oracle's list_sum runs — composed as m
     * `element_at` lookups against broadcast literals. ONE definition of
-    * the ADC IEEE tree, shared by the inline searches here and the
-    * persisted quantized index ([[IvfIndex.searchPq]]), so the two can
-    * never drift by an ulp.
+    * the ADC IEEE tree ([[adcDotTables]]/[[adcNormTables]]), shared by
+    * the inline searches here and the persisted quantized index
+    * ([[IvfIndex.searchPq]]), so the two can never drift by an ulp.
     */
   private[operators] def adcApproxCosine(
       codebooks: Array[Array[Array[Double]]], q: Array[Double]): Column = {
     val m = codebooks.length
-    val offs = codebooks.scanLeft(0)(_ + _(0).length)
-    val dotT = codebooks.zipWithIndex.map { case (cb, j) =>
-      cb.map(c => c.zipWithIndex.map { case (x, i) => x * q(offs(j) + i) }.sum)
-    }
-    val n2T = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val dotT = adcDotTables(codebooks, q)
+    val n2T = adcNormTables(codebooks)
     def lookup(t: Array[Array[Double]], j: Int): Column =
       element_at(typedlit(t(j).toSeq), col(s"code$j").cast("int") + 1)
     val approxDot = (0 until m).map(j => lookup(dotT, j)).reduce(_ + _)

@@ -318,15 +318,29 @@ private[queries] object VectorQueries {
     import graft.operators.IvfIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
     val n = IvfIndex.names("ivrr", fp)
+    // COMPLETION marker, not IvfIndex.exists: a prior JVM that died
+    // between build and rebuild leaves exists=true with no tombstone
+    // table — indistinguishable from a finished rebuild — so gating on
+    // exists would silently serve the never-rebuilt index. The marker
+    // table is written only after the rebuild lands; every partial
+    // state short of it re-runs the (idempotent) delete+rebuild chain:
+    // re-deleting ids the rebuild already folded tombstones absent
+    // rows (the anti-join no-ops) and a re-rebuild retrains on the
+    // same live slice → the same deterministic model.
+    val markT = s"ivrr_done_$fp"
     cachedBuild(s"ivfidx|ivrr|$fp") {
-      if (!IvfIndex.exists(s, n)) {
+      if (!s.catalog.tableExists(markT)) {
         val emb = Tables.embeddings(s, d)
-        val k = math.max(8L, (emb.count() + 511) / 512).toInt
-        IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        if (!IvfIndex.exists(s, n)) {
+          val k = math.max(8L, (emb.count() + 511) / 512).toInt
+          IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
+        }
         val takedown = emb.filter(col("vec_id") % 10 === 3)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
         IvfIndex.delete(s, n, "vec_id", takedown)
         IvfIndex.rebuild(s, n, "vec_id", "embedding")
+        graft.sources.Warehouse.writeTable(
+          s.range(1).toDF("done"), markT)
       }
       java.lang.Boolean.TRUE
     }

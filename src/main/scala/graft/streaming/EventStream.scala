@@ -370,18 +370,25 @@ object EventStream {
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // the request batch IS the query source: ids + vectors ride in
+          // the request batch IS the query source: ids + vectors ride
+          // in. EMPTY batches write too (searchBatch handles an empty
+          // id list) — a no-rows micro-batch must still materialize the
+          // sink so the post-drain read never hits PATH_NOT_FOUND.
           val qids = batch.select(col(idCol)).collect().map(_.getLong(0)).toSeq
-          if (qids.nonEmpty)
-            IvfIndex.searchBatch(spark, n, idCol, vecCol, qids,
-                k = k, nprobe = nprobe, queryFrom = Some(batch))
-              .write.mode("append").parquet(out)
+          IvfIndex.searchBatch(spark, n, idCol, vecCol, qids,
+              k = k, nprobe = nprobe, queryFrom = Some(batch))
+            .write.mode("append").parquet(out)
         }
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-      spark.read.parquet(out).localCheckpoint()
+      // an entirely-empty queries input produces ZERO feed files → zero
+      // micro-batches → no sink directory at all: return the contract
+      // schema empty rather than throwing path-not-found
+      readSinkOrEmpty(spark, out,
+        IvfIndex.searchBatch(spark, n, idCol, vecCol, Nil,
+          k = k, nprobe = nprobe, queryFrom = Some(qrows)))
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
@@ -418,9 +425,28 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-      spark.read.parquet(out).localCheckpoint()
+      // zero feed files (empty docs input) → zero batches → no sink dir:
+      // return the scoring contract schema empty, not path-not-found
+      readSinkOrEmpty(spark, out,
+        graft.operators.NbClassifier.score(
+          rows.limit(0).select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w")),
+          spark.table(countsTable), spark.table(scalarsTable)))
     } finally graft.util.Paths.deleteRecursively(base)
   }
+
+  /** Read a drain's parquet sink, or — when no micro-batch ever wrote
+    * (an empty stream input) — return an empty frame with `contract`'s
+    * schema. Only PATH_NOT_FOUND means "first batch never came";
+    * any other read failure must propagate.
+    */
+  private def readSinkOrEmpty(spark: SparkSession, out: String,
+      contract: => DataFrame): DataFrame =
+    (try spark.read.parquet(out)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => contract.limit(0)
+    }).localCheckpoint()
 
   private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 300000): Unit = {

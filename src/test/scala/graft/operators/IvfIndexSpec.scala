@@ -344,6 +344,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.size === 10)
   }
 
+  test("rebuild of a fully-tombstoned index refuses loudly (drop decision, not an empty retrain)") {
+    val n = IvfIndex.names("ivxspec", "t14")
+    val slice = emb.filter(col("vec_id") < 64)
+    IvfIndex.build(slice, "vec_id", "embedding", n, k = 8)
+    IvfIndex.delete(spark, n, "vec_id",
+      slice.select("vec_id").collect().map(_.getLong(0)).toSeq)
+    // retraining on zero rows would write an empty model that health
+    // then reports healthy — the guard must throw instead
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, n, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("zero live rows"), e.getMessage)
+  }
+
+  test("streamed serving of an EMPTY query stream returns the contract schema, not path-not-found") {
+    val n = builtNames
+    val out = graft.streaming.EventStream.drainIndexSearch(
+      spark, n, emb.filter(col("vec_id") < 0), "vec_id", "embedding",
+      k = 3, nprobe = 2, nFiles = 2)
+    assert(out.columns.toSeq === Seq("qid", "vec_id", "centroid_id", "score"))
+    assert(out.count() === 0L)
+  }
+
   test("health on a fully-tombstoned index flags rebuild emphatically, never nulls") {
     val n = IvfIndex.names("ivxspec", "t11")
     val slice = emb.filter(col("vec_id") < 64)
