@@ -256,6 +256,40 @@ object IvfIndex {
     cents
   }
 
+  /** [[rebuild]] for the QUANTIZED layout — closes the lifecycle
+    * asymmetry where [[health]]'s rebuild signal pointed at an action
+    * only the flat index could take: retrain the coarse quantizer AND
+    * all m codebooks on the LIVE rows (tombstones excluded), re-encode
+    * every live vector, rewrite all three tables, fold the tombstone
+    * table away. The code postings don't carry vectors, so live vectors
+    * are fetched from `source` by an id-keyed join (the searchPq
+    * re-rank economics applied to the rebuild); payload columns carry
+    * over from the old postings schema, so a filtered quantized index
+    * rebuilds intact. Seeds follow [[Ivf.train]]'s first-k-by-id over
+    * the live slice (rank-based — a deleted low id never seeds).
+    */
+  def rebuildPq(spark: SparkSession, n: PqNames, idCol: String, vecCol: String,
+      source: DataFrame, dim: Int, m: Int, pqK: Int, iters: Int = 2): Unit = {
+    val post = spark.table(n.postings)
+    val codeCols = (0 until m).map(j => s"code$j").toSet
+    val payload = post.columns
+      .filterNot(c => c == idCol || c == "centroid_id" || codeCols(c)).toSeq
+    // materialize the live rows (id + payload from the postings, vector
+    // from the source table) BEFORE buildPq overwrites their source
+    val live = excludeTombstones(spark, n.postings, idCol,
+      post.select((idCol +: payload).map(col): _*))
+      .join(source.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint()
+    val liveCount = live.count()
+    require(liveCount > 0,
+      s"rebuildPq of ${n.postings}: zero live rows (fully tombstoned) — " +
+        "drop the index instead of retraining on an empty corpus")
+    val k = math.max(8L, (liveCount + 511) / 512).toInt
+    buildPq(live, idCol, vecCol, n, k = k, dim = dim, m = m, pqK = pqK,
+      iters = iters, payloadCols = payload)
+    Warehouse.dropWithLocation(spark, tombstoneTable(n))
+  }
+
   /** Index-health decision row — what [[stats]] observes, turned into
     * the operator's rebuild signal: live/tombstone volume, the
     * max-cell/mean-cell imbalance (a stale quantizer concentrates new
@@ -263,14 +297,25 @@ object IvfIndex {
     * the index or the hottest cell is ≥ 3× the mean. All-integer math
     * (truncating div), so the decision is hash-exact cross-engine.
     */
-  def health(spark: SparkSession, n: Names, idCol: String): DataFrame = {
-    val post = spark.table(n.postings).select(col(idCol), col("centroid_id"))
-    val tombT = tombstoneTable(n)
+  def health(spark: SparkSession, n: Names, idCol: String): DataFrame =
+    healthOf(spark, n.postings, idCol)
+
+  /** [[health]] for the quantized layout — the decision reads only the
+    * cell assignment and the tombstones, both of which the code
+    * postings carry exactly like the flat ones.
+    */
+  def health(spark: SparkSession, n: PqNames, idCol: String): DataFrame =
+    healthOf(spark, n.postings, idCol)
+
+  private def healthOf(spark: SparkSession, postings: String,
+      idCol: String): DataFrame = {
+    val post = spark.table(postings).select(col(idCol), col("centroid_id"))
+    val tombT = tombstoneTable(postings)
     val tombstoned =
       if (spark.catalog.tableExists(tombT))
         post.join(broadcast(spark.table(tombT)), Seq(idCol), "left_semi")
       else post.limit(0)
-    val cells = excludeTombstones(spark, n.postings, idCol, post)
+    val cells = excludeTombstones(spark, postings, idCol, post)
       .groupBy("centroid_id").agg(count(lit(1)).as("nc"))
     cells
       .agg(count(lit(1)).cast("long").as("n_cells"),

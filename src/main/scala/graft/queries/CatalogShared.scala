@@ -509,6 +509,49 @@ private[queries] object CatalogShared {
       "(max_cell * 100 * n_cells // n_live) >= 300 AS rebuild_due FROM a"
   }
 
+  /** Twin of `sim_index_pq_rebuild` — [[graft.operators.IvfIndex
+    * .rebuildPq]] acted on the takedown signal, then the quantized
+    * search ran on the rebuilt artifacts: coarse model AND all four PQ
+    * codebooks retrained on the LIVE slice (vec_id % 10 <> 3; seeds =
+    * first-k/first-4 live ids BY RANK — a deleted low id never seeds,
+    * the ivfRebuildExecSql seeding), codes re-assigned over live rows
+    * only, ADC pool + exact re-rank as in the standing PQ search.
+    * Output carries each hit's posting cell; the oracle's seed-id cell
+    * labels map to Spark's 0..k−1 by the monotone `rel` relabeling
+    * (ascending seed id ↔ ascending Spark index — same ordering
+    * Ivf.train's first-k-by-id init induces), which also preserves both
+    * tie-break directions.
+    */
+  lazy val ivfPqRebuildSql: String = {
+    def dotL = ivfDotL _
+    val kExpr = "(SELECT GREATEST(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) FROM el)"
+    val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    val eDefs = (0 until pqM).map(j =>
+      s"er$j AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM " +
+        s"(SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding[${j * pqSub + 1}:${(j + 1) * pqSub}]] AS v " +
+        "FROM embeddings WHERE vec_id % 10 <> 3))").mkString(", ")
+    val chains = (0 until pqM).map(j =>
+      lloydCtes(s"_$j", s"er$j", pqSub, s"rk <= $pqK")).mkString(", ")
+    val qs = (0 until pqM).map(j =>
+      s"q$j AS (SELECT v AS qv FROM er$j WHERE vec_id = 0)").mkString(", ")
+    val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
+    "WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+      "el AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3), " +
+      "elr AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM el), " +
+      lloydCtes("_rb", "elr", ivfDim, s"rk <= $kExpr") + ", " +
+      eDefs + ", " + chains + ", " + qs + ", " +
+      "rel AS (SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS ncid FROM c2_rb), " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2_rb c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      s"fin AS (SELECT a0.vec_id, ac.cid, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
+      s"JOIN asg3_rb ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
+      "WHERE a0.vec_id <> 0), " +
+      "pool AS (SELECT vec_id, cid FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
+      s"ds AS (SELECT e.vec_id, pool.cid, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +
+      "SELECT ds.vec_id, rel.ncid AS centroid_id FROM ds JOIN rel ON ds.cid = rel.cid " +
+      "ORDER BY dot / sqrt(nx) DESC, ds.vec_id LIMIT 10"
+  }
+
   /** Twin of `sim_index_rebuild` ([[graft.operators.IvfIndex.health]])
     * over the same tombstoned index: live/tombstone volume, max/mean
     * cell imbalance ×100, and the rebuild decision — all integer math

@@ -347,6 +347,48 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the REBUILT QUANTIZED index — the last
+    * lifecycle asymmetry closed: buildPq on the full corpus (models
+    * from the shared session cache — identical artifacts to the ivq
+    * rows), the standing takedown set tombstoned (health fires at 10%),
+    * then [[graft.operators.IvfIndex.rebuildPq]] retrains coarse AND
+    * codebooks on the live rows, re-encodes, folds the tombstones.
+    * Completion-marker gated like [[ensureRebuiltIndex]] (a run that
+    * died mid-chain re-runs the idempotent delete+rebuild rather than
+    * serving the never-rebuilt index).
+    */
+  private def ensureRebuiltPqIndex(s: SparkSession,
+      d: String): graft.operators.IvfIndex.PqNames = {
+    import graft.operators.IvfIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("embeddings"))
+    val n = IvfIndex.pqNames("ivqr", fp)
+    val markT = s"ivqr_done_$fp"
+    cachedBuild(s"ivfidx_pq|ivqr|$fp") {
+      if (!s.catalog.tableExists(markT)) {
+        val emb = Tables.embeddings(s, d)
+        if (!IvfIndex.pqExists(s, n)) {
+          val k = math.max(8L, (emb.count() + 511) / 512).toInt
+          val coarse = cachedModel(s"ivf|${embKey(d)}|k=$k|it=2") {
+            graft.operators.Ivf.train(emb, "vec_id", "embedding", k = k, iters = 2) }
+          val books = cachedModel(s"pq|${embKey(d)}|m=4|k=4|it=2") {
+            graft.operators.Pq.train(emb, "vec_id", "embedding",
+              dim = 64, m = 4, k = 4, iters = 2) }
+          IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = k,
+            dim = 64, m = 4, pqK = 4,
+            coarseModel = Some(coarse), books = Some(books))
+        }
+        val takedown = emb.filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        IvfIndex.delete(s, n, "vec_id", takedown)
+        IvfIndex.rebuildPq(s, n, "vec_id", "embedding", emb,
+          dim = 64, m = 4, pqK = 4)
+        graft.sources.Warehouse.writeTable(s.range(1).toDF("done"), markT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   /** Build-once wrapper for the COMPACTED index: build → delete the
     * same closed-form takedown set → [[graft.operators.IvfIndex
     * .compact]] folds the tombstones into a dynamic partition
@@ -600,6 +642,28 @@ private[queries] object VectorQueries {
             (col("vec_id") >= 250).as("is_new"))
       },
       Some(ivfPqIncrementalSql)),
+
+    // The QUANTIZED rebuild EXECUTED — sim_index_rebuild_exec's last
+    // asymmetry closed: at 100 TB the code layout IS the deployment, so
+    // the health signal must point at an action it can take. The
+    // takedown-tombstoned PQ index retrains coarse AND all four
+    // codebooks on its live rows (IvfIndex.rebuildPq — live vectors
+    // fetched from the source table by id, seeds rank-based over the
+    // live slice), re-encodes, folds tombstones; the output is the
+    // quantized search on the rebuilt artifacts, so the oracle's
+    // live-slice coarse chain + four live codebook chains + ADC pool +
+    // exact re-rank pin the ENTIRE rebuilt model, codes included —
+    // strictly more than a health row (which never sees the codebooks).
+    Q("sim_index_pq_rebuild",
+      (s, d) => {
+        val n = ensureRebuiltPqIndex(s, d)
+        graft.operators.IvfIndex
+          .searchPq(s, n, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            poolFactor = 4, queryFrom = Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(ivfPqRebuildSql)),
 
     // BATCH search on the QUANTIZED index — nightly scoring where the
     // code postings are the only index you have: the query set

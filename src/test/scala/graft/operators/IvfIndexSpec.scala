@@ -344,6 +344,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.size === 10)
   }
 
+  test("rebuildPq acts on the signal: coarse + codebooks retrained on live rows ≡ fresh buildPq on the live slice") {
+    val n = IvfIndex.pqNames("ivxspec", "t15")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    val takedown = emb.filter(col("vec_id") % 10 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.delete(spark, n, "vec_id", takedown)
+    // the decision is computable on the quantized layout, and fires
+    assert(IvfIndex.health(spark, n, "vec_id")
+      .collect().head.getAs[Boolean]("rebuild_due"))
+    IvfIndex.rebuildPq(spark, n, "vec_id", "embedding", emb,
+      dim = 64, m = 4, pqK = 4)
+    val h = IvfIndex.health(spark, n, "vec_id").collect().head
+    assert(h.getAs[Long]("n_tombstones") === 0L)
+    assert(h.getAs[Long]("tomb_pct") === 0L)
+    assert(!spark.catalog.tableExists(IvfIndex.tombstoneTable(n)))
+    // rebuilt-PQ ≡ a fresh buildPq on the live slice, search-for-search
+    val live = emb.filter(col("vec_id") % 10 =!= 3)
+    val n2 = IvfIndex.pqNames("ivxspec", "t16")
+    IvfIndex.buildPq(live, "vec_id", "embedding", n2,
+      k = math.max(8L, (live.count() + 511) / 512).toInt,
+      dim = 64, m = 4, pqK = 4)
+    def top(nm: IvfIndex.PqNames) =
+      IvfIndex.searchPq(spark, nm, "vec_id", "embedding", 0L, k = 10,
+        nprobe = 2, poolFactor = 4, queryFrom = emb)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top(n) === top(n2))
+    // and the takedowns are physically gone, not just filtered
+    assert(spark.table(n.postings)
+      .filter(col("vec_id") % 10 === 3).count() === 0L)
+  }
+
+  test("rebuildPq carries payload columns through the retrain (filtered index rebuilds intact)") {
+    val n = IvfIndex.pqNames("ivxspec", "t17")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4, payloadCols = Seq("label"))
+    IvfIndex.delete(spark, n, "vec_id", Seq(3L, 13L, 23L))
+    IvfIndex.rebuildPq(spark, n, "vec_id", "embedding", emb,
+      dim = 64, m = 4, pqK = 4)
+    val stored = spark.table(n.postings).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = emb.filter(!col("vec_id").isin(3L, 13L, 23L))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === expect)
+  }
+
   test("rebuild of a fully-tombstoned index refuses loudly (drop decision, not an empty retrain)") {
     val n = IvfIndex.names("ivxspec", "t14")
     val slice = emb.filter(col("vec_id") < 64)
