@@ -590,6 +590,20 @@ private[queries] object CatalogShared {
   lazy val ivfIncrementalSql: String = ivfSearchSql(ivfStaleCtes,
     "vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new")
 
+  /** Twin of `stream_index_delete` — the final state of a maintenance
+    * STREAM that interleaved ingest and takedown micro-batches over an
+    * index built on the pre-boundary slice: the stale model
+    * ([[ivfStaleCtes]] — trained on vec_id < 250, never retrained by
+    * any batch), postings = old ∪ new, tombstones = the streamed
+    * takedown set (pre-boundary ids with vec_id % 10 = 3), excluded
+    * from the candidates with the top-10 backfilling from live rows.
+    * Batch boundaries are invisible by construction (disjoint add/del
+    * id sets commute), so this closed form IS the converged state.
+    */
+  lazy val ivfStreamDeleteSql: String = ivfSearchSql(ivfStaleCtes,
+    "vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new",
+    " AND NOT (a.vec_id % 10 = 3 AND a.vec_id < 250)")
+
   /** Twin of `sim_index_stats` ([[graft.operators.IvfIndex.stats]]):
     * the FULL persisted assignment, cell by cell — a hash match proves
     * every vector's posting list, a much stronger statement than any

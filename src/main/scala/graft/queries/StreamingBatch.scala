@@ -276,6 +276,36 @@ private[queries] object StreamingQueries {
       },
       Some(ivfBatchAnnSql)),
 
+    // Streaming INDEX TAKEDOWN ([[graft.streaming.EventStream
+    // .drainIndexMaintain]]) — the leg that completes the index's
+    // streaming symmetry (ingest / serve / score / DELETE): one
+    // maintenance stream interleaves ingest rows (the post-boundary
+    // slice, op=add) with takedown events (pre-boundary ids with
+    // vec_id % 10 == 3 — the PII-removal stream, op=del) across
+    // micro-batches; foreachBatch routes adds → appendBatch and dels →
+    // delete. Add/del id sets are disjoint, so appends and tombstones
+    // commute and ANY batch interleaving converges to the same state:
+    // stale model, old∪new postings, tombstones = the takedown set.
+    // The post-drain search must exclude every streamed takedown and
+    // keep every survivor — the oracle is that converged state's
+    // closed form, so the hash match proves exclusion AND backfill
+    // independent of micro-batch boundaries.
+    Q("stream_index_delete",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val takedown = emb
+          .filter(col("vec_id") % 10 === 3 && col("vec_id") < 250)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        graft.streaming.EventStream
+          .drainIndexMaintain(s, emb, "vec_id", "embedding",
+            splitId = 250L, deleteIds = takedown, queryId = 0L,
+            k = 10, nprobe = 2)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            (col("vec_id") >= 250).as("is_new"))
+      },
+      Some(ivfStreamDeleteSql)),
+
     // Streaming QUALITY SCORING ([[graft.streaming.EventStream
     // .drainNbScore]]) — "score the crawl as it arrives": documents
     // flow as micro-batches through foreachBatch, each batch tokenized

@@ -392,6 +392,77 @@ object EventStream {
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
+  /** Streaming INDEX TAKEDOWN drain — the missing leg of the index's
+    * streaming symmetry (ingest: [[drainIndexIngest]], serving:
+    * [[drainIndexSearch]]; this adds DELETES): the persisted IVF index
+    * is built on the pre-boundary slice, then ONE maintenance stream
+    * carries both ingest rows (`op = add` — new vectors, assigned to
+    * the existing centroids) and takedown events (`op = del` — the PII
+    * removal that is most naturally a stream), interleaved within and
+    * across micro-batches; `foreachBatch` routes each batch's adds
+    * through [[graft.operators.IvfIndex.appendBatch]] and its delete
+    * ids through [[graft.operators.IvfIndex.delete]]. Determinism under
+    * the file source's batch ordering: the add set (ids ≥ `splitId`)
+    * and the delete set (`deleteIds`, pre-boundary ids) are DISJOINT,
+    * so appends and tombstones commute and any interleaving converges
+    * to the same final state — postings = old ∪ new under the stale
+    * model, tombstones = exactly `deleteIds` — which is what the batch
+    * oracle computes closed-form. Returns the post-drain search
+    * (tombstoned ids excluded, top-k backfilled from live rows).
+    * Parquet feed (exact float round-trip); invocation-unique index
+    * tables, dropped after the result materializes.
+    */
+  def drainIndexMaintain(spark: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, splitId: Long, deleteIds: Seq[Long],
+      queryId: Long, k: Int, nprobe: Int, nFiles: Int = 3): DataFrame = {
+    import graft.operators.IvfIndex
+    require(deleteIds.forall(_ < splitId),
+      "delete set must be disjoint from the streamed ingest ids " +
+        "(>= splitId) — overlapping sets would make the final state " +
+        "depend on micro-batch order")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivdl_")
+    val sfx = base.getFileName.toString.replace("graft_ivdl_", "")
+    val n = IvfIndex.names(s"ivdl$sfx", "stream")
+    try {
+      val old = emb.filter(col(idCol) < splitId)
+      val k0 = math.max(8L, (old.count() + 511) / 512).toInt
+      IvfIndex.build(old, idCol, vecCol, n, k = k0)
+      // one maintenance stream: adds carry their vectors (the ingest
+      // shape), deletes are id events; repartition mixes both kinds
+      // into every feed file so batches genuinely interleave
+      val events = emb.filter(col(idCol) >= splitId)
+          .select(col(idCol), col(vecCol), lit("add").as("op"))
+        .unionByName(emb.filter(col(idCol).isInCollection(deleteIds))
+          .select(col(idCol), col(vecCol), lit("del").as("op")))
+      val feed = base.resolve("feed").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val adds = b.filter(col("op") === "add").drop("op")
+          if (!adds.isEmpty)
+            IvfIndex.appendBatch(spark, n, adds, idCol, vecCol)
+          val ids = b.filter(col("op") === "del")
+            .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+          if (ids.nonEmpty) IvfIndex.delete(spark, n, idCol, ids)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      IvfIndex.search(spark, n, idCol, vecCol, queryId, k = k,
+        nprobe = nprobe, queryFrom = Some(emb)).localCheckpoint()
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.centroids)
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.sources.Warehouse.dropWithLocation(spark,
+        IvfIndex.tombstoneTable(n))
+      graft.util.Paths.deleteRecursively(base)
+    }
+  }
+
   /** Streaming QUALITY SCORING drain — the persisted NB filter
     * ([[graft.operators.NbClassifier]] model tables) applied to
     * documents AS THEY ARRIVE: every micro-batch tokenizes and scores
