@@ -74,6 +74,29 @@ object Upsert {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** TIME TRAVEL over a versioned store: reconstruct the exact state AS
+    * OF `version` from the v0 `base` snapshot plus the change `ledger`
+    * (rows = [[applyChanges]] changesets stamped with a monotonically
+    * increasing `versionCol`). For each key, the LATEST ledger change
+    * with version ≤ v wins — a tombstone makes the key absent, an
+    * upsert supplies its row (a key deleted then re-upserted at a later
+    * version ≤ v is present again); keys the ledger never touched keep
+    * their base row. The reproducibility contract a training run needs
+    * ("which corpus trained checkpoint N?"): one window over the
+    * ledger slice + one keyed merge — reconstruction cost is
+    * ledger-proportional, never a batch-by-batch replay loop, and
+    * readAt(latest) ≡ the current store by construction (spec-locked).
+    */
+  def readAt(base: DataFrame, ledger: DataFrame, key: String,
+      deleteCol: String, versionCol: String, version: Long): DataFrame = {
+    require(ledger.columns.contains(versionCol),
+      s"ledger must carry the version column $versionCol")
+    val latest = latestByKey(
+      ledger.filter(col(versionCol) <= version), key, versionCol)
+      .drop(versionCol)
+    applyChanges(base, latest, key, deleteCol)
+  }
+
   /** Full CDC apply: `changes` carries a boolean tombstone column —
     * tombstoned keys are REMOVED from the snapshot (whether or not the
     * same batch also carried an upsert for them: delete wins, the

@@ -369,8 +369,8 @@ private[queries] object TrainingQueries {
     * idempotency statement). `sel` picks the output columns from
     * (g.doc_id, g.text, g.epoch).
     */
-  private def incrementalLedgerSql(sel: String): String =
-    "WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7), " +
+  private val incrementalLedgerCtes: String =
+    "o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v0' ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7), " +
       "n AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), " +
       "led AS (SELECT doc_id, text, 0 AS epoch FROM o UNION ALL " +
       "SELECT doc_id, text, 1 FROM n WHERE doc_id % 10 = 7 OR doc_id % 5 = 0), " +
@@ -383,11 +383,101 @@ private[queries] object TrainingQueries {
       "UNION SELECT DISTINCT x.doc_id, x.epoch FROM sig x JOIN sig y ON x.h2 = y.h2 AND x.h3 = y.h3 " +
       "AND y.doc_id <> x.doc_id AND (y.epoch < x.epoch OR (y.epoch = x.epoch AND y.doc_id < x.doc_id))), " +
       // each new-snapshot doc's CURRENT ledger entry
-      "cur AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch FROM n) " +
+      "cur AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch FROM n)"
+
+  private def incrementalLedgerSql(sel: String): String =
+    s"WITH $incrementalLedgerCtes " +
       s"SELECT $sel " +
       "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
       "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
       "WHERE coll.doc_id IS NULL ORDER BY g.doc_id"
+
+  /** Twin of `store_read_at_version` — BOTH store versions recomputed
+    * closed-form from the same ledger machinery: v0 = the epoch-0
+    * curated store (gated old-snapshot docs minus their own LSH dups —
+    * exactly what [[buildCuratedStore]] persisted), v1 = the
+    * post-update state (the [[incrementalLedgerSql]] final form). A
+    * hash match proves [[graft.operators.Upsert.readAt]] reconstructs
+    * both ends of the version ledger exactly.
+    */
+  private lazy val storeVersionsSql: String =
+    s"WITH $incrementalLedgerCtes, " +
+      "v0 AS (SELECT g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM g LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE g.epoch = 0 AND coll.doc_id IS NULL), " +
+      "v1 AS (SELECT g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
+      "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE coll.doc_id IS NULL) " +
+      "SELECT CAST(0 AS BIGINT) AS version, doc_id, n_tokens FROM v0 " +
+      "UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_tokens FROM v1 " +
+      "ORDER BY version, doc_id"
+
+  /** The nightly CHANGESET against the persisted epoch-0 store — the
+    * incremental run's survivors as upserts plus tombstones for store
+    * docs that are neither carried nor re-admitted (a changed doc that
+    * SURVIVED re-enters via its upsert, never a delete — delete-wins
+    * would silently drop it). Shared by `pipeline_store_idempotent`
+    * (apply∘apply) and the versioned store (`store_read_at_version`)
+    * so the two rows exercise the identical change feed.
+    */
+  private def nightlyChangeset(s: SparkSession, d: String,
+      manifestT: String, sigT: String, storeT: String): DataFrame = {
+    import graft.operators.{Dedup, Snapshot}
+    val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+      .select("doc_id", "text")
+    val cls = n
+      .withColumn("h", Snapshot.contentHash(Seq("text")))
+      .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
+        Seq("doc_id"), "left")
+      .localCheckpoint()
+    val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
+    val gated = batch
+      .filter(size(split(col("text"), " ")) >= 30)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val batchSig = Dedup
+      .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+    val dropped = Dedup
+      .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
+    val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+    val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
+    val tomb = s.table(storeT).select("doc_id")
+      .join(carriedIds, Seq("doc_id"), "left_anti")
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("n_tokens"),
+        lit(true).as("__del"))
+    survivors.withColumn("__del", lit(false))
+      .unionByName(tomb)
+      .localCheckpoint()
+  }
+
+  /** Build (or reuse) the VERSIONED store the time-travel row reads:
+    * v0 base snapshot = a copy of the persisted epoch-0 curated store,
+    * plus a change LEDGER whose version-1 entry is the nightly
+    * changeset — the state [[graft.operators.Upsert.readAt]]
+    * reconstructs any version from. Own `pver` prefix (the shared
+    * `pinc` tables stay read-only).
+    */
+  private def ensureVersionedStore(s: SparkSession, d: String): (String, String) = {
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (manifestT, sigT, storeT) = ensureCuratedStore(s, d)
+    val (baseT, ledgerT) = (s"pver_base_$fp", s"pver_ledger_$fp")
+    CatalogShared.cachedBuild(s"pverstore|$fp") {
+      if (!s.catalog.tableExists(baseT) || !s.catalog.tableExists(ledgerT)) {
+        Warehouse.writeTable(s.table(storeT), baseT)
+        Warehouse.writeTable(
+          nightlyChangeset(s, d, manifestT, sigT, storeT)
+            .withColumn("version", lit(1L)),
+          ledgerT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (baseT, ledgerT)
+  }
 
   private def buildCuratedStore(s: SparkSession, d: String,
       manifestT: String, sigT: String, storeT: String): Unit = {
@@ -758,41 +848,11 @@ private[queries] object TrainingQueries {
     // batch, base store read from its managed table.
     Q("pipeline_store_idempotent",
       (s, d) => {
-        import graft.operators.{Dedup, Snapshot, Upsert}
+        import graft.operators.Upsert
         import graft.sources.Warehouse
         val (manifestT, sigT, storeT) = ensureCuratedStore(s, d)
         val outT = s"pups_out_${graft.util.Paths.corpusFingerprint(d, Seq("documents"))}"
-        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
-          .select("doc_id", "text")
-        val cls = n
-          .withColumn("h", Snapshot.contentHash(Seq("text")))
-          .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
-            Seq("doc_id"), "left")
-          .localCheckpoint()
-        val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
-        val gated = batch
-          .filter(size(split(col("text"), " ")) >= 30)
-          .select(col("doc_id"), col("text"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .localCheckpoint()
-        val batchSig = Dedup
-          .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
-        val dropped = Dedup
-          .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
-        val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("n_tokens"))
-        val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
-        // tombstones: store rows neither carried nor re-admitted — a
-        // changed doc that SURVIVED re-enters via its upsert, never a
-        // delete (delete-wins would silently drop it)
-        val tomb = s.table(storeT).select("doc_id")
-          .join(carriedIds, Seq("doc_id"), "left_anti")
-          .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), lit(null).cast("long").as("n_tokens"),
-            lit(true).as("__del"))
-        val changes = survivors.withColumn("__del", lit(false))
-          .unionByName(tomb)
-          .localCheckpoint()
+        val changes = nightlyChangeset(s, d, manifestT, sigT, storeT)
         // apply #1: persisted base -> persisted post-state
         Warehouse.writeTable(
           Upsert.applyChanges(s.table(storeT), changes, "doc_id", "__del"),
@@ -807,6 +867,30 @@ private[queries] object TrainingQueries {
       },
       Some(incrementalLedgerSql(
         "g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens"))),
+
+    // Curated-store TIME TRAVEL — the reproducibility contract a
+    // training run needs ("which corpus trained checkpoint N?"): the
+    // persisted store keeps a version LEDGER (v0 base snapshot + the
+    // nightly changeset stamped version 1, the same feed
+    // pipeline_store_idempotent applies), and
+    // [[graft.operators.Upsert.readAt]] reconstructs the exact state
+    // at any version — latest change ≤ v per key wins, untouched keys
+    // keep their base row; one window + one keyed merge, never a
+    // batch-by-batch replay. Output = BOTH ends of the ledger
+    // (read-at-0 and read-at-1); the oracle recomputes each closed-form
+    // from the ledger machinery, so the hash match proves read-at-0 ≡
+    // the original store AND read-at-latest ≡ the current store
+    // (UpsertSpec locks the intermediate-version semantics).
+    Q("store_read_at_version",
+      (s, d) => {
+        val (baseT, ledgerT) = ensureVersionedStore(s, d)
+        def at(v: Long) = graft.operators.Upsert
+          .readAt(s.table(baseT), s.table(ledgerT), "doc_id", "__del",
+            "version", v)
+          .select(lit(v).as("version"), col("doc_id"), col("n_tokens"))
+        at(0L).unionByName(at(1L)).orderBy("version", "doc_id")
+      },
+      Some(storeVersionsSql)),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact

@@ -66,6 +66,32 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert(base, Upsert.latestByKey(feed, "k", "ts"), "k").count() === 2)
   }
 
+  test("readAt reconstructs every version of a versioned store (time travel)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val ledger = Seq(
+      // version 1: update 2, delete 3
+      (2L, "b2", false, 1L), (3L, null.asInstanceOf[String], true, 1L),
+      // version 2: re-admit 3 with new content, delete 1, insert 4
+      (3L, "c2", false, 2L), (1L, null.asInstanceOf[String], true, 2L),
+      (4L, "d", false, 2L))
+      .toDF("k", "name", "is_delete", "version")
+    def at(v: Long) = Upsert.readAt(base, ledger, "k", "is_delete", "version", v)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    // read-at-0 ≡ the base snapshot
+    assert(at(0L) === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    // intermediate version: 3 is deleted, 2 carries v1's content
+    assert(at(1L) === Array((1L, "a"), (2L, "b2")))
+    // delete-then-re-upsert across versions resurrects with new content
+    assert(at(2L) === Array((2L, "b2"), (3L, "c2"), (4L, "d")))
+    // read-at-latest ≡ the current store (the changes applied in order)
+    val v1 = Upsert.applyChanges(base,
+      ledger.filter($"version" === 1L).drop("version"), "k", "is_delete")
+    val cur = Upsert.applyChanges(v1,
+      ledger.filter($"version" === 2L).drop("version"), "k", "is_delete")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(at(2L) === cur)
+  }
+
   test("latestByKey tolerates non-orderable columns (maps skip the tie-break)") {
     // a map column in the feed must not fail the Window's orderBy
     // analysis when orderCol alone is decisive
