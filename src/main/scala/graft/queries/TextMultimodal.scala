@@ -1108,6 +1108,57 @@ private[queries] object TextMultimodalQueries {
           " ORDER BY modality"
       }),
 
+    // Cross-modal PAIR CURATION — the image-text alignment filter a
+    // LAION/DataComp-style pipeline runs before training on (caption,
+    // image) pairs: each doc_id < 100 row is a joint example (caption =
+    // text, image = the synthetic BMP the mm_image_* codec rows decode
+    // for real), the caption side fingerprints through SimHash16 (low
+    // 12 bits) and the image side through the REAL-decode aHash12, and
+    // the alignment score is the COSINE of the two ±1 bit-vectors kept
+    // as its exact integer numerator — align = matches − mismatches =
+    // 12 − 2·hamming ∈ [−12, 12] (÷12 is the cosine; the integer form
+    // is hash-exact, no FP threshold needed). Gate: align ≥ 0 (majority
+    // bit agreement). Output = the datacard's pair-yield section:
+    // per-source pair volume, kept count, summed alignment (pins every
+    // pair's score) and 2^20 fixed-point keep rate — the numbers that
+    // decide per-source mixing weights for multimodal training. Scale:
+    // both fingerprints are linear passes (explode-agg / one
+    // mapPartitions decode), the join is id-keyed, the rollup is one
+    // grouped agg — no pair ever meets another pair.
+    Q("mm_pair_align",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "source", "text")
+        val cap = graft.operators.Dedup
+          .simhash(docs, "doc_id", "text", bits = 16)
+          .select(col("doc_id"), (col("simhash") % 4096).as("cap12"))
+        val img = graft.multimodal.Multimodal
+          .syntheticBmpAHash(docs.select("doc_id"), "doc_id")
+          .select(col("doc_id"), col("ahash"))
+        docs.select("doc_id", "source")
+          .join(cap, "doc_id").join(img, "doc_id")
+          .select(col("source"),
+            (lit(12L) - lit(2L) * bit_count(col("cap12")
+              .bitwiseXOR(col("ahash"))).cast("long")).as("align"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("align") >= 0, 1L).otherwise(0L)).as("n_kept"),
+            sum(col("align")).as("sum_align"))
+          .withColumn("keep_fp20", expr("n_kept * 1048576 div n_pairs"))
+          .orderBy("source")
+      },
+      Some("WITH " + bmpAHashCtes.stripPrefix("WITH ") + ", " +
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash " +
+        "FROM bs JOIN g USING (doc_id) GROUP BY doc_id), " +
+        s"sh AS (SELECT * FROM (${simhashSql(16)}) WHERE doc_id < 100), " +
+        "al AS (SELECT dd.doc_id, dd.source, 12 - 2 * CAST(bit_count(xor(sh.simhash % 4096, sig.ahash)) AS BIGINT) AS align " +
+        "FROM documents dd JOIN sh USING (doc_id) JOIN sig USING (doc_id) WHERE dd.doc_id < 100) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN align >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(align) AS BIGINT) AS sum_align, " +
+        "CAST(SUM(CASE WHEN align >= 0 THEN 1 ELSE 0 END) * 1048576 // count(*) AS BIGINT) AS keep_fp20 " +
+        "FROM al GROUP BY source ORDER BY source")),
+
     // Token-entropy quality signal ([[graft.operators.InfoStats]]): the
     // per-doc Shannon entropy numerator N·qlog2(N) − Σ c·qlog2(c) in
     // 2^-20-bit fixed point (Mitchell log2 — all-integer, hash-exact
