@@ -29,12 +29,26 @@ object Pack {
     * `budget` is the context-window length in tokens.
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long, nShards: Int): DataFrame = {
+      budget: Long, nShards: Int): DataFrame =
+    packSequencesBy(
+      df.withColumn("shard", Shards.shardId(col(idCol), nShards)),
+      idCol, tokensCol, budget)
+
+  /** [[packSequences]] with a CALLER-SUPPLIED `shard` column — the
+    * incremental-assembly shape, where the shard function must be
+    * chosen so a nightly delta leaves most shards untouched (e.g. a
+    * date- or id-range key) instead of the md5 spread that touches
+    * every shard on any change. Packing semantics are identical:
+    * shard-local running sum over the id order, integer bin math.
+    */
+  def packSequencesBy(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
     require(budget > 0, s"token budget $budget must be positive")
+    require(df.columns.contains("shard"),
+      "packSequencesBy needs a caller-supplied shard column")
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard", Shards.shardId(col(idCol), nShards))
-      .withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    df.withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       // long div + long mod: exact, portable (no doubles anywhere)
       .withColumn("bin", expr(s"__cum div ${budget}L"))
       .withColumn("bin_offset", col("__cum") % budget)

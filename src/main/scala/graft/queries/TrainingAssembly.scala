@@ -454,6 +454,93 @@ private[queries] object TrainingQueries {
       .localCheckpoint()
   }
 
+  /** Shard-keyed assembly manifest over (doc_id, ids, n_tokens, shard)
+    * rows: concat-and-chunk packing into 2048-token bins
+    * ([[graft.operators.Pack.packSequencesBy]] — shard column supplied
+    * by the caller), one row per shard with doc/token volume, bin count
+    * and the order-independent content checksum (exact sum of each
+    * doc's id-sequence md5 prefix). Shared by the previous-build
+    * manifest and the incremental rebuild so the two can never drift.
+    */
+  private def assembleManifest(enc: DataFrame): DataFrame =
+    graft.operators.Pack.packSequencesBy(enc, "doc_id", "n_tokens", 2048L)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1).as("n_bins"),
+        sum(conv(substring(md5(col("ids")), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
+
+  /** Encode (doc_id, pos, w) token rows with a persisted vocab table:
+    * comma-joined token-id strings in position order plus the token
+    * count — the `pipeline_assemble` id construction, factored so the
+    * previous-build artifacts and the incremental batch encode through
+    * ONE definition.
+    */
+  private def encodeWithVocab(tok: DataFrame, vocab: DataFrame): DataFrame =
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tid))), x -> cast(x.tid as string)), ',')")
+        .as("ids"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Build (or reuse) the PREVIOUS BUILD's persisted assembly artifacts
+    * — what a real nightly shard pipeline has on disk before the new
+    * snapshot arrives: the tokenizer vocab learned ON the previous
+    * build's curated corpus (top-200, train-once — an incremental run
+    * NEVER relearns it, or every shard would re-encode), each curated
+    * doc's ENCODED id sequence (so carried docs never re-read or
+    * re-tokenize base text), and the per-shard manifest with content
+    * checksums. Shard key = doc_id % 10 — an id-range-class key a
+    * nightly pipeline picks precisely so deltas localize (the md5
+    * spread would touch every shard on any change). `painc` prefix;
+    * the shared read-only `pinc` manifest/sigidx are reused as-is.
+    */
+  private def ensureIncrementalAssembly(s: SparkSession,
+      d: String): (String, String, String) = {
+    import graft.operators.Dedup
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (vocabT, encT, manT) =
+      (s"painc_vocab_$fp", s"painc_enc_$fp", s"painc_manifest_$fp")
+    CatalogShared.cachedBuild(s"paincstore|$fp") {
+      if (!Seq(vocabT, encT, manT).forall(s.catalog.tableExists)) {
+        // the previous build's curated corpus: gated old-snapshot docs
+        // minus their own LSH dups (the buildCuratedStore construction,
+        // WITH text — the pinc store table doesn't carry it)
+        val o = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v0")))
+              .otherwise(col("text")).as("text"))
+        val gated = o.filter(size(split(col("text"), " ")) >= 30)
+          .localCheckpoint()
+        val sig = Dedup.minhashSignatures(gated, "doc_id", "text", 4)
+          .localCheckpoint()
+        val dup0 = Dedup.lshCandidatePairsFromSignatures(sig, "doc_id", 4, 2)
+          .select(col("id_b").as("doc_id")).distinct()
+        val store = gated.join(dup0, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val tok = store.select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        Warehouse.writeTable(
+          tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("w")).limit(200)
+            .select(col("w"),
+              row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+                .cast("long").as("tid")),
+          vocabT)
+        Warehouse.writeTable(encodeWithVocab(tok, s.table(vocabT)), encT)
+        Warehouse.writeTable(
+          assembleManifest(s.table(encT)
+            .withColumn("shard", pmod(col("doc_id"), lit(10L)))),
+          manT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (vocabT, encT, manT)
+  }
+
   /** Build (or reuse) the VERSIONED store the time-travel row reads:
     * v0 base snapshot = a copy of the persisted epoch-0 curated store,
     * plus a change LEDGER whose version-1 entry is the nightly
@@ -478,6 +565,41 @@ private[queries] object TrainingQueries {
     }
     (baseT, ledgerT)
   }
+
+  /** Twin of `pipeline_assemble_incremental` — the post-update shard
+    * assembly recomputed FROM SCRATCH: the ledger machinery yields the
+    * final curated doc set (`fin`), the tokenizer vocab is re-derived
+    * from the EPOCH-0 store slice only (`st0` — the persisted
+    * previous-build tokenizer's semantics: never relearned on the
+    * post-update corpus), every final doc encodes through it, shards by
+    * doc_id % 10, packs into 2048-token bins, and rolls up the manifest.
+    * A hash match against the incremental face proves both the verbatim
+    * carried rows of untouched shards and the re-packed changed shards
+    * equal this from-scratch build.
+    */
+  private lazy val assembleIncrementalSql: String =
+    s"WITH $incrementalLedgerCtes, " +
+      "st0 AS (SELECT g.doc_id, g.text FROM g " +
+      "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE g.epoch = 0 AND coll.doc_id IS NULL), " +
+      "fin AS (SELECT g.doc_id, g.text " +
+      "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
+      "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE coll.doc_id IS NULL), " +
+      "tok0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM st0), " +
+      "v AS (SELECT w, rn AS tid FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn FROM tok0 GROUP BY w) WHERE rn <= 200), " +
+      "tokf AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM " +
+      "(SELECT doc_id, string_split(lower(text), ' ') AS ws FROM fin), " +
+      "LATERAL unnest(generate_series(1, len(ws))) AS t(i)), " +
+      "enc AS (SELECT doc_id, string_agg(CAST(COALESCE(tid, 0) AS VARCHAR), ',' ORDER BY pos) AS ids, " +
+      "CAST(count(*) AS BIGINT) AS n_tokens FROM tokf LEFT JOIN v ON tokf.w = v.w GROUP BY doc_id), " +
+      "pk AS (SELECT doc_id % 10 AS shard, doc_id, ids, n_tokens FROM enc), " +
+      "binned AS (SELECT shard, ids, n_tokens, " +
+      "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin FROM pk) " +
+      "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, " +
+      "CAST(SUM(CAST(('0x' || substr(md5(ids), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+      "FROM binned GROUP BY shard ORDER BY shard"
 
   private def buildCuratedStore(s: SparkSession, d: String,
       manifestT: String, sigT: String, storeT: String): Unit = {
@@ -746,14 +868,7 @@ private[queries] object TrainingQueries {
           }
           t
         }
-        val vocab = s.table(vocabT)
-        val ids = tok.join(broadcast(vocab), Seq("w"), "left")
-          .withColumn("tid", coalesce(col("tid"), lit(0L)))
-          .groupBy("doc_id")
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tid))), x -> cast(x.tid as string)), ',')")
-            .as("ids"),
-            count(lit(1)).as("n_tokens"))
-          .localCheckpoint()
+        val ids = encodeWithVocab(tok, s.table(vocabT)).localCheckpoint()
         graft.operators.Pack
           .packSequences(ids, "doc_id", "n_tokens", 2048L, 4)
           .groupBy("shard")
@@ -891,6 +1006,77 @@ private[queries] object TrainingQueries {
         at(0L).unionByName(at(1L)).orderBy("version", "doc_id")
       },
       Some(storeVersionsSql)),
+
+    // INCREMENTAL shard assembly — the composition that turns the
+    // nightly story end-to-end: the previous build's artifacts are
+    // PERSISTED (tokenizer vocab, per-doc encoded id sequences,
+    // per-shard manifest with content checksums — ensureIncrementalAssembly),
+    // a new snapshot arrives, and only the delta flows: manifest diff →
+    // gate → incremental LSH verdicts against the persisted signature
+    // index → ONLY the surviving batch docs re-tokenize and re-encode
+    // (with the PERSISTED vocab — an incremental run never relearns the
+    // tokenizer, or every shard would re-encode), carried docs ride
+    // their persisted encodings untouched. Then only shards whose doc
+    // set changed re-pack (shard = doc_id % 10 — the id-range-class key
+    // that localizes deltas; here exactly shards {0,3,5,7} change at
+    // every scale, the other six are BYTE-STABLE and their manifest
+    // rows carry over VERBATIM from the persisted previous build). The
+    // oracle is the FULL from-scratch recompute of the post-update
+    // assembly, so the hash match proves (a) untouched shards keep
+    // identical content checksums and (b) re-packed shards equal the
+    // from-scratch build. This kills the batch re-run cost the
+    // reference pays on every notebook pass (DataProcessing.ipynb
+    // c16-c22) and pipeline_assemble still pays by design.
+    Q("pipeline_assemble_incremental",
+      (s, d) => {
+        import graft.operators.{Dedup, Snapshot}
+        val (manifestT, sigT, _) = ensureCuratedStore(s, d)
+        val (vocabT, encT, manT) = ensureIncrementalAssembly(s, d)
+        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+          .select("doc_id", "text")
+        val cls = n
+          .withColumn("h", Snapshot.contentHash(Seq("text")))
+          .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
+            Seq("doc_id"), "left")
+          .localCheckpoint()
+        val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
+        val gated = batch.filter(size(split(col("text"), " ")) >= 30)
+          .select("doc_id", "text")
+          .localCheckpoint()
+        val batchSig = Dedup
+          .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+        val dropped = Dedup
+          .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
+        // ONLY the surviving batch docs tokenize + encode; the vocab is
+        // the persisted previous-build tokenizer (200-row broadcast)
+        val newEnc = encodeWithVocab(
+          gated.join(dropped, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"),
+              posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w"))),
+          s.table(vocabT)).localCheckpoint()
+        val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
+        val carriedEnc = s.table(encT)
+          .join(carriedIds, Seq("doc_id"), "left_semi")
+        // a shard's doc set changed iff a survivor lands in it or a
+        // previous-build doc left it (removed, or changed and gated /
+        // deduped out) — a bounded probe (≤ 10 shard ids)
+        val affected = newEnc.select("doc_id")
+          .unionByName(s.table(encT).select("doc_id")
+            .join(carriedIds, Seq("doc_id"), "left_anti"))
+          .select(pmod(col("doc_id"), lit(10L)).as("shard")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val post = carriedEnc
+          .unionByName(newEnc.select("doc_id", "ids", "n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(10L)))
+        val rebuilt = assembleManifest(
+          post.filter(col("shard").isInCollection(affected)))
+        // untouched shards: the persisted manifest rows, VERBATIM —
+        // zero re-encode, zero re-pack, byte-stable checksums
+        s.table(manT).filter(!col("shard").isInCollection(affected))
+          .unionByName(rebuilt)
+          .orderBy("shard")
+      },
+      Some(assembleIncrementalSql)),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact

@@ -231,6 +231,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pipeline_assemble_incremental: carried docs ride persisted encodings — no base rescan, no corpus re-encode") {
+    val p = plan("pipeline_assemble_incremental")
+    // the incremental manifest reads ONLY persisted previous-build
+    // artifacts (per-doc encodings + shard manifest) plus the
+    // checkpointed surviving-batch encodings: zero scans of the base
+    // corpus parquet, no trace of the old-snapshot derivation (its
+    // ' v0' stale-text marker), and no tokenize/encode of carried docs
+    // (the encode subtree sits behind the survivors' checkpoint)
+    assert(p.contains("painc_enc"), p)
+    assert(p.contains("painc_manifest"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("v0"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // packing stays shard-partitioned, never a global window
+    assert(!p.contains("SinglePartition, Window"), p)
+  }
+
   test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
     // j12 proves the layout works the day it is written; j13 proves every
     // LATER consumer of an existing bucketed pair still joins + aggregates
