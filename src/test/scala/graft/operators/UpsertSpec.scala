@@ -92,6 +92,41 @@ class UpsertSpec extends SparkSpec {
     assert(at(2L) === cur)
   }
 
+  test("readAt property: one-window reconstruction ≡ batch-by-batch replay (generated ledgers)") {
+    // the operator's entire claim is that latest-change-≤-v-per-key
+    // equals folding applyChanges version by version — check it against
+    // the replay reference on generated multi-version ledgers (fixed
+    // seeds, deterministic CI)
+    import org.scalacheck.{Gen, rng}
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+    val ledgerGen: Gen[List[(Long, String, Boolean, Long)]] =
+      Gen.listOfN(60, Gen.zip(
+        Gen.chooseNum(0L, 12L),                  // key with collisions
+        Gen.alphaLowerStr.map(_.take(4)),        // payload
+        Gen.prob(0.3),                           // tombstone?
+        Gen.chooseNum(1L, 5L)))                  // version
+    (1 to 4).foreach { seed =>
+      val base = Seq((0L, "b0"), (3L, "b3"), (7L, "b7"), (11L, "b11"))
+        .toDF("k", "name")
+      // one change per (key, version): a changeset is a keyed dict —
+      // collapse the raw feed deterministically first
+      val raw = sample(ledgerGen, seed).distinct
+        .groupBy(r => (r._1, r._4)).map(_._2.maxBy(r => (r._2, r._3)))
+        .toSeq
+      val ledger = raw.toDF("k", "name", "is_delete", "version")
+      (0L to 5L).foreach { v =>
+        val got = Upsert.readAt(base, ledger, "k", "is_delete", "version", v)
+          .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val replay = (1L to v).foldLeft(base) { (acc, ver) =>
+          Upsert.applyChanges(acc,
+            ledger.filter($"version" === ver).drop("version"), "k", "is_delete")
+        }.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(got === replay, s"seed=$seed v=$v")
+      }
+    }
+  }
+
   test("latestByKey tolerates non-orderable columns (maps skip the tie-break)") {
     // a map column in the feed must not fail the Window's orderBy
     // analysis when orderCol alone is decisive
