@@ -541,6 +541,98 @@ private[queries] object TrainingQueries {
     (vocabT, encT, manT)
   }
 
+  /** ONE incremental assembly pass against persisted previous-build
+    * state: classify `newSnap` against the content snapshot `snapT`,
+    * gate + incremental-LSH the changed/added docs against `sigT`,
+    * encode ONLY the survivors with the persisted `vocabT`, carry every
+    * unchanged doc's stored encoding from `encT`, re-pack only the
+    * affected shards (shard = doc_id % 10) and serve the rest of
+    * `manT`'s rows verbatim. Returns (post-update encodings, manifest).
+    * `sigT` is the signature index AS OF the previous build — callers
+    * chaining further nights must publish an updated index alongside
+    * the other artifacts (the no-change-night caller has an empty
+    * batch, so the index is never probed).
+    */
+  private def incrementalAssemblyPass(s: SparkSession, newSnap: DataFrame,
+      snapT: String, sigT: String, vocabT: String, encT: String,
+      manT: String): (DataFrame, DataFrame) = {
+    import graft.operators.{Dedup, Snapshot}
+    val cls = newSnap
+      .withColumn("h", Snapshot.contentHash(Seq("text")))
+      .join(s.table(snapT).select(col("doc_id"), col("h").as("old_h")),
+        Seq("doc_id"), "left")
+      .localCheckpoint()
+    val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
+    val gated = batch.filter(size(split(col("text"), " ")) >= 30)
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val batchSig = Dedup
+      .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
+    val dropped = Dedup
+      .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
+    // ONLY the surviving batch docs tokenize + encode; the vocab is
+    // the persisted previous-build tokenizer (200-row broadcast)
+    val newEnc = encodeWithVocab(
+      gated.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w"))),
+      s.table(vocabT)).localCheckpoint()
+    val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
+    val carriedEnc = s.table(encT)
+      .join(carriedIds, Seq("doc_id"), "left_semi")
+    // a shard's doc set changed iff a survivor lands in it or a
+    // previous-build doc left it (removed, or changed and gated /
+    // deduped out) — a bounded probe (≤ 10 shard ids)
+    val affected = newEnc.select("doc_id")
+      .unionByName(s.table(encT).select("doc_id")
+        .join(carriedIds, Seq("doc_id"), "left_anti"))
+      .select(pmod(col("doc_id"), lit(10L)).as("shard")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val post = carriedEnc
+      .unionByName(newEnc.select("doc_id", "ids", "n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(10L)))
+    val rebuilt = assembleManifest(
+      post.filter(col("shard").isInCollection(affected)))
+    // untouched shards: the persisted manifest rows, VERBATIM —
+    // zero re-encode, zero re-pack, byte-stable checksums
+    val manifest = s.table(manT)
+      .filter(!col("shard").isInCollection(affected))
+      .unionByName(rebuilt)
+    (post, manifest)
+  }
+
+  /** PUBLISH the post-update assembly — run the incremental pass once
+    * against the previous build and persist what the next night starts
+    * from: the content snapshot of the published corpus, every curated
+    * doc's encoding, and the shard manifest. `painc2` prefix; built
+    * once per corpus fingerprint.
+    */
+  private def ensurePublishedAssembly(s: SparkSession,
+      d: String): (String, String, String) = {
+    import graft.operators.Snapshot
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (manifestT, sigT, _) = ensureCuratedStore(s, d)
+    val (vocabT, encT, manT) = ensureIncrementalAssembly(s, d)
+    val (snap2T, enc2T, man2T) =
+      (s"painc2_snap_$fp", s"painc2_enc_$fp", s"painc2_manifest_$fp")
+    CatalogShared.cachedBuild(s"painc2|$fp") {
+      if (!Seq(snap2T, enc2T, man2T).forall(s.catalog.tableExists)) {
+        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+          .select("doc_id", "text")
+        val (post, manifest) =
+          incrementalAssemblyPass(s, n, manifestT, sigT, vocabT, encT, manT)
+        Warehouse.writeTable(
+          n.select(col("doc_id"), Snapshot.contentHash(Seq("text")).as("h")),
+          snap2T)
+        Warehouse.writeTable(post.select("doc_id", "ids", "n_tokens"), enc2T)
+        Warehouse.writeTable(manifest, man2T)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (snap2T, enc2T, man2T)
+  }
+
   /** Build (or reuse) the VERSIONED store the time-travel row reads:
     * v0 base snapshot = a copy of the persisted epoch-0 curated store,
     * plus a change LEDGER whose version-1 entry is the nightly
@@ -1029,52 +1121,40 @@ private[queries] object TrainingQueries {
     // c16-c22) and pipeline_assemble still pays by design.
     Q("pipeline_assemble_incremental",
       (s, d) => {
-        import graft.operators.{Dedup, Snapshot}
         val (manifestT, sigT, _) = ensureCuratedStore(s, d)
         val (vocabT, encT, manT) = ensureIncrementalAssembly(s, d)
         val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
           .select("doc_id", "text")
-        val cls = n
-          .withColumn("h", Snapshot.contentHash(Seq("text")))
-          .join(s.table(manifestT).select(col("doc_id"), col("h").as("old_h")),
-            Seq("doc_id"), "left")
-          .localCheckpoint()
-        val batch = cls.filter(col("old_h").isNull || col("old_h") =!= col("h"))
-        val gated = batch.filter(size(split(col("text"), " ")) >= 30)
+        incrementalAssemblyPass(s, n, manifestT, sigT, vocabT, encT, manT)
+          ._2.orderBy("shard")
+      },
+      Some(assembleIncrementalSql)),
+
+    // The nightly PUBLISH + the no-change-night fast path — what the
+    // verdict's "pipeline_incremental stops at the curated store" gap
+    // looks like fully closed: ensurePublishedAssembly runs the
+    // incremental pass once and PERSISTS the post-update artifacts
+    // (content snapshot, per-doc encodings, shard manifest — the state
+    // the NEXT night starts from); this row then runs the pass AGAINST
+    // the published state with the same snapshot arriving again — the
+    // re-run / nothing-changed night that dominates real nightly
+    // costs. Change detection must come back empty (every doc matches
+    // the published content hash), zero shards are affected, and the
+    // manifest is served VERBATIM from the persisted table — the
+    // convergence statement assemble∘assemble = assemble for the
+    // incremental publisher. The oracle is the SAME from-scratch
+    // post-update recompute as pipeline_assemble_incremental's, so the
+    // hash match proves the published artifacts are exact, not just
+    // stable.
+    Q("pipeline_assemble_publish",
+      (s, d) => {
+        val (_, sigT, _) = ensureCuratedStore(s, d)
+        val (vocabT, _, _) = ensureIncrementalAssembly(s, d)
+        val (snap2T, enc2T, man2T) = ensurePublishedAssembly(s, d)
+        val n = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
           .select("doc_id", "text")
-          .localCheckpoint()
-        val batchSig = Dedup
-          .minhashSignatures(gated, "doc_id", "text", 4).localCheckpoint()
-        val dropped = Dedup
-          .incrementalDropIds(batchSig, s.table(sigT), "doc_id", 4, 2)
-        // ONLY the surviving batch docs tokenize + encode; the vocab is
-        // the persisted previous-build tokenizer (200-row broadcast)
-        val newEnc = encodeWithVocab(
-          gated.join(dropped, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"),
-              posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w"))),
-          s.table(vocabT)).localCheckpoint()
-        val carriedIds = cls.filter(col("old_h") === col("h")).select("doc_id")
-        val carriedEnc = s.table(encT)
-          .join(carriedIds, Seq("doc_id"), "left_semi")
-        // a shard's doc set changed iff a survivor lands in it or a
-        // previous-build doc left it (removed, or changed and gated /
-        // deduped out) — a bounded probe (≤ 10 shard ids)
-        val affected = newEnc.select("doc_id")
-          .unionByName(s.table(encT).select("doc_id")
-            .join(carriedIds, Seq("doc_id"), "left_anti"))
-          .select(pmod(col("doc_id"), lit(10L)).as("shard")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        val post = carriedEnc
-          .unionByName(newEnc.select("doc_id", "ids", "n_tokens"))
-          .withColumn("shard", pmod(col("doc_id"), lit(10L)))
-        val rebuilt = assembleManifest(
-          post.filter(col("shard").isInCollection(affected)))
-        // untouched shards: the persisted manifest rows, VERBATIM —
-        // zero re-encode, zero re-pack, byte-stable checksums
-        s.table(manT).filter(!col("shard").isInCollection(affected))
-          .unionByName(rebuilt)
-          .orderBy("shard")
+        incrementalAssemblyPass(s, n, snap2T, sigT, vocabT, enc2T, man2T)
+          ._2.orderBy("shard")
       },
       Some(assembleIncrementalSql)),
 

@@ -249,6 +249,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition, Window"), p)
   }
 
+  test("pipeline_assemble_publish: the no-change night detects an empty delta and serves the published manifest") {
+    import org.apache.spark.sql.functions.col
+    // the pass against the PUBLISHED snapshot must classify every doc
+    // as unchanged — zero batch docs, zero affected shards — and the
+    // output must be the persisted manifest rows verbatim
+    val p = plan("pipeline_assemble_publish")
+    assert(p.contains("painc2_manifest"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("v0"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val got = SparkEntry.queries("pipeline_assemble_publish")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val published = spark.table(
+      s"painc2_manifest_${graft.util.Paths.corpusFingerprint(sf, Seq("documents"))}")
+      .orderBy(col("shard")).collect().map(_.toSeq).toSeq
+    assert(got === published)
+  }
+
   test("j13_bucketed_reuse: the REUSE query is also exchange-free (amortization proof)") {
     // j12 proves the layout works the day it is written; j13 proves every
     // LATER consumer of an existing bucketed pair still joins + aggregates
