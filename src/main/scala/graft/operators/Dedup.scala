@@ -472,6 +472,17 @@ object Dedup {
     * re-join (|candidates|·|doc| rows).
     *
     * Output: (id_a < id_b, shared, n_a, n_b) for qualifying pairs.
+    *
+    * MEMORY ENVELOPE (the three `localCheckpoint`s below): `toks` is
+    * one row per distinct (doc, shingle) — O(corpus tokens); `packed`
+    * re-materializes the same volume as one sorted array per doc; and
+    * `ranked` adds a (df, rk) pair per token row — together roughly
+    * 3× the distinct-shingle volume held on executor block storage
+    * for the query's lifetime. That is what makes the prefix filter
+    * pay (each checkpoint is read 2-3×; unmaterialized, the shingle
+    * explode re-runs per consumer), but at corpus scales beyond the
+    * bench fixtures the checkpoints should move to `persist(DISK_ONLY)`
+    * or an explicit staging table so the envelope is disk, not RAM.
     */
   def allPairsCosine(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int = 7, tauDen: Int = 10): DataFrame = {

@@ -310,7 +310,23 @@ private[queries] object CatalogShared {
     * ([[pqChainsStaleCtes]]), ADC pool + exact re-rank over old∪new,
     * hits flagged by ingest side.
     */
-  lazy val ivfPqIncrementalSql: String = {
+  lazy val ivfPqIncrementalSql: String = ivfPqStaleSearchSql("")
+
+  /** Twin of `stream_index_pq_delete` — the quantized maintenance
+    * STREAM's converged state: the [[ivfPqIncrementalSql]] stale-model
+    * grow plus the streamed takedown set (pre-boundary ids with
+    * vec_id % 10 = 3) tombstoned out of the ADC candidates, top-10
+    * backfilling from live rows.
+    */
+  lazy val ivfPqStreamDeleteSql: String =
+    ivfPqStaleSearchSql(" AND NOT (a0.vec_id % 10 = 3 AND a0.vec_id < 250)")
+
+  /** Shared stale-model quantized-search twin (grown index: coarse +
+    * codebooks trained on vec_id < 250 only, full-corpus assignment);
+    * `finExtra` appends a candidate predicate (the streamed-takedown
+    * exclusion).
+    */
+  private def ivfPqStaleSearchSql(finExtra: String): String = {
     def dotL = ivfDotL _
     val probeScore = s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
     val qRefs = (0 until pqM).map(j => s"q$j").mkString(", ")
@@ -319,7 +335,7 @@ private[queries] object CatalogShared {
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
       s"fin AS (SELECT a0.vec_id, ac.cid, ($pqAd) AS ad, ($pqAn) AS an2 FROM $pqJoins " +
       s"JOIN asg3 ac ON ac.vec_id = a0.vec_id JOIN pr ON ac.cid = pr.cid, $qRefs " +
-      "WHERE a0.vec_id <> 0), " +
+      s"WHERE a0.vec_id <> 0$finExtra), " +
       "pool AS (SELECT vec_id, cid FROM fin ORDER BY ad / sqrt(an2) DESC, vec_id LIMIT 40), " +
       s"ds AS (SELECT e.vec_id, pool.cid, ${pqDotN("e.v", "q.qv", ivfDim)} AS dot, ${pqDotN("e.v", "e.v", ivfDim)} AS nx FROM e JOIN pool USING (vec_id), q) " +
       "SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new " +

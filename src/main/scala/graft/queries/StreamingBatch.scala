@@ -306,6 +306,34 @@ private[queries] object StreamingQueries {
       },
       Some(ivfStreamDeleteSql)),
 
+    // Streaming takedown on the QUANTIZED layout
+    // ([[graft.streaming.EventStream.drainIndexMaintainPq]]) — the
+    // stream_index_delete story against the index a 100 TB deployment
+    // actually serves: ingest micro-batches encode through the
+    // PERSISTED codebooks (appendBatchPq — zero Lloyd rounds per
+    // batch), takedown events tombstone by id, and the post-drain
+    // quantized search (ADC pool + exact re-rank) must exclude every
+    // streamed takedown. Disjoint add/del id sets make batch order
+    // invisible; the oracle is the converged state's closed form —
+    // stale coarse + stale codebooks (both trained on the pre-boundary
+    // slice only), full old∪new code assignment, takedowns excluded
+    // from the ADC candidates with the top-10 backfilling.
+    Q("stream_index_pq_delete",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val takedown = emb
+          .filter(col("vec_id") % 10 === 3 && col("vec_id") < 250)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        graft.streaming.EventStream
+          .drainIndexMaintainPq(s, emb, "vec_id", "embedding",
+            splitId = 250L, deleteIds = takedown, queryId = 0L,
+            k = 10, nprobe = 2, poolFactor = 4, dim = 64, m = 4, pqK = 4)
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            (col("vec_id") >= 250).as("is_new"))
+      },
+      Some(ivfPqStreamDeleteSql)),
+
     // Streaming QUALITY SCORING ([[graft.streaming.EventStream
     // .drainNbScore]]) — "score the crawl as it arrives": documents
     // flow as micro-batches through foreachBatch, each batch tokenized

@@ -463,6 +463,70 @@ object EventStream {
     }
   }
 
+  /** [[drainIndexMaintain]] on the QUANTIZED layout — the maintenance
+    * stream against the index a 100 TB deployment actually serves:
+    * built with [[graft.operators.IvfIndex.buildPq]] on the
+    * pre-boundary slice (stale coarse + stale codebooks), ingest
+    * micro-batches encode through the PERSISTED codebooks
+    * ([[graft.operators.IvfIndex.appendBatchPq]] — zero Lloyd rounds
+    * per batch), takedown events tombstone by id, and the post-drain
+    * [[graft.operators.IvfIndex.searchPq]] must exclude every streamed
+    * takedown from its ADC pool and re-rank. Same disjointness rule as
+    * the flat drain (adds ≥ splitId, deletes below it) so any batch
+    * interleaving converges to the closed form the oracle computes.
+    */
+  def drainIndexMaintainPq(spark: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, splitId: Long, deleteIds: Seq[Long],
+      queryId: Long, k: Int, nprobe: Int, poolFactor: Int,
+      dim: Int, m: Int, pqK: Int, nFiles: Int = 3): DataFrame = {
+    import graft.operators.IvfIndex
+    require(deleteIds.forall(_ < splitId),
+      "delete set must be disjoint from the streamed ingest ids " +
+        "(>= splitId) — overlapping sets would make the final state " +
+        "depend on micro-batch order")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivqd_")
+    val sfx = base.getFileName.toString.replace("graft_ivqd_", "")
+    val n = IvfIndex.pqNames(s"ivqd$sfx", "stream")
+    try {
+      val old = emb.filter(col(idCol) < splitId)
+      val k0 = math.max(8L, (old.count() + 511) / 512).toInt
+      IvfIndex.buildPq(old, idCol, vecCol, n, k = k0,
+        dim = dim, m = m, pqK = pqK)
+      val events = emb.filter(col(idCol) >= splitId)
+          .select(col(idCol), col(vecCol), lit("add").as("op"))
+        .unionByName(emb.filter(col(idCol).isInCollection(deleteIds))
+          .select(col(idCol), col(vecCol), lit("del").as("op")))
+      val feed = base.resolve("feed").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val adds = b.filter(col("op") === "add").drop("op")
+          if (!adds.isEmpty)
+            IvfIndex.appendBatchPq(spark, n, adds, idCol, vecCol)
+          val ids = b.filter(col("op") === "del")
+            .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+          if (ids.nonEmpty) IvfIndex.delete(spark, n, idCol, ids)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      IvfIndex.searchPq(spark, n, idCol, vecCol, queryId, k = k,
+        nprobe = nprobe, poolFactor = poolFactor, queryFrom = emb)
+        .localCheckpoint()
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.centroids)
+      graft.sources.Warehouse.dropWithLocation(spark, n.codebooks)
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.sources.Warehouse.dropWithLocation(spark,
+        IvfIndex.tombstoneTable(n))
+      graft.util.Paths.deleteRecursively(base)
+    }
+  }
+
   /** Streaming QUALITY SCORING drain — the persisted NB filter
     * ([[graft.operators.NbClassifier]] model tables) applied to
     * documents AS THEY ARRIVE: every micro-batch tokenizes and scores

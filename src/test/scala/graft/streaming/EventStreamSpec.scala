@@ -343,6 +343,40 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamed QUANTIZED maintenance (ingest + takedown) equals the batch apply") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val takedown = emb.filter(col("vec_id") % 10 === 3 && col("vec_id") < 250)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val streamed = EventStream.drainIndexMaintainPq(spark, emb,
+      "vec_id", "embedding", splitId = 250L, deleteIds = takedown,
+      queryId = 0L, k = 10, nprobe = 2, poolFactor = 4,
+      dim = 64, m = 4, pqK = 4, nFiles = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val n = IvfIndex.pqNames("ivxstream", "tq")
+    try {
+      val old = emb.filter(col("vec_id") < 250)
+      IvfIndex.buildPq(old, "vec_id", "embedding", n,
+        k = math.max(8L, (old.count() + 511) / 512).toInt,
+        dim = 64, m = 4, pqK = 4)
+      IvfIndex.appendBatchPq(spark, n, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding")
+      IvfIndex.delete(spark, n, "vec_id", takedown)
+      val batch = IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L,
+        k = 10, nprobe = 2, poolFactor = 4, queryFrom = emb)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(streamed === batch)
+      assert(streamed.intersect(takedown).isEmpty)
+      assert(streamed.size === 10)
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.centroids)
+      graft.sources.Warehouse.dropWithLocation(spark, n.codebooks)
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.sources.Warehouse.dropWithLocation(spark, IvfIndex.tombstoneTable(n))
+    }
+  }
+
   test("streamed NB scoring equals one batch scoring pass over the persisted model") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
