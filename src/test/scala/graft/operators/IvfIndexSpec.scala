@@ -391,6 +391,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(stored === expect)
   }
 
+  test("rebuildPq is idempotent: a second rebuild on the already-rebuilt index is a no-op") {
+    val n = IvfIndex.pqNames("ivxspec", "t18")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", n, k = 8, dim = 64,
+      m = 4, pqK = 4)
+    IvfIndex.delete(spark, n, "vec_id", Seq(3L, 13L, 23L, 33L, 43L))
+    IvfIndex.rebuildPq(spark, n, "vec_id", "embedding", emb,
+      dim = 64, m = 4, pqK = 4)
+    val once = spark.table(n.postings).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    // the partial-run recovery story (the completion-marker wrappers):
+    // re-running the rebuild must converge to the same deterministic
+    // model and codes — live set unchanged, same seeds, same Lloyd
+    IvfIndex.rebuildPq(spark, n, "vec_id", "embedding", emb,
+      dim = 64, m = 4, pqK = 4)
+    val twice = spark.table(n.postings).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(once === twice)
+  }
+
   test("rebuild of a fully-tombstoned index refuses loudly (drop decision, not an empty retrain)") {
     val n = IvfIndex.names("ivxspec", "t14")
     val slice = emb.filter(col("vec_id") < 64)

@@ -23,6 +23,28 @@ class PackSpec extends SparkSpec {
     assert(p === Array((0L, 0L), (0L, 1000L), (1L, 500L)))
   }
 
+  test("packSequencesBy with the md5 shard column equals packSequences (one packing definition)") {
+    val docs = (1L to 40L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    val viaBy = Pack.packSequencesBy(
+        docs.withColumn("shard", Shards.shardId(col("doc_id"), 4)),
+        "doc_id", "n_tokens", 1024L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = Pack.packSequences(docs, "doc_id", "n_tokens", 1024L, 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBy === direct)
+    // a caller-supplied id-range shard localizes as promised: packing is
+    // shard-local, so rows of one shard are unaffected by the others
+    val custom = Pack.packSequencesBy(
+        docs.withColumn("shard", col("doc_id") % 2),
+        "doc_id", "n_tokens", 1024L)
+    val solo = Pack.packSequencesBy(
+        docs.filter(col("doc_id") % 2 === 1).withColumn("shard", col("doc_id") % 2),
+        "doc_id", "n_tokens", 1024L)
+    assert(custom.filter(col("shard") === 1).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq ===
+      solo.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("binStats reports per-bin doc and token totals") {
     val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L))
       .toDF("doc_id", "n_tokens")
