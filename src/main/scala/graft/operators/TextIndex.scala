@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warehouse
+
+/** Persisted full-text index — the serving layout for lexical (BM25)
+  * retrieval, mirroring [[IvfIndex]]'s design point for vectors: build
+  * once, then every query is a PRUNED scan of persisted posting rows —
+  * the corpus text is never touched again.
+  *
+  * Layout (the 100 TB shape):
+  *  - postings: one row per (term, doc) carrying `tf` AND the doc length
+  *    `dl` DENORMALIZED in (joining a corpus-sized doc-length side table
+  *    per query would defeat the pruned scan — the same reasoning as
+  *    [[IvfIndex]]'s payload columns), PARTITIONED BY a CRC32 term
+  *    bucket. A query's terms map to ≤|terms| buckets, so the scan is
+  *    partition-PRUNED exactly like the IVF probe, and the `term IN`
+  *    predicate pushes to the surviving files' row groups.
+  *  - stats: one row (n_docs, total_len) — the broadcast scalars BM25's
+  *    length normalization needs.
+  *
+  * Per-term document frequency is aggregated AT QUERY TIME from the
+  * pruned slice (every posting of a query term lives in that term's
+  * bucket, so the slice-local countDistinct is the exact corpus df) —
+  * df rows for the other ~|vocab| terms are never materialized per
+  * query.
+  *
+  * Scoring is the catalog's bit-portable BM25 (text_bm25,
+  * TrainingAssembly.scala): Robertson–Spärck Jones ODDS idf kept
+  * unlogged, k1 = 1.25 / b = 0.75 as exact binary fractions, one fixed
+  * IEEE expression tree per (doc, term), exact micro-unit LONG sums per
+  * doc — so index-served ranking hash-matches a corpus-scan twin on any
+  * engine.
+  *
+  * Reference anchor: the reference regex-scans every tweet text per
+  * search with no index at all (cache.py:145 — SURVEY §2 "known hot
+  * spots"); this layout is what that scan becomes at 100 TB.
+  */
+object TextIndex {
+
+  /** Table-name pair for one persisted text index. */
+  final case class Names(postings: String, stats: String)
+
+  def names(prefix: String, fingerprint: String): Names =
+    Names(s"${prefix}_tpost_$fingerprint", s"${prefix}_tstat_$fingerprint")
+
+  def exists(spark: SparkSession, n: Names): Boolean =
+    spark.catalog.tableExists(n.postings) && spark.catalog.tableExists(n.stats)
+
+  /** Term → partition bucket: CRC32 of the UTF-8 term mod `buckets`.
+    * Chosen over hash()/xxhash64 because the SAME value is cheaply
+    * computable driver-side ([[bucketOf]]) for the query-time pruning
+    * literal — the index never has to be consulted to know where a
+    * term lives.
+    */
+  val buckets = 32
+
+  def bucketCol(term: Column): Column =
+    pmod(crc32(term.cast("binary")), lit(buckets.toLong))
+
+  /** Driver-side twin of [[bucketCol]] for query-term pruning. */
+  def bucketOf(term: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, buckets.toLong)
+  }
+
+  /** Build the persisted index from `docs` (idCol: bigint, textCol:
+    * string): whitespace-tokenized (lower-cased) like every text_*
+    * catalog row. One shuffle on (doc, term) for tf, one on doc for dl,
+    * one doc-keyed join to denormalize — the one-time build cost; every
+    * [[bm25]] after it reads only pruned posting rows.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, n: Names): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    Warehouse.writePartitioned(
+      tf.join(dl, "doc_id")
+        .withColumn("bucket", bucketCol(col("term")))
+        .select("bucket", "term", "doc_id", "tf", "dl"),
+      n.postings, "bucket")
+    Warehouse.writeTable(
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")),
+      n.stats)
+  }
+
+  /** BM25 top-`limit` docs for `terms`, served ENTIRELY from the
+    * persisted index: partition-pruned posting scan (the query terms'
+    * buckets only) → slice-local exact df → broadcast 1-row stats →
+    * fixed-IEEE per-term score → micro-unit long sum per doc →
+    * distributed top-k. Zero reads of the source text. Returns
+    * (doc_id, score_u, n_terms) — n_terms = how many query terms the
+    * doc matched, pinning the per-term posting rows, not just the sum.
+    *
+    * `excludeId` drops one doc from RANKING (a query-doc slot, the
+    * [[IvfIndex.search]] convention) — it still contributes to df and
+    * the corpus stats, so every other doc's score is byte-identical to
+    * the unexcluded search's.
+    */
+  def bm25(spark: SparkSession, n: Names, terms: Seq[String],
+      limit: Int, excludeId: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val bks = terms.map(bucketOf).distinct
+    val slice0 = spark.table(n.postings)
+      .filter(col("bucket").isin(bks: _*) && col("term").isin(terms: _*))
+    val dfq = slice0.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val slice = excludeId.fold(slice0)(id => slice0.filter(col("doc_id") =!= id))
+    val stats = spark.table(n.stats)
+    slice.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+      .withColumn("idf",
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("denom",
+        col("tf") + lit(1.25) * (lit(0.25)
+          + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      .withColumn("score_u",
+        floor(col("idf") * (col("tf") * lit(2.25)) / col("denom")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("score_u")).as("score_u"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(limit)
+  }
+}

@@ -951,4 +951,79 @@ private[queries] object CatalogShared {
         s"JOIN sig s ON h.$k1 = s.$k1 AND h.$k2 = s.$k2 AND h.rn <= 8 AND h.doc_id <> s.doc_id"
     s"SELECT DISTINCT id_a, id_b FROM (${band("h0", "h1")} UNION ALL ${band("h2", "h3")})"
   }
+
+  // --------------------------------------------------------------------
+  // Persisted text index (BM25 serving) + hybrid persisted retrieval
+  // --------------------------------------------------------------------
+
+  /** The catalog's fixed lexical query-term set (text_bm25 /
+    * text_index_persist / sim_index_hybrid share it, so the twins stay
+    * literally comparable).
+    */
+  val bm25Terms: Seq[String] = Seq("join", "vector", "stream")
+
+  /** BM25 scoring CTE chain from the documents CORPUS — the from-scratch
+    * twin of [[graft.operators.TextIndex]]'s persisted serving layout.
+    * Same fixed IEEE tree as text_bm25's oracle (TrainingAssembly);
+    * CTE names are suffixed (tt/dld/stt/qt/tfq/dfq/scq) so the chain
+    * composes with the IVF model CTEs (e/c0/asg…/q) in one statement.
+    * Emits `scq` (doc_id, score_u — one micro-unit LONG per (doc,
+    * query-term) posting).
+    */
+  lazy val bm25CorpusCtes: String =
+    "tt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "dld AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id), " +
+      "stt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dld), " +
+      s"qt AS (SELECT doc_id, term FROM tt WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})), " +
+      "tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY doc_id, term), " +
+      "dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY term), " +
+      "scq AS (SELECT doc_id, CAST(floor((n - df + 0.5) / (df + 0.5) * (tf * 2.25) / " +
+      "(tf + 1.25 * (0.25 + 0.75 * CAST(dld.dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n))) * 1000000.0 + 0.5) AS BIGINT) AS score_u " +
+      "FROM tfq JOIN dfq USING (term) JOIN dld USING (doc_id) CROSS JOIN stt)"
+
+  /** Twin of `text_index_persist` ([[graft.operators.TextIndex.bm25]]):
+    * the persisted posting rows are exactly the corpus tokenization's
+    * (term, doc, tf, dl) relation, so the oracle re-derives BM25 from
+    * `documents` directly — a hash match proves index-served ranking ≡
+    * corpus-scan ranking, including per-doc matched-term counts (the
+    * posting rows themselves, not just the score sum).
+    */
+  lazy val bm25IndexSql: String =
+    s"WITH $bm25CorpusCtes " +
+      "SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u, CAST(count(*) AS BIGINT) AS n_terms " +
+      "FROM scq GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+
+  /** Twin of `sim_index_hybrid` — hybrid retrieval served from BOTH
+    * persisted indexes, recomputed from scratch: the lexical arm is the
+    * [[bm25CorpusCtes]] top-50 (doc 0 = the query slot, excluded from
+    * RANKING but still inside df/corpus stats — the
+    * [[graft.operators.TextIndex.bm25]] excludeId contract), the vector
+    * arm is the persisted-IVF probed search ([[ivfModelCtes]], nprobe 2)
+    * top-50 by exact cosine, and the fusion is reciprocal-rank 1/(60+r)
+    * on each arm's integer ranks — two fixed IEEE divisions and one add
+    * per row. Output pins each hit's arm provenance (has_text/has_vec),
+    * not just membership.
+    */
+  lazy val hybridIndexRrfSql: String = {
+    def dotL = ivfDotL _
+    val probeScore =
+      s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
+    "WITH " + ivfModelCtes + ", " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+      s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
+      s"ds AS (SELECT f.vec_id, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q), " +
+      "vtop AS (SELECT vec_id, dot / sqrt(nx) AS s FROM ds ORDER BY s DESC, vec_id LIMIT 50), " +
+      "vr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rv FROM vtop), " +
+      s"$bm25CorpusCtes, " +
+      "bsum AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM scq WHERE doc_id <> 0 GROUP BY doc_id), " +
+      "btop AS (SELECT doc_id, score_u FROM bsum ORDER BY score_u DESC, doc_id LIMIT 50), " +
+      "tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rt FROM btop) " +
+      "SELECT doc_id, has_text, has_vec FROM (" +
+      "SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +
+      "tr.doc_id IS NOT NULL AS has_text, vr.doc_id IS NOT NULL AS has_vec, " +
+      "COALESCE(CAST(1 AS DOUBLE) / (60 + rt), 0) + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0) AS rrf " +
+      "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id) " +
+      "ORDER BY rrf DESC, doc_id LIMIT 10"
+  }
 }

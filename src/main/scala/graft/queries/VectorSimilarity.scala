@@ -389,6 +389,26 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the persisted TEXT index
+    * ([[graft.operators.TextIndex]]) — shared read-only by
+    * `text_index_persist` and `sim_index_hybrid` after its
+    * computeIfAbsent-serialized build (the ivp pattern: no mutation
+    * after build, so sharing one prefix is safe under concurrent
+    * Verify).
+    */
+  private def ensureTextIndex(s: SparkSession,
+      d: String): graft.operators.TextIndex.Names = {
+    import graft.operators.TextIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val n = TextIndex.names("tix", fp)
+    cachedBuild(s"textidx|tix|$fp") {
+      if (!TextIndex.exists(s, n))
+        TextIndex.build(Tables.documents(s, d), "doc_id", "text", n)
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   /** Build-once wrapper for the COMPACTED index: build → delete the
     * same closed-form takedown set → [[graft.operators.IvfIndex
     * .compact]] folds the tombstones into a dynamic partition
@@ -718,7 +738,61 @@ private[queries] object VectorQueries {
             col("centroid_id").cast("long").as("centroid_id"),
             (col("vec_id") >= 250).as("is_new"))
       },
-      Some(ivfIncrementalSql)))
+      Some(ivfIncrementalSql)),
+
+    // The persisted TEXT index — lexical retrieval's serving layout,
+    // mirroring the vector index's design point: term-bucket-PARTITIONED
+    // posting rows (a query's terms prune to ≤|terms| of 32 partitions —
+    // the probe of text serving) carrying tf AND the doc length
+    // denormalized, so BM25 is served from the pruned scan + one 1-row
+    // broadcast stats table — the corpus text is NEVER read at query
+    // time. The oracle re-derives BM25 from `documents` directly, so a
+    // hash match proves index-served ≡ corpus-scan ranking including
+    // each doc's matched-term count (the posting rows themselves).
+    // Reference anchor: cache.py:145's indexless regex scan per search —
+    // this layout is what that becomes at 100 TB.
+    Q("text_index_persist",
+      (s, d) => {
+        val n = ensureTextIndex(s, d)
+        graft.operators.TextIndex.bm25(s, n, bm25Terms, limit = 25)
+      },
+      Some(bm25IndexSql)),
+
+    // HYBRID retrieval served from BOTH persisted indexes — the
+    // RAG-serving capstone: the lexical arm is the persisted-postings
+    // BM25 top-50 (pruned scan, doc 0 = the query slot excluded from
+    // ranking but not from df), the vector arm is the persisted-IVF
+    // probed search top-50 (partition-pruned, retrain-free), and the
+    // fusion is reciprocal-rank 1/(60+r) over the two BOUNDED candidate
+    // lists (the ≤50-row global windows rank AFTER distributed top-k —
+    // sim_hybrid_rrf's deployment shape, now with zero corpus scans on
+    // either arm). Output pins each hit's arm provenance.
+    Q("sim_index_hybrid",
+      (s, d) => {
+        val tn = ensureTextIndex(s, d)
+        val vn = ensureIndex(s, d, "ivp", incremental = false)
+        val tRank = graft.operators.TextIndex
+          .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L))
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score_u").desc, col("doc_id")))
+              .cast("long").as("rt"))
+        val vRank = graft.operators.IvfIndex
+          .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)))
+          .select(col("vec_id").as("doc_id"),
+            row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
+              .cast("long").as("rv"))
+        tRank.join(vRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            col("rt").isNotNull.as("has_text"),
+            col("rv").isNotNull.as("has_vec"),
+            (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .select("doc_id", "has_text", "has_vec")
+      },
+      Some(hybridIndexRrfSql)))
 
   /** The ANN quality ladder as a driver-verified fact: recall@10 of each
     * approximate method (LSH / IVF-Flat / IVF-SQ8 / PQ / IVF-PQ) against

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** [[TextIndex]] — the persisted BM25 serving layout: index-served
+  * ranking must equal the corpus-scan computation bit-for-bit, the
+  * driver-side bucket function must match the Spark-side one (it IS the
+  * query-time pruning literal), and excludeId must drop a doc from
+  * ranking without perturbing anyone else's score.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val terms = Seq("join", "vector", "stream")
+
+  private lazy val names: TextIndex.Names = {
+    val n = TextIndex.names("titest", "spec")
+    TextIndex.build(Tables.documents(spark, sf), "doc_id", "text", n)
+    n
+  }
+
+  /** The corpus-scan BM25 twin (text_bm25's exact expression tree),
+    * with the per-doc matched-term count.
+    */
+  private def corpusBm25(limit: Int) = {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val qt = tok.filter(col("term").isin(terms: _*))
+    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = qt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot").cast("double") / col("n"))
+      .withColumn("idf",
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("denom",
+        col("tf") + lit(1.25) * (lit(0.25)
+          + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      .withColumn("score_u",
+        floor(col("idf") * (col("tf") * lit(2.25)) / col("denom")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("score_u")).as("score_u"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  test("driver-side bucketOf matches the Spark-side bucketCol on the whole vocabulary") {
+    val buckets = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("term")).distinct()
+      .select(col("term"), TextIndex.bucketCol(col("term")).as("b"))
+      .collect()
+    assert(buckets.nonEmpty)
+    buckets.foreach { r =>
+      val t = r.getString(0)
+      assert(TextIndex.bucketOf(t) === r.getLong(1), s"term '$t'")
+    }
+  }
+
+  test("index-served BM25 equals the corpus-scan ranking bit-for-bit") {
+    val served = TextIndex.bm25(spark, names, terms, limit = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scan = corpusBm25(25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === scan)
+    assert(served.nonEmpty)
+  }
+
+  test("query-time df from the pruned slice equals the corpus df") {
+    val fromIndex = spark.table(names.postings)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromCorpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromIndex === fromCorpus)
+    assert(fromIndex.keySet === terms.toSet)
+  }
+
+  test("excludeId drops the doc from ranking without changing any other score") {
+    val full = TextIndex.bm25(spark, names, terms, limit = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val victim = full.keys.min
+    val excl = TextIndex.bm25(spark, names, terms, limit = 1000,
+        excludeId = Some(victim))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!excl.contains(victim))
+    assert(excl === (full - victim))
+  }
+
+  test("stats table carries the corpus doc/token volume") {
+    val st = spark.table(names.stats).collect().head
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    assert(st.getLong(0) === tok.select("doc_id").distinct().count())
+    assert(st.getLong(1) === tok.count())
+  }
+}

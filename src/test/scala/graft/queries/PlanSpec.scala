@@ -216,6 +216,32 @@ class PlanSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("text_index_persist: BM25 serves from the pruned persisted postings — corpus text never scanned") {
+    val p = plan("text_index_persist")
+    // the query terms' buckets reach the posting scan as PARTITION
+    // filters (≤3 of 32 partitions open) and the term predicate pushes
+    // to the surviving files' row groups
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("In(term"), p)
+    assert(p.contains("tix_tpost"), p)
+    // the serving plan never touches the documents table — the index's
+    // reason to exist (the reference regex-scans every text per search)
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sim_index_hybrid: both arms serve from persisted indexes — zero corpus scans, both pruned") {
+    val p = plan("sim_index_hybrid")
+    // lexical arm = pruned text postings, vector arm = pruned IVF
+    // postings; the only base-table touch is the one pushed point read
+    // of the query vector (embeddings) — documents is never scanned
+    assert(p.contains("tix_tpost"), p)
+    assert(p.contains("ivp_post"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pipeline_incremental: only the new batch flows — base never rescanned, old-old never joins") {
     val p = plan("pipeline_incremental")
     // the merge plan reads ONLY persisted state (manifest/sigidx/store
