@@ -97,6 +97,26 @@ object Upsert {
     applyChanges(base, latest, key, deleteCol)
   }
 
+  /** Ledger RETENTION (the VACUUM of the versioned store): fold every
+    * change with version ≤ `cutoff` into a new CHECKPOINT base (=
+    * [[readAt]] cutoff — the exact state at the cutoff) and truncate
+    * the ledger to the tail (version > cutoff). Returns (checkpoint,
+    * ledgerTail): persist both, then the old base and the folded ledger
+    * slice are reclaimable.
+    *
+    * The retention contract: every version ≥ cutoff reconstructs
+    * EXACTLY from the compacted pair (readAt over (checkpoint, tail) ≡
+    * readAt over (base, ledger) — spec-locked), versions < cutoff
+    * become unreadable by design. Cost is one [[readAt]] plus a ledger
+    * filter — never a batch-by-batch replay, and the checkpoint write
+    * is the same size as the store it supersedes.
+    */
+  def checkpointAt(base: DataFrame, ledger: DataFrame, key: String,
+      deleteCol: String, versionCol: String,
+      cutoff: Long): (DataFrame, DataFrame) =
+    (readAt(base, ledger, key, deleteCol, versionCol, cutoff),
+      ledger.filter(col(versionCol) > cutoff))
+
   /** Full CDC apply: `changes` carries a boolean tombstone column —
     * tombstoned keys are REMOVED from the snapshot (whether or not the
     * same batch also carried an upsert for them: delete wins, the

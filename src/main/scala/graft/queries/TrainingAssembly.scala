@@ -658,6 +658,67 @@ private[queries] object TrainingQueries {
     (baseT, ledgerT)
   }
 
+  /** Build-once wrapper for the GC'd (checkpointed) versioned store:
+    * the [[ensureVersionedStore]] feed extended with a SECOND night
+    * (version 2 — closed-form payload mutations over the v1 state:
+    * delete doc_id % 9 = 4, bump n_tokens by 7 for doc_id % 9 = 1),
+    * then [[graft.operators.Upsert.checkpointAt]] retention at
+    * cutoff 1: everything ≤ v1 folds into a persisted CHECKPOINT
+    * base, only the version-2 tail survives in the ledger — the old
+    * base and the folded slice are reclaimed. Own tables (pgc_*): the
+    * shared pver_* pair stays read-only.
+    */
+  private def ensureGcStore(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.Upsert
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val (manifestT, sigT, storeT) = ensureCuratedStore(s, d)
+    val (ckptT, ledT) = (s"pgc_ckpt_$fp", s"pgc_ledger_$fp")
+    CatalogShared.cachedBuild(s"pgcstore|$fp") {
+      if (!s.catalog.tableExists(ckptT) || !s.catalog.tableExists(ledT)) {
+        val base = s.table(storeT)
+        val c1 = nightlyChangeset(s, d, manifestT, sigT, storeT)
+          .withColumn("version", lit(1L))
+        val v1 = Upsert
+          .readAt(base, c1, "doc_id", "__del", "version", 1L)
+          .localCheckpoint()
+        val c2 = v1.filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id"), lit(null).cast("long").as("n_tokens"),
+            lit(true).as("__del"))
+          .unionByName(v1.filter(col("doc_id") % 9 === 1)
+            .select(col("doc_id"), (col("n_tokens") + 7).as("n_tokens"),
+              lit(false).as("__del")))
+          .withColumn("version", lit(2L))
+        val (ckpt, tail) = Upsert.checkpointAt(
+          base, c1.unionByName(c2), "doc_id", "__del", "version", cutoff = 1L)
+        Warehouse.writeTable(ckpt, ckptT)
+        Warehouse.writeTable(tail, ledT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (ckptT, ledT)
+  }
+
+  /** Twin of `store_gc` — both surviving versions recomputed
+    * closed-form: v1 is the post-update state ([[storeVersionsSql]]'s
+    * v1 — what the checkpoint persisted), v2 applies the second
+    * night's closed-form mutations to it. A hash match proves the
+    * compacted (checkpoint, ledger-tail) pair serves every retained
+    * version exactly — the retention contract of
+    * [[graft.operators.Upsert.checkpointAt]].
+    */
+  private lazy val storeGcSql: String =
+    s"WITH $incrementalLedgerCtes, " +
+      "v1 AS (SELECT g.doc_id, CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM g JOIN cur ON g.doc_id = cur.doc_id AND g.epoch = cur.epoch " +
+      "LEFT JOIN coll ON coll.doc_id = g.doc_id AND coll.epoch = g.epoch " +
+      "WHERE coll.doc_id IS NULL), " +
+      "v2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 1 THEN n_tokens + 7 ELSE n_tokens END AS n_tokens " +
+      "FROM v1 WHERE doc_id % 9 <> 4) " +
+      "SELECT CAST(1 AS BIGINT) AS version, doc_id, n_tokens FROM v1 " +
+      "UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_tokens FROM v2 " +
+      "ORDER BY version, doc_id"
+
   /** Twin of `pipeline_assemble_incremental` — the post-update shard
     * assembly recomputed FROM SCRATCH: the ledger machinery yields the
     * final curated doc set (`fin`), the tokenizer vocab is re-derived
@@ -1098,6 +1159,29 @@ private[queries] object TrainingQueries {
         at(0L).unionByName(at(1L)).orderBy("version", "doc_id")
       },
       Some(storeVersionsSql)),
+
+    // Versioned-store RETENTION (the VACUUM the time-travel row makes
+    // necessary): an unbounded change ledger grows forever, so
+    // [[graft.operators.Upsert.checkpointAt]] folds every version ≤ the
+    // retention cutoff into a persisted CHECKPOINT base and keeps only
+    // the ledger tail — old base + folded slice reclaimed, every
+    // retained version still exact. This row reads BOTH surviving
+    // versions from the compacted pair (v1 = the checkpoint itself via
+    // an empty ledger window, v2 = one change application); the oracle
+    // recomputes each closed-form from the original full ledger
+    // machinery, so the hash match proves GC lost nothing that was
+    // inside retention. UpsertSpec locks the general contract
+    // (readAt(compacted, v) ≡ readAt(original, v) for all v ≥ cutoff).
+    Q("store_gc",
+      (s, d) => {
+        val (ckptT, ledT) = ensureGcStore(s, d)
+        def at(v: Long) = graft.operators.Upsert
+          .readAt(s.table(ckptT), s.table(ledT), "doc_id", "__del",
+            "version", v)
+          .select(lit(v).as("version"), col("doc_id"), col("n_tokens"))
+        at(1L).unionByName(at(2L)).orderBy("version", "doc_id")
+      },
+      Some(storeGcSql)),
 
     // INCREMENTAL shard assembly — the composition that turns the
     // nightly story end-to-end: the previous build's artifacts are

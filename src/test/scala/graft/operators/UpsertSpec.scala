@@ -127,6 +127,36 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("checkpointAt: every version ≥ cutoff reconstructs exactly from the compacted pair") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val ledger = Seq(
+      (2L, "b2", false, 1L), (3L, null.asInstanceOf[String], true, 1L),
+      (3L, "c2", false, 2L), (1L, null.asInstanceOf[String], true, 2L),
+      (4L, "d", false, 2L),
+      (2L, null.asInstanceOf[String], true, 3L))
+      .toDF("k", "name", "is_delete", "version")
+    val (ckpt, tail) =
+      Upsert.checkpointAt(base, ledger, "k", "is_delete", "version", 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the checkpoint IS the state at the cutoff
+    assert(rows(ckpt) ===
+      rows(Upsert.readAt(base, ledger, "k", "is_delete", "version", 1L)))
+    // the ledger tail kept only post-cutoff versions — the folded slice
+    // (and the old base) are reclaimable
+    assert(tail.agg(org.apache.spark.sql.functions.min("version"))
+      .head().getLong(0) > 1L)
+    assert(tail.count() === 4L)
+    // the retention contract: every v ≥ cutoff reads identically from
+    // the compacted pair; v < cutoff is unreadable by design
+    (1L to 3L).foreach { v =>
+      assert(
+        rows(Upsert.readAt(ckpt, tail, "k", "is_delete", "version", v)) ===
+          rows(Upsert.readAt(base, ledger, "k", "is_delete", "version", v)),
+        s"v=$v")
+    }
+  }
+
   test("latestByKey tolerates non-orderable columns (maps skip the tie-break)") {
     // a map column in the feed must not fail the Window's orderBy
     // analysis when orderCol alone is decisive
