@@ -1461,6 +1461,60 @@ private[queries] object TextMultimodalQueries {
       },
       Some(nbScoreSql)),
 
+    // Classifier CALIBRATION — the reliability diagram behind the
+    // confusion matrix: held-out docs scored by the PERSISTED model,
+    // binned by fixed-width score band (1.0 fp20 units = 2^20, clamped
+    // to ±8 — pure integer map + one hash agg, never an ntile window
+    // over the corpus), each band reporting observed positives vs
+    // predicted positives. The report that decides a filter's
+    // THRESHOLD, not just its accuracy: a well-calibrated band near 0
+    // is where threshold tuning moves yield. Truncating division is
+    // sign-explicit in the oracle (// floors in newer DuckDB releases —
+    // the TESTDATA.md version-defensive rule).
+    Q("quality_calibration",
+      (s, d) => {
+        import graft.operators.NbClassifier
+        val (countsT, scalT) = ensureNbModel(s, d)
+        val labeled = Tables.documents(s, d)
+          .select(col("doc_id"),
+            col("source").isin("src0", "src1", "src2", "src3", "src4")
+              .as("label"))
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+        NbClassifier.score(tok, s.table(countsT), s.table(scalT))
+          .filter(col("doc_id") % 10 >= 8)
+          .join(labeled, Seq("doc_id"))
+          .withColumn("bin",
+            greatest(lit(-8L), least(lit(8L),
+              expr("score_fp20 div 1048576"))))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("pred_pos"), 1L).otherwise(0L)).as("n_pred_pos"))
+          .orderBy("bin")
+      },
+      Some {
+        "WITH tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3','src4') AS is_pos, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+          "tr AS (SELECT * FROM tok WHERE doc_id % 10 < 8), " +
+          "cl AS (SELECT w, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM tr GROUP BY w), " +
+          "ms AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS npos, CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg, " +
+          "CAST(count(DISTINCT w) AS BIGINT) AS vsz, CAST(count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS dpos, CAST(count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS dneg FROM tr), " +
+          "j AS (SELECT tok.doc_id, tok.is_pos, " +
+          s"${ILog.qlogSqlDuck("(COALESCE(cp, 0) + 1)")} - ${ILog.qlogSqlDuck("(npos + vsz)")} - ${ILog.qlogSqlDuck("(COALESCE(cn, 0) + 1)")} + ${ILog.qlogSqlDuck("(nneg + vsz)")} AS wt, dpos, dneg " +
+          "FROM tok LEFT JOIN cl USING (w) CROSS JOIN ms), " +
+          "sc AS (SELECT doc_id, any_value(is_pos) AS label, " +
+          s"CAST(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt) AS BIGINT) AS score_fp20 " +
+          "FROM j WHERE doc_id % 10 >= 8 GROUP BY doc_id, dpos, dneg), " +
+          "b AS (SELECT label, score_fp20 > 0 AS pred_pos, " +
+          "GREATEST(CAST(-8 AS BIGINT), LEAST(CAST(8 AS BIGINT), " +
+          "CASE WHEN score_fp20 < 0 THEN -((-score_fp20) // 1048576) ELSE score_fp20 // 1048576 END)) AS bin FROM sc) " +
+          "SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+          "CAST(SUM(CASE WHEN pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos " +
+          "FROM b GROUP BY bin ORDER BY bin"
+      }),
+
     // Corpus id-encoding — the "apply the trained tokenizer to every
     // document" step that materializes training input: top-200 vocab
     // (text_vocab's two-phase build — distributed top-k, then a window

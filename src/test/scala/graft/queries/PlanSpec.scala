@@ -153,6 +153,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("quality_nb").toLowerCase.contains("distinct"))
   }
 
+  test("quality_calibration: persisted-model scoring, integer banding — retrain-free, no corpus window") {
+    val p = plan("quality_calibration")
+    // scored against the persisted model tables, like quality_nb_persist
+    assert(p.contains("nbm_counts_"), p)
+    assert(p.contains("nbm_scal_"), p)
+    assert(!p.contains("is_pos"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
+    // banding is a fixed-width integer map + one hash agg — never an
+    // ntile/row_number window over the held-out slice
+    assert(!p.contains("Window"), p)
+    // bands clamp to ±8 and cover the held-out slice exactly
+    val rows = SparkEntry.queries("quality_calibration")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) >= -8 && r.getLong(0) <= 8))
+    val heldOut = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 8).count()
+    assert(rows.map(_.getLong(1)).sum === heldOut)
+  }
+
   test("sim_index_pq family: ADC over pruned code postings, retrain-free, id-keyed re-rank") {
     Seq("sim_index_pq", "sim_index_pq_filtered", "sim_index_pq_incremental")
       .foreach { q =>
