@@ -62,4 +62,45 @@ object Pack {
   def binStats(packed: DataFrame, tokensCol: String): DataFrame =
     packed.groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("tot_tokens"))
+
+  /** Per-EPOCH training order over the packed bins: every epoch, each
+    * (shard, bin) context window gets a fresh pseudo-random position —
+    * the global shuffle every multi-epoch run needs so batch
+    * composition decorrelates across epochs — WITHOUT materializing a
+    * shuffled copy of the corpus per epoch. The order is a pure
+    * function of (epoch, shard, bin) via md5 (the [[Shards.shardId]] /
+    * curriculum_order key family): any worker recomputes its own read
+    * order and seeks to its bins by (shard, bin) pointer; re-running
+    * the job, resizing the cluster, or re-partitioning never changes
+    * who reads what when.
+    *
+    * `worker` re-shards the bins per epoch (first 8 md5 hex digits of
+    * the SAME key, mod `workers`) so an epoch's order is also a fresh
+    * bin→worker assignment; `pos` is the worker's 1-based sequential
+    * read position. The rank window partitions by (epoch, worker) —
+    * per-worker state, the honest distribution at cluster scale (one
+    * worker's epoch playlist must serialize SOMEWHERE; it is bounded by
+    * bins/workers, never the corpus).
+    *
+    * Input is [[binStats]] output (or anything carrying shard + bin);
+    * all other columns pass through.
+    */
+  def epochOrder(bins: DataFrame, epochs: Int, workers: Int): DataFrame = {
+    require(epochs > 0, s"epochs ($epochs) must be positive")
+    require(workers > 0, s"workers ($workers) must be positive")
+    val keyed = bins
+      .withColumn("epoch",
+        explode(array((0 until epochs).map(i => lit(i.toLong)): _*)))
+      .withColumn("__okey", md5(concat(
+        col("epoch").cast("string"), lit(":"),
+        col("shard").cast("string"), lit(":"),
+        col("bin").cast("string"))))
+      .withColumn("worker",
+        conv(substring(col("__okey"), 1, 8), 16, 10).cast("long") % workers)
+    val w = Window.partitionBy("epoch", "worker")
+      .orderBy(col("__okey"), col("shard"), col("bin"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__okey")
+  }
 }

@@ -34,6 +34,39 @@ private[queries] object TrainingQueries {
         "(SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents)) " +
         "GROUP BY shard, bin ORDER BY shard, bin")),
 
+    // Multi-epoch training ORDER over the packed bins
+    // ([[graft.operators.Pack.epochOrder]]): each epoch deterministically
+    // re-shuffles and re-shards every (shard, bin) context window via
+    // the md5 key family — the global shuffle a multi-epoch run needs,
+    // as a PURE FUNCTION instead of a per-epoch shuffled corpus copy
+    // (at 100 TB, materializing E shuffled epochs is E extra corpus
+    // writes; here a worker recomputes its playlist and seeks by
+    // (shard, bin) pointer). The oracle unrolls pack → bin-stats →
+    // key → rank, so the hash match pins every epoch's complete
+    // worker-order — positions, shard pointers, and per-bin volumes.
+    Q("pack_epoch_order",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+        val packed = graft.operators.Pack
+          .packSequences(docs, "doc_id", "n_tokens", 2048L, 4)
+        graft.operators.Pack
+          .epochOrder(graft.operators.Pack.binStats(packed, "n_tokens"),
+            epochs = 2, workers = 4)
+          .select("epoch", "worker", "pos", "shard", "bin",
+            "n_docs", "tot_tokens")
+          .orderBy("epoch", "worker", "pos")
+      },
+      Some("WITH s0 AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "p AS (SELECT shard, doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin FROM s0), " +
+        "u AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM p GROUP BY shard, bin), " +
+        "e AS (SELECT u.*, epoch FROM u CROSS JOIN (SELECT unnest([0, 1]) AS epoch)), " +
+        "k AS (SELECT epoch, shard, bin, n_docs, tot_tokens, md5(CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)) AS okey FROM e), " +
+        "w AS (SELECT *, CAST(('0x' || substr(okey, 1, 8)) AS BIGINT) % 4 AS worker FROM k) " +
+        "SELECT CAST(epoch AS BIGINT) AS epoch, worker, " +
+        "CAST(row_number() OVER (PARTITION BY epoch, worker ORDER BY okey, shard, bin) AS BIGINT) AS pos, " +
+        "shard, bin, n_docs, tot_tokens FROM w ORDER BY epoch, worker, pos")),
+
     // Integer-exact PageRank over the symmetrized LSH duplicate graph
     // (3 rounds, d=0.85, ppm units) — canonical-doc/boilerplate signal.
     // Edge input is the HUB-CAPPED band join (8 hubs/bucket): a hot

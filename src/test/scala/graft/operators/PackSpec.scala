@@ -67,4 +67,42 @@ class PackSpec extends SparkSpec {
       .select(countDistinct(col("shard"))).collect().head.getLong(0)
     assert(nShards === 4L)
   }
+
+  test("epochOrder: each epoch is a fresh permutation of the same bin set") {
+    val docs = (1L to 200L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    val bins = Pack.binStats(
+      Pack.packSequences(docs, "doc_id", "n_tokens", 1024L, 4), "n_tokens")
+    val ord = Pack.epochOrder(bins, epochs = 3, workers = 4)
+      .select("epoch", "worker", "pos", "shard", "bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val units = bins.select("shard", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 2L).foreach { e =>
+      val ep = ord.filter(_._1 == e)
+      // every bin appears exactly once per epoch — a permutation
+      assert(ep.map(t => (t._4, t._5)).toSet === units)
+      assert(ep.length === units.size)
+      // per-worker positions are contiguous 1..n
+      ep.groupBy(_._2).foreach { case (w, rows) =>
+        assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+          s"epoch $e worker $w")
+      }
+    }
+    // epochs genuinely differ: the (worker, pos) slot of at least one
+    // bin moves between any two epochs (md5 avalanche on the epoch key)
+    def slots(e: Long) =
+      ord.filter(_._1 == e).map(t => (t._4, t._5) -> (t._2, t._3)).toMap
+    assert(slots(0L) !== slots(1L))
+    assert(slots(1L) !== slots(2L))
+    // determinism: a rerun reproduces the order bit-for-bit
+    val again = Pack.epochOrder(bins, epochs = 3, workers = 4)
+      .select("epoch", "worker", "pos", "shard", "bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(ord.sortBy(t => (t._1, t._2, t._3)).toSeq ===
+      again.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
 }
