@@ -1004,11 +1004,20 @@ private[queries] object CatalogShared {
     * per row. Output pins each hit's arm provenance (has_text/has_vec),
     * not just membership.
     */
-  lazy val hybridIndexRrfSql: String = {
+  lazy val hybridIndexRrfSql: String =
+    s"WITH $hybridFusedCtes " +
+      "SELECT doc_id, has_text, has_vec FROM fus ORDER BY rrf DESC, doc_id LIMIT 10"
+
+  /** The shared fusion CTE chain: both arms' ranked top-50 lists and the
+    * `fus` CTE (doc_id, has_text, has_vec, rrf). Consumed by
+    * [[hybridIndexRrfSql]] (provenance view) and [[ragContextSql]]
+    * (budgeted context packing over the fused top-10).
+    */
+  lazy val hybridFusedCtes: String = {
     def dotL = ivfDotL _
     val probeScore =
       s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
-    "WITH " + ivfModelCtes + ", " +
+    ivfModelCtes + ", " +
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
       "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
@@ -1018,12 +1027,28 @@ private[queries] object CatalogShared {
       s"$bm25CorpusCtes, " +
       "bsum AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM scq WHERE doc_id <> 0 GROUP BY doc_id), " +
       "btop AS (SELECT doc_id, score_u FROM bsum ORDER BY score_u DESC, doc_id LIMIT 50), " +
-      "tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rt FROM btop) " +
-      "SELECT doc_id, has_text, has_vec FROM (" +
-      "SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +
+      "tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rt FROM btop), " +
+      "fus AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +
       "tr.doc_id IS NOT NULL AS has_text, vr.doc_id IS NOT NULL AS has_vec, " +
       "COALESCE(CAST(1 AS DOUBLE) / (60 + rt), 0) + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0) AS rrf " +
-      "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id) " +
-      "ORDER BY rrf DESC, doc_id LIMIT 10"
+      "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)"
   }
+
+  /** Twin of `rag_context_pack` — the fused top-10, each hit's document
+    * fetched for its token count, packed into a 400-token context by
+    * rank order with STOP-AT-OVERFLOW semantics (keep every rank whose
+    * inclusive running total fits — prefix truncation, the
+    * window-expressible form; greedy-skip would need an iterative
+    * dependency). Explicit ROWS frame: engines' default RANGE frame
+    * agrees here only because the ordering is unique — spell it out.
+    */
+  lazy val ragContextSql: String =
+    s"WITH $hybridFusedCtes, " +
+      "top AS (SELECT doc_id, rrf FROM fus ORDER BY rrf DESC, doc_id LIMIT 10), " +
+      "wd AS (SELECT t.doc_id, t.rrf, CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens " +
+      "FROM top t JOIN documents d USING (doc_id)), " +
+      "c AS (SELECT doc_id, n_tokens, " +
+      "CAST(SUM(n_tokens) OVER (ORDER BY rrf DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, " +
+      "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS ctx_pos FROM wd) " +
+      "SELECT ctx_pos, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400 ORDER BY ctx_pos"
 }

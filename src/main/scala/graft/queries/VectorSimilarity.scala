@@ -769,30 +769,76 @@ private[queries] object VectorQueries {
     // either arm). Output pins each hit's arm provenance.
     Q("sim_index_hybrid",
       (s, d) => {
-        val tn = ensureTextIndex(s, d)
-        val vn = ensureIndex(s, d, "ivp", incremental = false)
-        val tRank = graft.operators.TextIndex
-          .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L))
-          .select(col("doc_id"),
-            row_number().over(Window.orderBy(col("score_u").desc, col("doc_id")))
-              .cast("long").as("rt"))
-        val vRank = graft.operators.IvfIndex
-          .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
-            queryFrom = Some(Tables.embeddings(s, d)))
-          .select(col("vec_id").as("doc_id"),
-            row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
-              .cast("long").as("rv"))
-        tRank.join(vRank, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            col("rt").isNotNull.as("has_text"),
-            col("rv").isNotNull.as("has_vec"),
-            (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+        hybridFused(s, d)
           .orderBy(col("rrf").desc, col("doc_id"))
           .limit(10)
           .select("doc_id", "has_text", "has_vec")
       },
-      Some(hybridIndexRrfSql)))
+      Some(hybridIndexRrfSql)),
+
+    // RAG context assembly — what the fused top-k is FOR: the retrieved
+    // hits pack into a fixed token budget (400) in rank order with
+    // stop-at-overflow semantics, and only THEN are the winning
+    // documents fetched — a pushed `doc_id IN (…)` point read of ≤10
+    // rows (the searchPq re-rank economics: retrieval runs entirely on
+    // the indexes, the corpus is touched exactly once for exactly the
+    // context that ships). The budgeting window ranks ≤10 rows. Oracle
+    // recomputes fusion + fetch + prefix-sum truncation closed-form.
+    Q("rag_context_pack",
+      (s, d) => {
+        val top = hybridFused(s, d)
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .select("doc_id", "rrf")
+          .collect()
+        val ids = top.map(_.getLong(0)).toSeq
+        val rrfs = top.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        import s.implicits._
+        val fused = broadcast(rrfs.toDF("doc_id", "rrf"))
+        val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+          .join(fused, "doc_id")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("ctx_pos", row_number().over(w).cast("long"))
+          .filter(col("cum_tokens") <= 400)
+          .select("ctx_pos", "doc_id", "n_tokens", "cum_tokens")
+          .orderBy("ctx_pos")
+      },
+      Some(ragContextSql)))
+
+  /** The shared hybrid fusion: BM25 top-50 from the persisted text
+    * index (doc 0 = the query slot, excluded from ranking) and exact-
+    * cosine top-50 from the persisted IVF index, reciprocal-rank fused
+    * (1/(60+r) per arm — both are bounded ≤50-row lists, so the global
+    * rank windows run after distributed top-k). Returns (doc_id,
+    * has_text, has_vec, rrf) for `sim_index_hybrid` (provenance view)
+    * and `rag_context_pack` (budgeted packing).
+    */
+  private def hybridFused(s: SparkSession, d: String): DataFrame = {
+    val tn = ensureTextIndex(s, d)
+    val vn = ensureIndex(s, d, "ivp", incremental = false)
+    val tRank = graft.operators.TextIndex
+      .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L))
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score_u").desc, col("doc_id")))
+          .cast("long").as("rt"))
+    val vRank = graft.operators.IvfIndex
+      .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
+        queryFrom = Some(Tables.embeddings(s, d)))
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
+          .cast("long").as("rv"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("rt").isNotNull.as("has_text"),
+        col("rv").isNotNull.as("has_vec"),
+        (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+  }
 
   /** The ANN quality ladder as a driver-verified fact: recall@10 of each
     * approximate method (LSH / IVF-Flat / IVF-SQ8 / PQ / IVF-PQ) against

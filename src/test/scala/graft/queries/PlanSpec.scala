@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("quality_nb").toLowerCase.contains("distinct"))
   }
 
+  test("rag_context_pack: corpus touched once via a pushed id point-read of the fused winners") {
+    val p = plan("rag_context_pack")
+    // retrieval already ran on the indexes (driver-side, bounded); the
+    // final plan only FETCHES the ≤10 winning docs — the id set reaches
+    // the documents scan as a pushed filter, the fused scores broadcast
+    assert(p.contains("In(doc_id"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("quality_calibration: persisted-model scoring, integer banding — retrain-free, no corpus window") {
     val p = plan("quality_calibration")
     // scored against the persisted model tables, like quality_nb_persist
