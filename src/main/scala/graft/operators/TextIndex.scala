@@ -88,6 +88,125 @@ object TextIndex {
       n.stats)
   }
 
+  /** Tombstone side-table (created by the first [[delete]]; absent on
+    * an index that never deleted — zero plan overhead until used).
+    */
+  def tombstoneTable(n: Names): String = s"${n.postings}_tomb"
+
+  /** Grow the index WITHOUT rebuilding: the batch's (term, doc, tf, dl)
+    * rows append into the bucket partitions and the 1-row stats fold in
+    * the batch's doc/token volume. UNLIKE the vector layouts (stale
+    * coarse/PQ quantizers until rebuild), a text-index append is EXACT:
+    * df aggregates at query time from the pruned slice (which now
+    * includes the new rows) and the stats fold is integer arithmetic —
+    * the grown index serves the identical ranking a from-scratch build
+    * would. PRECONDITION: batch ids must be new to the index (appending
+    * an already-indexed doc doubles its postings — same contract as
+    * [[IvfIndex.appendBatch]]). A re-ingested id clears its tombstone
+    * (the takedown blocks the old content, never a future re-ingest).
+    */
+  def appendBatch(spark: SparkSession, n: Names, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    Warehouse.appendInto(
+      tf.join(dl, "doc_id")
+        .withColumn("bucket", bucketCol(col("term")))
+        .select("bucket", "term", "doc_id", "tf", "dl"),
+      n.postings)
+    val bstat = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("btot"))
+    Warehouse.writeTable(
+      spark.table(n.stats).crossJoin(bstat)
+        .select((col("n") + col("bn")).as("n"),
+          (col("tot") + col("btot")).as("tot"))
+        .localCheckpoint(),
+      n.stats)
+    val tombT = tombstoneTable(n)
+    if (spark.catalog.tableExists(tombT))
+      Warehouse.writeTable(
+        spark.table(tombT)
+          .join(docs.select(col(idCol).as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(),
+        tombT)
+  }
+
+  /** Delete documents by id — the takedown path: ids land in a bounded
+    * tombstone table that [[bm25]] anti-joins AFTER the df aggregation,
+    * so a tombstoned doc stops RANKING immediately while the corpus
+    * statistics (df, n, tot) drift until [[compact]] refreshes them —
+    * the same block-now/fold-later semantics as the vector index's
+    * tombstones-until-rebuild. Idempotent (distinct ids).
+    */
+  def delete(spark: SparkSession, n: Names, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "delete needs at least one id")
+    import spark.implicits._
+    val tombT = tombstoneTable(n)
+    val add = ids.toDF("doc_id")
+    val merged =
+      if (spark.catalog.tableExists(tombT))
+        spark.table(tombT).unionByName(add).distinct().localCheckpoint()
+      else add.distinct()
+    Warehouse.writeTable(merged, tombT)
+  }
+
+  /** Fold the tombstones into the physical layout: rewrite ONLY the
+    * bucket partitions containing tombstoned rows (dynamic partition
+    * overwrite — untouched buckets' files never move), drop any bucket
+    * the deletes emptied, refresh the stats by the deleted docs'
+    * (doc, token) deltas, and drop the tombstone table. After
+    * compaction the index serves EXACTLY the BM25 of the corpus minus
+    * the deleted docs — df and length normalization included (the
+    * statistics drift [[delete]] documents is repaid here).
+    */
+  def compact(spark: SparkSession, n: Names): Unit = {
+    val tombT = tombstoneTable(n)
+    if (!spark.catalog.tableExists(tombT)) return
+    val tomb = broadcast(spark.table(tombT))
+    val post = spark.table(n.postings)
+    // stats deltas BEFORE the rewrite (the tombstoned rows carry dl)
+    val del = post.join(tomb, Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("dn"), coalesce(sum("dl"), lit(0L)).as("dtot"))
+      .localCheckpoint()
+    val affected = post.join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("bucket")).distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      // materialize survivors BEFORE overwriting their source partitions
+      val survivors = post
+        .filter(col("bucket").isInCollection(affected))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val keptBuckets = survivors.select(col("bucket"))
+        .distinct().collect().map(_.get(0)).toSet
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = spark.conf.get(modeKey, "STATIC")
+      spark.conf.set(modeKey, "dynamic")
+      try survivors
+        .select(post.columns.map(col).toSeq: _*)
+        .repartition(col("bucket"))
+        .write.mode("overwrite")
+        .insertInto(n.postings)
+      finally spark.conf.set(modeKey, prevMode)
+      // a fully-emptied bucket has no survivor rows — dynamic overwrite
+      // never touches it, so drop it or the deleted rows resurrect
+      affected.filterNot(keptBuckets).foreach { b =>
+        spark.sql(
+          s"ALTER TABLE ${n.postings} DROP IF EXISTS PARTITION (bucket=$b)")
+      }
+      spark.catalog.refreshTable(n.postings)
+    }
+    Warehouse.writeTable(
+      spark.table(n.stats).crossJoin(del)
+        .select((col("n") - col("dn")).as("n"),
+          (col("tot") - col("dtot")).as("tot"))
+        .localCheckpoint(),
+      n.stats)
+    Warehouse.dropWithLocation(spark, tombT)
+  }
+
   /** BM25 top-`limit` docs for `terms`, served ENTIRELY from the
     * persisted index: partition-pruned posting scan (the query terms'
     * buckets only) → slice-local exact df → broadcast 1-row stats →
@@ -108,7 +227,15 @@ object TextIndex {
     val slice0 = spark.table(n.postings)
       .filter(col("bucket").isin(bks: _*) && col("term").isin(terms: _*))
     val dfq = slice0.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val slice = excludeId.fold(slice0)(id => slice0.filter(col("doc_id") =!= id))
+    // ranking exclusions (query-doc slot, tombstones) apply AFTER the
+    // df aggregation: blocked docs stop ranking immediately, the corpus
+    // statistics drift until compact() folds them (see [[delete]])
+    val afterExcl = excludeId.fold(slice0)(id => slice0.filter(col("doc_id") =!= id))
+    val tombT = tombstoneTable(n)
+    val slice =
+      if (spark.catalog.tableExists(tombT))
+        afterExcl.join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_anti")
+      else afterExcl
     val stats = spark.table(n.stats)
     slice.join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))

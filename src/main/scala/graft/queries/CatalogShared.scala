@@ -970,8 +970,14 @@ private[queries] object CatalogShared {
     * Emits `scq` (doc_id, score_u — one micro-unit LONG per (doc,
     * query-term) posting).
     */
-  lazy val bm25CorpusCtes: String =
-    "tt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+  lazy val bm25CorpusCtes: String = bm25CorpusCtesFrom("documents")
+
+  /** [[bm25CorpusCtes]] with a caller-chosen source relation — the
+    * post-compaction twin scores the corpus MINUS the deleted docs
+    * (df, length normalization and priors all excluding them).
+    */
+  def bm25CorpusCtesFrom(src: String): String =
+    s"tt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM $src), " +
       "dld AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tt GROUP BY doc_id), " +
       "stt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dld), " +
       s"qt AS (SELECT doc_id, term FROM tt WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})), " +
@@ -988,10 +994,28 @@ private[queries] object CatalogShared {
     * corpus-scan ranking, including per-doc matched-term counts (the
     * posting rows themselves, not just the score sum).
     */
-  lazy val bm25IndexSql: String =
-    s"WITH $bm25CorpusCtes " +
+  lazy val bm25IndexSql: String = bm25ServeSql(bm25CorpusCtes, "")
+
+  private def bm25ServeSql(ctes: String, where: String): String =
+    s"WITH $ctes " +
       "SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u, CAST(count(*) AS BIGINT) AS n_terms " +
-      "FROM scq GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+      s"FROM scq $where GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+
+  /** Twin of `text_index_delete` — the tombstoned index's serving
+    * semantics: the takedown set (doc_id % 10 = 3, the standing
+    * closed form) stops RANKING but df / corpus stats still include it
+    * (the documented drift-until-compaction), so the oracle filters
+    * the per-(doc, term) score rows only at the final fold.
+    */
+  lazy val bm25DeleteSql: String =
+    bm25ServeSql(bm25CorpusCtes, "WHERE doc_id % 10 <> 3")
+
+  /** Twin of `text_index_compact` — after the fold, the index serves
+    * EXACTLY the BM25 of the corpus minus the deleted docs: the whole
+    * chain (df, dl, n, tot) re-derives from the filtered corpus.
+    */
+  lazy val bm25CompactSql: String = bm25ServeSql(
+    bm25CorpusCtesFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 3)"), "")
 
   /** Twin of `sim_index_hybrid` — hybrid retrieval served from BOTH
     * persisted indexes, recomputed from scratch: the lexical arm is the

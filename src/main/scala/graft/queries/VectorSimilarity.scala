@@ -409,6 +409,80 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the GROWN text index: built on the
+    * pre-ingest slice (doc_id < 250 — the standing boundary), then the
+    * rest appends retrain-free via [[graft.operators.TextIndex
+    * .appendBatch]]. Exact by construction (see the operator doc), so
+    * `text_index_incremental` shares `text_index_persist`'s oracle.
+    */
+  private def ensureTextIndexInc(s: SparkSession,
+      d: String): graft.operators.TextIndex.Names = {
+    import graft.operators.TextIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val n = TextIndex.names("tixi", fp)
+    cachedBuild(s"textidx|tixi|$fp") {
+      if (!TextIndex.exists(s, n)) {
+        val docs = Tables.documents(s, d)
+        TextIndex.build(docs.filter(col("doc_id") < 250), "doc_id", "text", n)
+        TextIndex.appendBatch(s, n,
+          docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
+  /** Build-once wrapper for the TOMBSTONED text index: full build, then
+    * the standing takedown set (doc_id % 10 = 3) deleted — the
+    * pre-compaction serving state `text_index_delete` verifies.
+    */
+  private def ensureTextIndexDel(s: SparkSession,
+      d: String): graft.operators.TextIndex.Names = {
+    import graft.operators.TextIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val n = TextIndex.names("tixd", fp)
+    cachedBuild(s"textidx|tixd|$fp") {
+      if (!s.catalog.tableExists(TextIndex.tombstoneTable(n))) {
+        val docs = Tables.documents(s, d)
+        if (!TextIndex.exists(s, n))
+          TextIndex.build(docs, "doc_id", "text", n)
+        val takedown = docs.filter(col("doc_id") % 10 === 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        TextIndex.delete(s, n, takedown)
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
+  /** Build-once wrapper for the COMPACTED text index: build → delete
+    * the standing takedown set → [[graft.operators.TextIndex.compact]]
+    * folds tombstones into the affected bucket partitions and refreshes
+    * the stats. Completion-marker gated (the tombstone table is gone
+    * after a successful fold, so its absence can't gate a rerun).
+    */
+  private def ensureTextIndexCom(s: SparkSession,
+      d: String): graft.operators.TextIndex.Names = {
+    import graft.operators.TextIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val n = TextIndex.names("tixc", fp)
+    val markT = s"tixc_done_$fp"
+    cachedBuild(s"textidx|tixc|$fp") {
+      if (!s.catalog.tableExists(markT)) {
+        val docs = Tables.documents(s, d)
+        if (!TextIndex.exists(s, n))
+          TextIndex.build(docs, "doc_id", "text", n)
+        val takedown = docs.filter(col("doc_id") % 10 === 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        TextIndex.delete(s, n, takedown)
+        TextIndex.compact(s, n)
+        graft.sources.Warehouse.writeTable(s.range(1).toDF("done"), markT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   /** Build-once wrapper for the COMPACTED index: build → delete the
     * same closed-form takedown set → [[graft.operators.IvfIndex
     * .compact]] folds the tombstones into a dynamic partition
@@ -808,7 +882,46 @@ private[queries] object VectorQueries {
           .select("ctx_pos", "doc_id", "n_tokens", "cum_tokens")
           .orderBy("ctx_pos")
       },
-      Some(ragContextSql)))
+      Some(ragContextSql)),
+
+    // Grow the TEXT index without rebuilding — and unlike the vector
+    // layouts' stale-quantizer growth, the append is EXACT: df
+    // aggregates at query time from the pruned slice (now including
+    // the new rows) and the stats fold is integer arithmetic, so the
+    // oracle is the SAME from-scratch corpus twin as
+    // text_index_persist's — the hash match proves grown ≡ rebuilt,
+    // the strongest possible incremental-maintenance statement.
+    Q("text_index_incremental",
+      (s, d) => {
+        val n = ensureTextIndexInc(s, d)
+        graft.operators.TextIndex.bm25(s, n, bm25Terms, limit = 25)
+      },
+      Some(bm25IndexSql)),
+
+    // Takedown on the text index: tombstoned docs stop RANKING
+    // immediately while df / corpus stats drift until compaction (the
+    // vector index's block-now/fold-later semantics). The oracle keeps
+    // the full-corpus statistics and filters only the final fold, so
+    // the hash match pins exactly that drift contract.
+    Q("text_index_delete",
+      (s, d) => {
+        val n = ensureTextIndexDel(s, d)
+        graft.operators.TextIndex.bm25(s, n, bm25Terms, limit = 25)
+      },
+      Some(bm25DeleteSql)),
+
+    // Compaction folds the tombstones physically (dynamic partition
+    // overwrite of only the affected buckets, emptied buckets dropped)
+    // AND statistically (stats deltas, df via the rewritten slice):
+    // afterwards the index serves EXACTLY the BM25 of the corpus minus
+    // the deleted docs — the oracle re-derives the whole chain from the
+    // filtered corpus, so the hash match proves the drift is repaid.
+    Q("text_index_compact",
+      (s, d) => {
+        val n = ensureTextIndexCom(s, d)
+        graft.operators.TextIndex.bm25(s, n, bm25Terms, limit = 25)
+      },
+      Some(bm25CompactSql)))
 
   /** The shared hybrid fusion: BM25 top-50 from the persisted text
     * index (doc 0 = the query slot, excluded from ranking) and exact-

@@ -97,6 +97,82 @@ class TextIndexSpec extends SparkSpec {
     assert(excl === (full - victim))
   }
 
+  test("appendBatch-grown index is byte-identical to a from-scratch build (exact growth)") {
+    val docs = Tables.documents(spark, sf)
+    val n2 = TextIndex.names("titest_inc", "spec")
+    TextIndex.build(docs.filter(col("doc_id") < 25), "doc_id", "text", n2)
+    TextIndex.appendBatch(spark, n2,
+      docs.filter(col("doc_id") >= 25), "doc_id", "text")
+    def posting(nm: TextIndex.Names) = spark.table(nm.postings)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[String]("term"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("tf"), r.getAs[Long]("dl")))
+      .toSet
+    assert(posting(n2) === posting(names))
+    val (sGrown, sFull) = (spark.table(n2.stats).collect().head,
+      spark.table(names.stats).collect().head)
+    assert((sGrown.getLong(0), sGrown.getLong(1)) ===
+      (sFull.getLong(0), sFull.getLong(1)))
+    // and the serving output is therefore identical too
+    assert(TextIndex.bm25(spark, n2, terms, 25).collect().toSeq ===
+      TextIndex.bm25(spark, names, terms, 25).collect().toSeq)
+  }
+
+  test("delete blocks ranking immediately; re-ingest clears the tombstone") {
+    val docs = Tables.documents(spark, sf)
+    val n3 = TextIndex.names("titest_del", "spec")
+    TextIndex.build(docs, "doc_id", "text", n3)
+    val full = TextIndex.bm25(spark, n3, terms, 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val victims = full.keys.toSeq.sorted.take(2)
+    TextIndex.delete(spark, n3, victims)
+    val after = TextIndex.bm25(spark, n3, terms, 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // victims gone, everyone else's score untouched (stats drift by
+    // design — the ranking exclusion is post-df)
+    assert(after === (full -- victims))
+    // re-ingesting one victim clears its tombstone: compact first would
+    // fold it, but a plain re-append must resurrect it
+    TextIndex.compact(spark, n3)
+    TextIndex.appendBatch(spark, n3,
+      docs.filter(col("doc_id") === victims.head), "doc_id", "text")
+    val back = TextIndex.bm25(spark, n3, terms, 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(back.contains(victims.head))
+    assert(!back.contains(victims(1)))
+  }
+
+  test("compact folds tombstones: serving equals a fresh build on the filtered corpus") {
+    val docs = Tables.documents(spark, sf)
+    val n4 = TextIndex.names("titest_cmp", "spec")
+    TextIndex.build(docs, "doc_id", "text", n4)
+    val takedown = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, n4, takedown)
+    TextIndex.compact(spark, n4)
+    assert(!spark.catalog.tableExists(TextIndex.tombstoneTable(n4)))
+    val fresh = TextIndex.names("titest_cmpf", "spec")
+    TextIndex.build(docs.filter(col("doc_id") % 10 =!= 3),
+      "doc_id", "text", fresh)
+    assert(TextIndex.bm25(spark, n4, terms, 1000).collect().toSeq ===
+      TextIndex.bm25(spark, fresh, terms, 1000).collect().toSeq)
+    val (sc, sf2) = (spark.table(n4.stats).collect().head,
+      spark.table(fresh.stats).collect().head)
+    assert((sc.getLong(0), sc.getLong(1)) === (sf2.getLong(0), sf2.getLong(1)))
+  }
+
+  test("compacting an entirely-deleted index drops every bucket and zeroes the stats") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val n5 = TextIndex.names("titest_all", "spec")
+    TextIndex.build(docs, "doc_id", "text", n5)
+    TextIndex.delete(spark, n5,
+      docs.select("doc_id").collect().map(_.getLong(0)).toSeq)
+    TextIndex.compact(spark, n5)
+    assert(spark.table(n5.postings).count() === 0L)
+    val st = spark.table(n5.stats).collect().head
+    assert((st.getLong(0), st.getLong(1)) === (0L, 0L))
+    assert(TextIndex.bm25(spark, n5, terms, 10).count() === 0L)
+  }
+
   test("stats table carries the corpus doc/token volume") {
     val st = spark.table(names.stats).collect().head
     val tok = Tables.documents(spark, sf)
