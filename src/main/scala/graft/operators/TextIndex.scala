@@ -67,22 +67,38 @@ object TextIndex {
     java.lang.Math.floorMod(c.getValue, buckets.toLong)
   }
 
+  /** Posting rows of `docs`: one row per (term, doc) with tf, the doc
+    * length denormalized, and the POSITIONS rendered as the
+    * [[Postings]] deterministic "p1|p2|…" string (ascending) — the
+    * positional payload that serves quoted-phrase queries from the
+    * same pruned scan BM25 uses. Shared by [[build]] and
+    * [[appendBatch]] so growth and build have one definition.
+    */
+  private def postingRows(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+    val tf = tok.groupBy("doc_id", "term").agg(
+      count(lit(1)).as("tf"),
+      expr("array_join(transform(array_sort(collect_list(pos)), x -> cast(x as string)), '|')")
+        .as("pos_list"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    (tf.join(dl, "doc_id")
+      .withColumn("bucket", bucketCol(col("term")))
+      .select("bucket", "term", "doc_id", "tf", "dl", "pos_list"),
+      dl)
+  }
+
   /** Build the persisted index from `docs` (idCol: bigint, textCol:
     * string): whitespace-tokenized (lower-cased) like every text_*
-    * catalog row. One shuffle on (doc, term) for tf, one on doc for dl,
-    * one doc-keyed join to denormalize — the one-time build cost; every
-    * [[bm25]] after it reads only pruned posting rows.
+    * catalog row. One shuffle on (doc, term) for tf+positions, one on
+    * doc for dl, one doc-keyed join to denormalize — the one-time build
+    * cost; every [[bm25]] / [[phrase]] after it reads only pruned
+    * posting rows.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, n: Names): Unit = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    Warehouse.writePartitioned(
-      tf.join(dl, "doc_id")
-        .withColumn("bucket", bucketCol(col("term")))
-        .select("bucket", "term", "doc_id", "tf", "dl"),
-      n.postings, "bucket")
+    val (rows, dl) = postingRows(docs, idCol, textCol)
+    Warehouse.writePartitioned(rows, n.postings, "bucket")
     Warehouse.writeTable(
       dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")),
       n.stats)
@@ -107,15 +123,8 @@ object TextIndex {
     */
   def appendBatch(spark: SparkSession, n: Names, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    Warehouse.appendInto(
-      tf.join(dl, "doc_id")
-        .withColumn("bucket", bucketCol(col("term")))
-        .select("bucket", "term", "doc_id", "tf", "dl"),
-      n.postings)
+    val (rows, dl) = postingRows(docs, idCol, textCol)
+    Warehouse.appendInto(rows, n.postings)
     val bstat = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("btot"))
     Warehouse.writeTable(
       spark.table(n.stats).crossJoin(bstat)
@@ -205,6 +214,39 @@ object TextIndex {
         .localCheckpoint(),
       n.stats)
     Warehouse.dropWithLocation(spark, tombT)
+  }
+
+  /** Positional phrase query served ENTIRELY from the persisted index —
+    * the quoted-query consumer ([[Postings.phraseMatches]] semantics)
+    * on the serving layout: the scan prunes to the phrase words'
+    * buckets, positions decode from the rendered `pos_list` strings
+    * (pure column ops), tombstoned docs are excluded, and successive
+    * words intersect on (doc, start) exactly like rarest-first
+    * posting-list merges. Returns (doc_id, pos) start positions.
+    */
+  def phrase(spark: SparkSession, n: Names, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "phrase must have at least one word")
+    val ph = words.map(_.toLowerCase(java.util.Locale.ROOT))
+    val bks = ph.distinct.map(bucketOf)
+    val slice0 = spark.table(n.postings)
+      .filter(col("bucket").isin(bks: _*) && col("term").isin(ph.distinct: _*))
+    val tombT = tombstoneTable(n)
+    val slice =
+      if (spark.catalog.tableExists(tombT))
+        slice0.join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_anti")
+      else slice0
+    val tok = slice
+      .select(col("doc_id"), col("term"),
+        explode(split(col("pos_list"), "\\|")).as("pos_s"))
+      .select(col("doc_id"), col("term"), col("pos_s").cast("long").as("pos"))
+    val first = tok.filter(col("term") === ph.head).select("doc_id", "pos")
+    ph.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
+      val next = tok.filter(col("term") === word)
+        .select(col("doc_id").as("d2"), (col("pos") - i).as("start"))
+      acc.join(next,
+          acc("doc_id") === next("d2") && acc("pos") === next("start"))
+        .select(acc("doc_id"), acc("pos"))
+    }
   }
 
   /** BM25 top-`limit` docs for `terms`, served ENTIRELY from the

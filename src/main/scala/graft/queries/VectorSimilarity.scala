@@ -921,7 +921,27 @@ private[queries] object VectorQueries {
         val n = ensureTextIndexCom(s, d)
         graft.operators.TextIndex.bm25(s, n, bm25Terms, limit = 25)
       },
-      Some(bm25CompactSql)))
+      Some(bm25CompactSql)),
+
+    // Quoted-phrase search from the PERSISTED index: the posting rows
+    // carry the positions ("p1|p2|…", the [[graft.operators.Postings]]
+    // rendering) as a payload, so phrase matching is the same pruned
+    // scan BM25 uses — positions decode with pure column ops and
+    // successive words intersect on (doc, start), never a corpus
+    // tokenization at query time (text_phrase_search's inline form pays
+    // that on every query; this is its serving layout). The oracle IS
+    // text_phrase_search's corpus twin, so the hash match proves
+    // index-served ≡ corpus-scan phrase matching.
+    Q("text_index_phrase",
+      (s, d) => {
+        val n = ensureTextIndex(s, d)
+        graft.operators.TextIndex.phrase(s, n, Seq("table", "part"))
+          .select(col("doc_id"), col("pos"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)) " +
+        "SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+        "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2")))
 
   /** The shared hybrid fusion: BM25 top-50 from the persisted text
     * index (doc 0 = the query slot, excluded from ranking) and exact-

@@ -105,7 +105,8 @@ class TextIndexSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 25), "doc_id", "text")
     def posting(nm: TextIndex.Names) = spark.table(nm.postings)
       .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[String]("term"),
-        r.getAs[Long]("doc_id"), r.getAs[Long]("tf"), r.getAs[Long]("dl")))
+        r.getAs[Long]("doc_id"), r.getAs[Long]("tf"), r.getAs[Long]("dl"),
+        r.getAs[String]("pos_list")))
       .toSet
     assert(posting(n2) === posting(names))
     val (sGrown, sFull) = (spark.table(n2.stats).collect().head,
@@ -171,6 +172,25 @@ class TextIndexSpec extends SparkSpec {
     val st = spark.table(n5.stats).collect().head
     assert((st.getLong(0), st.getLong(1)) === (0L, 0L))
     assert(TextIndex.bm25(spark, n5, terms, 10).count() === 0L)
+  }
+
+  test("index-served phrase search equals the corpus-scan matcher, and respects tombstones") {
+    val docs = Tables.documents(spark, sf)
+    val fromIndex = TextIndex.phrase(spark, names, Seq("table", "part"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromCorpus = Postings
+      .phraseMatches(docs, "doc_id", "text", Seq("table", "part"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(fromIndex === fromCorpus)
+    assert(fromIndex.nonEmpty)
+    // a tombstoned doc's matches vanish from the served results
+    val n6 = TextIndex.names("titest_ph", "spec")
+    TextIndex.build(docs, "doc_id", "text", n6)
+    val victim = fromIndex.map(_._1).min
+    TextIndex.delete(spark, n6, Seq(victim))
+    val after = TextIndex.phrase(spark, n6, Seq("table", "part"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === fromCorpus.filterNot(_._1 == victim))
   }
 
   test("stats table carries the corpus doc/token volume") {

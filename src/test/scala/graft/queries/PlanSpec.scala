@@ -153,6 +153,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("quality_nb").toLowerCase.contains("distinct"))
   }
 
+  test("text_index_phrase: quoted query serves from the pruned positional postings") {
+    val p = plan("text_index_phrase")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("tix_tpost"), p)
+    assert(!p.contains("documents.parquet"), p)
+    // the word-word intersection is an equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("rag_context_pack: corpus touched once via a pushed id point-read of the fused winners") {
     val p = plan("rag_context_pack")
     // retrieval already ran on the indexes (driver-side, bounded); the
