@@ -1010,6 +1010,14 @@ private[queries] object CatalogShared {
   lazy val bm25DeleteSql: String =
     bm25ServeSql(bm25CorpusCtes, "WHERE doc_id % 10 <> 3")
 
+  /** Twin of `stream_text_index` — the converged state of the text
+    * maintenance stream: full-corpus statistics (the grown index IS the
+    * full corpus — exact append), with the streamed takedown set
+    * (pre-boundary ids, doc_id % 10 = 3) excluded from ranking only.
+    */
+  lazy val bm25StreamMaintainSql: String =
+    bm25ServeSql(bm25CorpusCtes, "WHERE NOT (doc_id % 10 = 3 AND doc_id < 250)")
+
   /** Twin of `text_index_compact` — after the fold, the index serves
     * EXACTLY the BM25 of the corpus minus the deleted docs: the whole
     * chain (df, dl, n, tot) re-derives from the filtered corpus.

@@ -306,6 +306,29 @@ private[queries] object StreamingQueries {
       },
       Some(ivfStreamDeleteSql)),
 
+    // TEXT-index maintenance as a stream
+    // ([[graft.streaming.EventStream.drainTextMaintain]]) — the lexical
+    // twin of stream_index_delete, with a STRONGER convergence
+    // statement: text-index appends are EXACT (df aggregates at query
+    // time from the pruned slice, the stats fold is integer), so the
+    // post-drain BM25 equals the full-corpus build with only the
+    // streamed takedowns excluded from ranking — no stale-model term
+    // anywhere in the oracle, unlike the vector drains' stale
+    // coarse/codebook chains. Disjoint add/del sets keep batch order
+    // invisible.
+    Q("stream_text_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val takedown = docs
+          .filter(col("doc_id") % 10 === 3 && col("doc_id") < 250)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        graft.streaming.EventStream
+          .drainTextMaintain(s, docs, "doc_id", "text",
+            splitId = 250L, deleteIds = takedown,
+            terms = CatalogShared.bm25Terms, limit = 25)
+      },
+      Some(CatalogShared.bm25StreamMaintainSql)),
+
     // Streaming takedown on the QUANTIZED layout
     // ([[graft.streaming.EventStream.drainIndexMaintainPq]]) — the
     // stream_index_delete story against the index a 100 TB deployment

@@ -537,6 +537,65 @@ object EventStream {
     * is bit-identical to one batch scoring pass — which is what the
     * oracle computes. Parquet feed (exact text round-trip).
     */
+  /** TEXT-index maintenance as a micro-batch stream — the lexical twin
+    * of [[drainIndexMaintain]]: the index builds on the pre-boundary
+    * docs (< `splitId`), then ONE stream interleaves ingest events
+    * (docs ≥ splitId, carrying their text) with takedown events (ids
+    * below the boundary); each batch appends through
+    * [[graft.operators.TextIndex.appendBatch]] (EXACT growth — df
+    * aggregates at query time, so unlike the vector layouts there is
+    * no stale-model drift to price) or tombstones through
+    * [[graft.operators.TextIndex.delete]]. The post-drain
+    * [[graft.operators.TextIndex.bm25]] must rank the full grown corpus
+    * minus every streamed takedown. Disjoint add/del id sets keep
+    * batch order invisible (same rule as the vector drains), so the
+    * converged state has a closed form.
+    */
+  def drainTextMaintain(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, splitId: Long, deleteIds: Seq[Long],
+      terms: Seq[String], limit: Int, nFiles: Int = 3): DataFrame = {
+    import graft.operators.TextIndex
+    require(deleteIds.forall(_ < splitId),
+      "delete set must be disjoint from the streamed ingest ids " +
+        "(>= splitId) — overlapping sets would make the final state " +
+        "depend on micro-batch order")
+    val base = java.nio.file.Files.createTempDirectory("graft_txdl_")
+    val sfx = base.getFileName.toString.replace("graft_txdl_", "")
+    val n = TextIndex.names(s"txdl$sfx", "stream")
+    try {
+      TextIndex.build(docs.filter(col(idCol) < splitId), idCol, textCol, n)
+      val events = docs.filter(col(idCol) >= splitId)
+          .select(col(idCol), col(textCol), lit("add").as("op"))
+        .unionByName(docs.filter(col(idCol).isInCollection(deleteIds))
+          .select(col(idCol), col(textCol), lit("del").as("op")))
+      val feed = base.resolve("feed").toString
+      events.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val adds = b.filter(col("op") === "add").drop("op")
+          if (!adds.isEmpty)
+            TextIndex.appendBatch(spark, n, adds, idCol, textCol)
+          val ids = b.filter(col("op") === "del")
+            .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+          if (ids.nonEmpty) TextIndex.delete(spark, n, ids)
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      TextIndex.bm25(spark, n, terms, limit).localCheckpoint()
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.sources.Warehouse.dropWithLocation(spark, n.stats)
+      graft.sources.Warehouse.dropWithLocation(spark,
+        graft.operators.TextIndex.tombstoneTable(n))
+      graft.util.Paths.deleteRecursively(base)
+    }
+  }
+
   def drainNbScore(spark: SparkSession, docs: DataFrame,
       countsTable: String, scalarsTable: String,
       nFiles: Int = 3): DataFrame = {

@@ -343,6 +343,38 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamed TEXT-index maintenance (ingest + takedown) equals the batch apply") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextIndex
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("join", "vector", "stream")
+    val takedown = docs.filter(col("doc_id") % 10 === 3 && col("doc_id") < 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val streamed = EventStream.drainTextMaintain(spark, docs,
+      "doc_id", "text", splitId = 250L, deleteIds = takedown,
+      terms = terms, limit = 1000, nFiles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch twin: build on the old slice, ONE append, ONE delete —
+    // micro-batch boundaries invisible. And since text growth is EXACT,
+    // the batch twin itself equals a full build + delete.
+    val n = TextIndex.names("txstream", "tb")
+    try {
+      TextIndex.build(docs.filter(col("doc_id") < 250), "doc_id", "text", n)
+      TextIndex.appendBatch(spark, n, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+      TextIndex.delete(spark, n, takedown)
+      val batch = TextIndex.bm25(spark, n, terms, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._1).intersect(takedown).isEmpty)
+      assert(streamed.nonEmpty)
+    } finally {
+      graft.sources.Warehouse.dropWithLocation(spark, n.postings)
+      graft.sources.Warehouse.dropWithLocation(spark, n.stats)
+      graft.sources.Warehouse.dropWithLocation(spark, TextIndex.tombstoneTable(n))
+    }
+  }
+
   test("streamed QUANTIZED maintenance (ingest + takedown) equals the batch apply") {
     import org.apache.spark.sql.functions.col
     import graft.operators.IvfIndex
