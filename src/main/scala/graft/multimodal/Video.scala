@@ -270,6 +270,76 @@ object Video extends Serializable {
     * match proves encoder, container walk, plane slicing, and sampling
     * policy together.
     */
+  /** Per-frame luma sums of a PLANTED-CUT video, decoded through the
+    * real codec — the scene-segmentation fixture: doc k has
+    * nf = 6 + k%5 frames whose base luma is CONSTANT in t
+    * (Y = (k + 7x + 13y) % 64), plus a +128 boost on every pixel of
+    * frame t iff bit t of the doc id is set. Consecutive frames
+    * therefore differ by EXACTLY 0 or 128·w·h in their luma sums — a
+    * cut (threshold 64·w·h) fires precisely at the id's bit
+    * boundaries, so the scene structure is closed-form while the sums
+    * still travel through encode → decode byte-for-byte. U/V keep the
+    * t-varying pattern (scene detection must ignore chroma).
+    */
+  def syntheticY4mSceneFrames(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(
+      StructField(idCol, LongType) +:
+        Seq("t", "w", "h", "n_frames", "sum_y").map(StructField(_, LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val nf = (6 + id % 5).toInt
+        val payload = encodeY4m(w, h, nf, (t, x, y) => {
+          val boost = if (((id >> t) & 1L) == 1L) 128 else 0
+          (((id + 7 * x + 13 * y) % 64).toInt + boost,
+            ((2 * id + 11 * x + 3 * y + 19 * t) % 256).toInt,
+            ((3 * id + 5 * x + 17 * y + 23 * t) % 256).toInt)
+        })
+        val vid = decodeY4m(payload).getOrElse(
+          throw new IllegalStateException(s"round-trip decode failed for id $id"))
+        require(vid.frames.length == nf, s"decoded frame count for id $id")
+        vid.frames.iterator.zipWithIndex.map { case (f, t) =>
+          var sy = 0L
+          var i = 0
+          while (i < f.y.length) { sy += f.y(i) & 0xff; i += 1 }
+          Row(id, t.toLong, w.toLong, h.toLong, nf.toLong, sy)
+        }
+      }
+    }(enc)
+  }
+
+  /** Scene-cut segmentation from per-frame luma sums — the shot-boundary
+    * detector every video curation pipeline runs before per-shot frame
+    * sampling: a cut fires where consecutive frames' luma sums differ by
+    * ≥ 64·w·h (half the planted boost — pure integer compare), scenes
+    * are the maximal cut-free runs. Input must carry (idCol, t, w, h,
+    * sum_y); any other columns are ignored. Scale shape: the lag/cumsum
+    * windows partition PER VIDEO (≤ frame-count rows each — the
+    * pagination-safe bounded-window form), then one hash agg rolls the
+    * runs up. Returns (idCol, scene_no, start_t, end_t, n_frames).
+    */
+  def scenesFromLuma(frames: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("t"))
+    frames
+      .withColumn("__prev", lag(col("sum_y"), 1).over(wOrd))
+      .withColumn("__cut",
+        when(col("__prev").isNull, lit(0L))
+          .when(abs(col("sum_y") - col("__prev")) >=
+            lit(64L) * col("w") * col("h"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("scene_no", sum(col("__cut")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("scene_no"))
+      .agg(min(col("t")).as("start_t"), max(col("t")).as("end_t"),
+        count(lit(1)).as("n_frames"))
+  }
+
   def syntheticY4mFrameStats(df: DataFrame, idCol: String, k: Int = 4): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val outSchema = StructType(

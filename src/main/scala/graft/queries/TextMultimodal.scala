@@ -1024,6 +1024,36 @@ private[queries] object TextMultimodalQueries {
         "CAST(sum((x + w*y) * py) AS BIGINT) AS wsum_y " +
         "FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no")),
 
+    // Scene-cut segmentation over the REAL codec ([[graft.multimodal
+    // .Video.scenesFromLuma]]) — the shot-boundary step a video
+    // curation pipeline runs before per-shot frame sampling: the
+    // fixture plants cuts at the doc id's BIT boundaries (+128 luma on
+    // frame t iff bit t set, base luma constant in t, so consecutive
+    // frames' sums differ by exactly 0 or 128·w·h through the
+    // encode→decode round trip), detection is a pure integer compare
+    // (threshold 64·w·h), and scenes roll up as maximal cut-free runs.
+    // The oracle recomputes the per-frame sums pixel-by-pixel from the
+    // closed form and runs the identical lag/cumsum chain — a hash
+    // match proves codec, luma reduction, cut rule and run assembly
+    // together. Windows partition PER VIDEO (≤10 rows each).
+    Q("mm_video_scenes",
+      (s, d) => graft.multimodal.Video.scenesFromLuma(
+          graft.multimodal.Video.syntheticY4mSceneFrames(
+            Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+            "doc_id"),
+          "doc_id")
+        .orderBy("doc_id", "scene_no"),
+      Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, 6 + doc_id % 5 AS nf FROM documents WHERE doc_id < 100), " +
+        "fr AS (SELECT doc_id, w, h, nf, t FROM d, LATERAL unnest(generate_series(0, nf - 1)) AS a(t)), " +
+        "px AS (SELECT doc_id, t, w, h, ((doc_id + 7*x + 13*y) % 64) + 128 * ((doc_id >> t) & 1) AS py " +
+        "FROM fr, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "fs AS (SELECT doc_id, t, w, h, CAST(SUM(py) AS BIGINT) AS sum_y FROM px GROUP BY doc_id, t, w, h), " +
+        "ch AS (SELECT doc_id, t, CASE WHEN lag(sum_y) OVER (PARTITION BY doc_id ORDER BY t) IS NULL THEN 0 " +
+        "WHEN abs(sum_y - lag(sum_y) OVER (PARTITION BY doc_id ORDER BY t)) >= 64*w*h THEN 1 ELSE 0 END AS cut FROM fs), " +
+        "sc AS (SELECT doc_id, t, CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_no FROM ch) " +
+        "SELECT doc_id, scene_no, CAST(MIN(t) AS BIGINT) AS start_t, CAST(MAX(t) AS BIGINT) AS end_t, CAST(count(*) AS BIGINT) AS n_frames " +
+        "FROM sc GROUP BY doc_id, scene_no ORDER BY doc_id, scene_no")),
+
     // Video fingerprint over the REAL codec ([[graft.multimodal.Video
     // .vHash16]]): 4 sampled frames × 4 quadrants, bit = cell mean luma
     // strictly above the video mean by 128-bit integer cross-multiply.

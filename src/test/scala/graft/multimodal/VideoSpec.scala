@@ -142,4 +142,35 @@ class VideoSpec extends SparkSpec {
       }
     }
   }
+
+  test("scene segmentation recovers the planted bit-run structure through the codec") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val scenes = Video.scenesFromLuma(
+        Video.syntheticY4mSceneFrames(ids, "doc_id"), "doc_id")
+      .orderBy("doc_id", "scene_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // closed-form reference: scenes = maximal runs of equal id bits
+    (0L until 40L).foreach { id =>
+      val nf = (6 + id % 5).toInt
+      val bits = (0 until nf).map(t => (id >> t) & 1L)
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = 0
+      (1 until nf).foreach { t =>
+        if (bits(t) != bits(t - 1)) { expected += ((start.toLong, t - 1L)); start = t }
+      }
+      expected += ((start.toLong, nf - 1L))
+      val got = scenes.filter(_._1 == id).sortBy(_._2)
+        .map(s => (s._3, s._4)).toSeq
+      assert(got === expected.toSeq, s"id=$id bits=$bits")
+      // per-scene frame counts partition the video exactly
+      assert(scenes.filter(_._1 == id).map(_._5).sum === nf.toLong)
+    }
+    // hand-check id 5 (bits 1,0,1,0,0,0): scenes [0,0][1,1][2,2][3,5]
+    assert(scenes.filter(_._1 == 5L).map(s => (s._3, s._4)).toSeq ===
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 5L)))
+  }
 }
