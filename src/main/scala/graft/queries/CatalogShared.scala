@@ -399,6 +399,30 @@ private[queries] object CatalogShared {
       "ORDER BY dot_product(p.embedding, q.qv) / sqrt(dot_product(p.embedding, p.embedding)) DESC, p.vec_id " +
       "LIMIT 10"
 
+  /** The persisted TEXT index on the SQL front end: one Spark SQL
+    * statement a SQL-only user runs — pruned posting slice (the bucket
+    * literals come from [[graft.operators.TextIndex.bucketOf]], the
+    * same numbers any client library would inline), slice-local exact
+    * df, the 1-row stats cross join, and the bit-portable BM25 tree
+    * with explicit `D` suffixes (a bare `0.5` parses as DECIMAL in
+    * Spark SQL and would change every rounding step). Must reproduce
+    * [[graft.operators.TextIndex.bm25]]'s exact IEEE tree so the row
+    * hash-matches the same corpus oracle.
+    */
+  def sqlTextSearch(postT: String, statsT: String): String = {
+    val bks = bm25Terms.map(graft.operators.TextIndex.bucketOf).distinct
+    s"WITH p AS (SELECT term, doc_id, tf, dl FROM $postT " +
+      s"WHERE bucket IN (${bks.mkString(", ")}) " +
+      s"AND term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})), " +
+      "d AS (SELECT term, CAST(count(DISTINCT doc_id) AS LONG) AS df FROM p GROUP BY term), " +
+      s"s AS (SELECT n, tot FROM $statsT), " +
+      "sc AS (SELECT doc_id, CAST(floor((n - df + 0.5D) / (df + 0.5D) * (tf * 2.25D) / " +
+      "(tf + 1.25D * (0.25D + 0.75D * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n))) * 1000000.0D + 0.5D) AS LONG) AS score_u " +
+      "FROM p JOIN d USING (term) CROSS JOIN s) " +
+      "SELECT doc_id, sum(score_u) AS score_u, count(1) AS n_terms " +
+      "FROM sc GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+  }
+
   /** Twin of `sim_index_pq` ([[graft.operators.IvfIndex.searchPq]]) —
     * the QUANTIZED persisted index: same coarse model ([[ivfModelCtes]])
     * and PQ chains as the inline IVF-PQ twin, but the output carries

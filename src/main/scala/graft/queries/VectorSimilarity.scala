@@ -923,6 +923,21 @@ private[queries] object VectorQueries {
       },
       Some(bm25CompactSql)),
 
+    // S11: the persisted TEXT index on the SQL front end — one
+    // spark.sql statement composes the bucket-pruned posting slice,
+    // slice-local exact df, the broadcast stats row and the
+    // bit-portable BM25 tree: a SQL-only user searches the text index
+    // with zero Scala (the s9_sql_index_search story for the lexical
+    // arm). Same tix tables as text_index_persist (read-only after the
+    // serialized build); the oracle is the standing corpus twin, so
+    // the hash match proves SQL ≡ TextIndex.bm25.
+    Q("s11_sql_text_search",
+      (s, d) => {
+        val n = ensureTextIndex(s, d)
+        s.sql(sqlTextSearch(n.postings, n.stats))
+      },
+      Some(bm25IndexSql)),
+
     // Quoted-phrase search from the PERSISTED index: the posting rows
     // carry the positions ("p1|p2|…", the [[graft.operators.Postings]]
     // rendering) as a payload, so phrase matching is the same pruned

@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("quality_nb").toLowerCase.contains("distinct"))
   }
 
+  test("s11_sql_text_search: SQL BM25 prunes the posting scan and equals TextIndex.bm25 row for row") {
+    val p = plan("s11_sql_text_search")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("tix_tpost"), p)
+    assert(!p.contains("documents.parquet"), p)
+    val viaSql = SparkEntry.queries("s11_sql_text_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = SparkEntry.queries("text_index_persist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi)
+  }
+
   test("text_index_phrase: quoted query serves from the pruned positional postings") {
     val p = plan("text_index_phrase")
     assert(p.contains("PartitionFilters"), p)
