@@ -99,8 +99,12 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, n: Names): Unit = {
     val (rows, dl) = postingRows(docs, idCol, textCol)
     Warehouse.writePartitioned(rows, n.postings, "bucket")
+    // coalesce: SUM over zero rows is null — an empty build (and, more
+    // realistically, an empty appendBatch: the no-new-docs night) must
+    // write 0, or every later stats fold null-poisons n/tot
     Warehouse.writeTable(
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")),
+      dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot")),
       n.stats)
   }
 
@@ -125,7 +129,9 @@ object TextIndex {
       idCol: String, textCol: String): Unit = {
     val (rows, dl) = postingRows(docs, idCol, textCol)
     Warehouse.appendInto(rows, n.postings)
-    val bstat = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("btot"))
+    // coalesce: see build — an empty batch must fold +0, not null
+    val bstat = dl.agg(count(lit(1)).as("bn"),
+      coalesce(sum(col("dl")), lit(0L)).as("btot"))
     Warehouse.writeTable(
       spark.table(n.stats).crossJoin(bstat)
         .select((col("n") + col("bn")).as("n"),

@@ -193,6 +193,23 @@ class TextIndexSpec extends SparkSpec {
     assert(after === fromCorpus.filterNot(_._1 == victim))
   }
 
+  test("an empty appendBatch (the no-new-docs night) leaves the index and stats untouched") {
+    val docs = Tables.documents(spark, sf)
+    val n7 = TextIndex.names("titest_emp", "spec")
+    TextIndex.build(docs, "doc_id", "text", n7)
+    val before = (spark.table(n7.postings).count(),
+      spark.table(n7.stats).collect().head.toSeq)
+    TextIndex.appendBatch(spark, n7,
+      docs.filter(col("doc_id") < 0), "doc_id", "text")
+    val after = (spark.table(n7.postings).count(),
+      spark.table(n7.stats).collect().head.toSeq)
+    // the stats fold must add exactly 0 — a null SUM here would poison
+    // n/tot and silently break every later BM25 normalization
+    assert(after === before)
+    assert(TextIndex.bm25(spark, n7, terms, 25).collect().toSeq ===
+      TextIndex.bm25(spark, names, terms, 25).collect().toSeq)
+  }
+
   test("stats table carries the corpus doc/token volume") {
     val st = spark.table(names.stats).collect().head
     val tok = Tables.documents(spark, sf)
