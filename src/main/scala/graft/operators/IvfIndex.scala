@@ -54,6 +54,9 @@ object IvfIndex {
       payloadCols: Seq[String] = Nil): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a rebuild-by-name must not inherit a previous index's tombstones
+    // (they would silently exclude re-indexed vectors from every read)
+    Warehouse.dropWithLocation(spark, tombstoneTable(n))
     val cents = Ivf.train(emb, idCol, vecCol, k = k, iters = iters)
     Warehouse.writeTable(
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cid", "c"),
@@ -451,6 +454,8 @@ object IvfIndex {
       payloadCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // same stale-tombstone guard as the flat [[build]]
+    Warehouse.dropWithLocation(spark, tombstoneTable(n))
     val cents = coarseModel.getOrElse(
       Ivf.train(emb, idCol, vecCol, k = k, iters = iters))
     val cbs = books.getOrElse(

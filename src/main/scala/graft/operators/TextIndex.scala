@@ -18,6 +18,16 @@ import graft.sources.Warehouse
   *    bucket. A query's terms map to ≤|terms| buckets, so the scan is
   *    partition-PRUNED exactly like the IVF probe, and the `term IN`
   *    predicate pushes to the surviving files' row groups.
+  *    Rows inside each bucket are TERM-CLUSTERED at write time
+  *    (`sortWithinPartitions(term, doc_id)` at build/append/compact),
+  *    so every row group's min/max envelope on `term` is a tight
+  *    range and the pushed predicate SKIPS the row groups that don't
+  *    hold the query term — per-term cost is O(df(term)), not
+  *    O(bucket) = O(corpus/32). `buckets` is therefore a pure
+  *    PARALLELISM parameter (probe fan-out), not a capacity constant:
+  *    per-bucket volume grows with the corpus, but the term-sorted
+  *    layout keeps the scanned slice df-proportional at any bucket
+  *    size (TextIndexSpec measures the skip on scan metrics).
   *  - stats: one row (n_docs, total_len) — the broadcast scalars BM25's
   *    length normalization needs.
   *
@@ -97,8 +107,13 @@ object TextIndex {
     * posting rows.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, n: Names): Unit = {
+    // a rebuild under a name that previously deleted must not inherit
+    // the old index's tombstones — they would silently exclude
+    // re-indexed docs from every bm25/phrase after the rebuild
+    Warehouse.dropWithLocation(docs.sparkSession, tombstoneTable(n))
     val (rows, dl) = postingRows(docs, idCol, textCol)
-    Warehouse.writePartitioned(rows, n.postings, "bucket")
+    Warehouse.writePartitioned(rows, n.postings, "bucket",
+      sortCols = Seq("term", "doc_id"))
     // coalesce: SUM over zero rows is null — an empty build (and, more
     // realistically, an empty appendBatch: the no-new-docs night) must
     // write 0, or every later stats fold null-poisons n/tot
@@ -128,7 +143,7 @@ object TextIndex {
   def appendBatch(spark: SparkSession, n: Names, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
     val (rows, dl) = postingRows(docs, idCol, textCol)
-    Warehouse.appendInto(rows, n.postings)
+    Warehouse.appendInto(rows, n.postings, sortCols = Seq("term", "doc_id"))
     // coalesce: see build — an empty batch must fold +0, not null
     val bstat = dl.agg(count(lit(1)).as("bn"),
       coalesce(sum(col("dl")), lit(0L)).as("btot"))
@@ -202,6 +217,7 @@ object TextIndex {
       try survivors
         .select(post.columns.map(col).toSeq: _*)
         .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
         .write.mode("overwrite")
         .insertInto(n.postings)
       finally spark.conf.set(modeKey, prevMode)
@@ -271,9 +287,13 @@ object TextIndex {
   def bm25(spark: SparkSession, n: Names, terms: Seq[String],
       limit: Int, excludeId: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val bks = terms.map(bucketOf).distinct
+    // the index lowercases at build (postingRows) — normalize query
+    // terms to the indexed form or a mixed-case term silently hashes
+    // to the wrong bucket AND misses the term IN predicate
+    val qts = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val bks = qts.map(bucketOf).distinct
     val slice0 = spark.table(n.postings)
-      .filter(col("bucket").isin(bks: _*) && col("term").isin(terms: _*))
+      .filter(col("bucket").isin(bks: _*) && col("term").isin(qts: _*))
     val dfq = slice0.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     // ranking exclusions (query-doc slot, tombstones) apply AFTER the
     // df aggregation: blocked docs stop ranking immediately, the corpus

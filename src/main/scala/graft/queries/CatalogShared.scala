@@ -411,9 +411,13 @@ private[queries] object CatalogShared {
     */
   def sqlTextSearch(postT: String, statsT: String): String = {
     val bks = bm25Terms.map(graft.operators.TextIndex.bucketOf).distinct
+    // SQL-escape the term literals (doubled quotes): the fixed
+    // bm25Terms are safe as-is, but this helper is the template a
+    // client library would reuse with arbitrary user terms
+    def q(t: String) = s"'${t.replace("'", "''")}'"
     s"WITH p AS (SELECT term, doc_id, tf, dl FROM $postT " +
       s"WHERE bucket IN (${bks.mkString(", ")}) " +
-      s"AND term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})), " +
+      s"AND term IN (${bm25Terms.map(q).mkString(", ")})), " +
       "d AS (SELECT term, CAST(count(DISTINCT doc_id) AS LONG) AS df FROM p GROUP BY term), " +
       s"s AS (SELECT n, tot FROM $statsT), " +
       "sc AS (SELECT doc_id, CAST(floor((n - df + 0.5D) / (df + 0.5D) * (tf * 2.25D) / " +

@@ -420,12 +420,20 @@ private[queries] object VectorQueries {
     import graft.operators.TextIndex
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
     val n = TextIndex.names("tixi", fp)
+    // COMPLETION marker, not TextIndex.exists: a JVM that died between
+    // build and appendBatch leaves exists=true with the >= 250 slice
+    // missing — indistinguishable from a finished grow — so gating on
+    // exists would serve the partial index forever. The marker lands
+    // only after the append; any partial state re-runs the chain
+    // (build drops the old tables, so the re-run is from-scratch clean).
+    val markT = s"tixi_done_$fp"
     cachedBuild(s"textidx|tixi|$fp") {
-      if (!TextIndex.exists(s, n)) {
+      if (!s.catalog.tableExists(markT)) {
         val docs = Tables.documents(s, d)
         TextIndex.build(docs.filter(col("doc_id") < 250), "doc_id", "text", n)
         TextIndex.appendBatch(s, n,
           docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        graft.sources.Warehouse.writeTable(s.range(1).toDF("done"), markT)
       }
       java.lang.Boolean.TRUE
     }

@@ -47,11 +47,33 @@ object Warehouse {
     * 391-cell index's files for one aggregate), with it each value's
     * rows co-locate and the layout lands ~one file per partition value.
     */
-  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+  def writePartitioned(df: DataFrame, table: String, partCol: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
     dropWithLocation(df.sparkSession, table)
-    df.repartition(org.apache.spark.sql.functions.col(partCol))
+    sorted(df.repartition(col(partCol)), partCol :: Nil, sortCols)
       .write.format("parquet").partitionBy(partCol).saveAsTable(table)
     refresh(df.sparkSession, table)
+  }
+
+  /** Cluster rows inside each write task by `sortCols` — the row-group
+    * data-skipping lever: a pushed equality/IN predicate on a sort
+    * column skips every row group whose min/max envelope excludes the
+    * literal, turning an O(partition) scan into O(matching rows). The
+    * same `sortWithinPartitions` the Z-order layout uses
+    * ([[graft.functions.Layout]]), applied to the persisted serving
+    * layouts (the text index clusters each term bucket by term).
+    *
+    * The partition column(s) LEAD the sort: FileFormatWriter requires
+    * its output ordered by the partition columns and would otherwise
+    * insert its own partition-only sort — an UNSTABLE sort that
+    * scrambles the clustering this method just paid for.
+    */
+  private def sorted(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (sortCols.isEmpty) df
+    else df.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
   }
 
   /** Write `df` as a plain (unpartitioned) parquet managed table —
@@ -74,7 +96,8 @@ object Warehouse {
     * touches, and nightly appends re-degrade the layout the
     * partitioned write just paid to establish.
     */
-  def appendInto(df: DataFrame, table: String): Unit = {
+  def appendInto(df: DataFrame, table: String,
+      sortCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val cols = spark.table(table).columns
@@ -86,7 +109,7 @@ object Warehouse {
     val placed =
       if (partCols.isEmpty) reordered
       else reordered.repartition(partCols.map(col).toSeq: _*)
-    placed.write.insertInto(table)
+    sorted(placed, partCols, sortCols).write.insertInto(table)
     refresh(spark, table)
   }
 

@@ -210,6 +210,92 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25(spark, names, terms, 25).collect().toSeq)
   }
 
+  test("bm25 normalizes query-term case to the indexed (lowercased) form") {
+    val mixed = TextIndex.bm25(spark, names, Seq("Join", "VECTOR", "Stream"),
+      limit = 25).collect().toSeq
+    val lower = TextIndex.bm25(spark, names, terms, limit = 25)
+      .collect().toSeq
+    assert(mixed === lower)
+    assert(mixed.nonEmpty)
+  }
+
+  test("rebuilding under a name that previously deleted drops the stale tombstones") {
+    val docs = Tables.documents(spark, sf)
+    val n8 = TextIndex.names("titest_reb", "spec")
+    TextIndex.build(docs, "doc_id", "text", n8)
+    val victims = TextIndex.bm25(spark, n8, terms, 5)
+      .collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, n8, victims)
+    // the rebuild re-indexes everything — the old index's tombstones
+    // must not survive to silently exclude the re-indexed docs
+    TextIndex.build(docs, "doc_id", "text", n8)
+    assert(!spark.catalog.tableExists(TextIndex.tombstoneTable(n8)))
+    assert(TextIndex.bm25(spark, n8, terms, 25).collect().toSeq ===
+      TextIndex.bm25(spark, names, terms, 25).collect().toSeq)
+  }
+
+  test("term-clustered buckets SKIP row groups: a term's scan cost is O(df), not O(bucket)") {
+    // The LayoutSpec z-order methodology applied to the serving layout:
+    // the same posting rows written term-clustered (the build layout)
+    // vs doc-clustered (term-scattered — the pre-clustering layout's
+    // effective order), row groups forced small so each bucket file
+    // holds many min/max envelopes, then ONE term's pruned query
+    // measured on the scan's own numOutputRows — rows the parquet
+    // reader actually surfaced after row-group/page pruning.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    val oldDict = Option(hc.get("parquet.enable.dictionary"))
+    hc.set("parquet.block.size", "8192")
+    hc.set("parquet.enable.dictionary", "false")
+    try {
+      // 8192 docs × 16 terms over a 2048-term vocabulary → each bucket
+      // holds ~4096 postings of ~64 distinct terms; each term appears
+      // in exactly 64 docs (df = 64 ≈ 1.6% of its bucket)
+      val docs = spark.range(8192).select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(0, 15), " +
+          "j -> concat('term', lpad(cast((id * 16 + j) % 2048 as string), 4, '0'))), ' ')")
+          .as("text"))
+      val clustered = TextIndex.names("tiskip_s", "spec")
+      TextIndex.build(docs, "doc_id", "text", clustered)
+      // the scattered twin: identical rows, identical bucketing, sorted
+      // by doc_id inside each bucket instead of term
+      graft.sources.Warehouse.writePartitioned(
+        spark.table(clustered.postings)
+          .select("term", "doc_id", "tf", "dl", "pos_list", "bucket"),
+        "tiskip_u_post", "bucket", sortCols = Seq("doc_id"))
+      def surfaced(table: String): Long = {
+        val t = "term0042"
+        val df = spark.table(table)
+          .filter(col("bucket") === TextIndex.bucketOf(t) && col("term") === t)
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+        assert(scans.head.metadata("PushedFilters").contains("EqualTo(term,"),
+          scans.head.metadata("PushedFilters"))
+        scans.map(_.metrics("numOutputRows").value).sum
+      }
+      val scattered = surfaced("tiskip_u_post")
+      val sorted = surfaced(clustered.postings)
+      // scattered: the term is in every row group → the whole ~4096-row
+      // bucket surfaces; clustered: only the row groups holding the
+      // term's 64 postings survive the pushed min/max check
+      assert(scattered >= 3000L,
+        s"doc-clustered layout unexpectedly skipped: $scattered")
+      assert(sorted * 4 <= scattered,
+        s"term-clustered read $sorted rows vs doc-clustered $scattered")
+    } finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
+      oldDict.fold(hc.unset("parquet.enable.dictionary"))(hc.set("parquet.enable.dictionary", _))
+    }
+  }
+
   test("stats table carries the corpus doc/token volume") {
     val st = spark.table(names.stats).collect().head
     val tok = Tables.documents(spark, sf)
