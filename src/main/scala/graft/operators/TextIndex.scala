@@ -106,12 +106,22 @@ object TextIndex {
     * cost; every [[bm25]] / [[phrase]] after it reads only pruned
     * posting rows.
     */
-  def build(docs: DataFrame, idCol: String, textCol: String, n: Names): Unit = {
+  def build(docs: DataFrame, idCol: String, textCol: String, n: Names,
+      payloadCols: Seq[String] = Nil): Unit = {
     // a rebuild under a name that previously deleted must not inherit
     // the old index's tombstones — they would silently exclude
     // re-indexed docs from every bm25/phrase after the rebuild
     Warehouse.dropWithLocation(docs.sparkSession, tombstoneTable(n))
-    val (rows, dl) = postingRows(docs, idCol, textCol)
+    val (rows0, dl) = postingRows(docs, idCol, textCol)
+    // payload columns DENORMALIZE into the posting rows (the IvfIndex
+    // payload design): metadata a FILTERED bm25 predicates on must live
+    // IN the index — joining a corpus-sized side table per query would
+    // defeat the pruned scan
+    val rows =
+      if (payloadCols.isEmpty) rows0
+      else rows0.join(
+        docs.select((col(idCol).as("doc_id") +: payloadCols.map(col)): _*),
+        "doc_id")
     Warehouse.writePartitioned(rows, n.postings, "bucket",
       sortCols = Seq("term", "doc_id"))
     // coalesce: SUM over zero rows is null — an empty build (and, more
@@ -142,7 +152,19 @@ object TextIndex {
     */
   def appendBatch(spark: SparkSession, n: Names, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val (rows, dl) = postingRows(docs, idCol, textCol)
+    val (rows0, dl) = postingRows(docs, idCol, textCol)
+    // a payload-built index grows like a bare one — the batch just has
+    // to carry the payload columns (the IvfIndex.appendBatch contract)
+    val payloadCols = spark.table(n.postings).columns
+      .filterNot(Set("bucket", "term", "doc_id", "tf", "dl", "pos_list"))
+    val missing = payloadCols.filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing index payload column(s) ${missing.mkString(", ")}")
+    val rows =
+      if (payloadCols.isEmpty) rows0
+      else rows0.join(
+        docs.select((col(idCol).as("doc_id") +: payloadCols.map(col).toSeq): _*),
+        "doc_id")
     Warehouse.appendInto(rows, n.postings, sortCols = Seq("term", "doc_id"))
     // coalesce: see build — an empty batch must fold +0, not null
     val bstat = dl.agg(count(lit(1)).as("bn"),
@@ -283,9 +305,18 @@ object TextIndex {
     * [[IvfIndex.search]] convention) — it still contributes to df and
     * the corpus stats, so every other doc's score is byte-identical to
     * the unexcluded search's.
+    *
+    * `payloadFilter` predicates on payload columns the index was built
+    * with ([[build]]'s payloadCols) — the filtered-retrieval face. It
+    * rides the SAME pruned posting scan (pushed to the surviving
+    * files' row groups, never a side-table join per query) and gates
+    * RANKING only: like excludeId and tombstones, filtered-out docs
+    * still contribute to df and the corpus stats, so a doc's score is
+    * identical under any predicate that keeps it.
     */
   def bm25(spark: SparkSession, n: Names, terms: Seq[String],
-      limit: Int, excludeId: Option[Long] = None): DataFrame = {
+      limit: Int, excludeId: Option[Long] = None,
+      payloadFilter: Column = lit(true)): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     // the index lowercases at build (postingRows) — normalize query
     // terms to the indexed form or a mixed-case term silently hashes
@@ -299,6 +330,7 @@ object TextIndex {
     // df aggregation: blocked docs stop ranking immediately, the corpus
     // statistics drift until compact() folds them (see [[delete]])
     val afterExcl = excludeId.fold(slice0)(id => slice0.filter(col("doc_id") =!= id))
+      .filter(payloadFilter)
     val tombT = tombstoneTable(n)
     val slice =
       if (spark.catalog.tableExists(tombT))

@@ -1068,24 +1068,47 @@ private[queries] object CatalogShared {
     s"WITH $hybridFusedCtes " +
       "SELECT doc_id, has_text, has_vec FROM fus ORDER BY rrf DESC, doc_id LIMIT 10"
 
+  /** Twin of `sim_index_hybrid_filtered` — the fused retrieval with the
+    * payload predicate (label ≤ 3) pushed into BOTH arms: the vector
+    * arm gates its probed candidates (the [[ivfFilteredAnnSql]] join),
+    * the text arm gates its posting rows at the score fold (the
+    * [[graft.operators.TextIndex.bm25]] payloadFilter contract —
+    * RANKING exclusion only; df and corpus stats stay corpus-wide, so
+    * a kept doc's score is identical to the unfiltered search's).
+    * Fusion itself is unchanged.
+    */
+  lazy val hybridIndexRrfFilteredSql: String =
+    "WITH " + hybridFusedCtesFiltered(
+      " JOIN lab lv ON lv.vec_id = a.vec_id AND lv.label <= 3",
+      " JOIN lab lt ON lt.vec_id = scq.doc_id AND lt.label <= 3") + " " +
+      "SELECT doc_id, has_text, has_vec FROM fus ORDER BY rrf DESC, doc_id LIMIT 10"
+
   /** The shared fusion CTE chain: both arms' ranked top-50 lists and the
     * `fus` CTE (doc_id, has_text, has_vec, rrf). Consumed by
     * [[hybridIndexRrfSql]] (provenance view) and [[ragContextSql]]
     * (budgeted context packing over the fused top-10).
     */
-  lazy val hybridFusedCtes: String = {
+  lazy val hybridFusedCtes: String = hybridFusedCtesFiltered("", "")
+
+  /** [[hybridFusedCtes]] with per-arm payload-filter hooks: `finJoin`
+    * appends to the vector arm's probed-candidate CTE, `bsumJoin` to
+    * the text arm's per-doc score fold. A `lab` CTE (vec_id, label) is
+    * always in scope for both hooks.
+    */
+  def hybridFusedCtesFiltered(finJoin: String, bsumJoin: String): String = {
     def dotL = ivfDotL _
     val probeScore =
       s"-((${dotL("q.qv", "q.qv")} - 2 * ${dotL("c.c", "q.qv")}) + ${dotL("c.c", "c.c")})"
     ivfModelCtes + ", " +
+      "lab AS (SELECT vec_id, label FROM embeddings), " +
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
       s"pr AS (SELECT cid FROM (SELECT c.cid, $probeScore AS s FROM c2 c, q) ORDER BY s DESC, cid LIMIT 2), " +
-      "fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid WHERE a.vec_id <> 0), " +
+      s"fin AS (SELECT a.vec_id, a.v FROM asg3 a JOIN pr ON a.cid = pr.cid$finJoin WHERE a.vec_id <> 0), " +
       s"ds AS (SELECT f.vec_id, ${dotL("f.v", "q.qv")} AS dot, ${dotL("f.v", "f.v")} AS nx FROM fin f, q), " +
       "vtop AS (SELECT vec_id, dot / sqrt(nx) AS s FROM ds ORDER BY s DESC, vec_id LIMIT 50), " +
       "vr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rv FROM vtop), " +
       s"$bm25CorpusCtes, " +
-      "bsum AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM scq WHERE doc_id <> 0 GROUP BY doc_id), " +
+      s"bsum AS (SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u FROM scq$bsumJoin WHERE doc_id <> 0 GROUP BY doc_id), " +
       "btop AS (SELECT doc_id, score_u FROM bsum ORDER BY score_u DESC, doc_id LIMIT 50), " +
       "tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rt FROM btop), " +
       "fus AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +

@@ -409,6 +409,32 @@ private[queries] object VectorQueries {
     n
   }
 
+  /** Build-once wrapper for the PAYLOAD-carrying text index (the
+    * filtered-retrieval face): each posting row denormalizes the doc's
+    * `label` (from the embeddings table — doc_id and vec_id share the
+    * corpus id space), so a filtered bm25 predicates on the pruned
+    * posting scan itself, never a side-table join per query. Docs
+    * without a vector carry a null label (left join) and are dropped
+    * by any payload predicate — the ranking-exclusion contract.
+    */
+  private def ensureFilteredTextIndex(s: SparkSession,
+      d: String): graft.operators.TextIndex.Names = {
+    import graft.operators.TextIndex
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents", "embeddings"))
+    val n = TextIndex.names("tixl", fp)
+    cachedBuild(s"textidx|tixl|$fp") {
+      if (!TextIndex.exists(s, n)) {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+          .join(Tables.embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("label")),
+            Seq("doc_id"), "left")
+        TextIndex.build(docs, "doc_id", "text", n, payloadCols = Seq("label"))
+      }
+      java.lang.Boolean.TRUE
+    }
+    n
+  }
+
   /** Build-once wrapper for the GROWN text index: built on the
     * pre-ingest slice (doc_id < 250 — the standing boundary), then the
     * rest appends retrain-free via [[graft.operators.TextIndex
@@ -858,6 +884,25 @@ private[queries] object VectorQueries {
       },
       Some(hybridIndexRrfSql)),
 
+    // FILTERED hybrid retrieval — the metadata predicate (label ≤ 3)
+    // pushed into BOTH persisted arms: the text index denormalizes the
+    // label into its posting rows (built once with payloadCols) and
+    // bm25 gates candidates on the pruned posting scan; the vector
+    // index carries the same label in its cell postings and the probed
+    // search gates there (the sim_index_filtered machinery). Neither
+    // arm joins a side table at query time; text-arm scoring statistics
+    // stay corpus-wide (ranking exclusion — the excludeId/tombstone
+    // contract), so a kept doc's score is byte-identical to the
+    // unfiltered search's. RRF fusion unchanged.
+    Q("sim_index_hybrid_filtered",
+      (s, d) => {
+        hybridFusedFiltered(s, d)
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .select("doc_id", "has_text", "has_vec")
+      },
+      Some(hybridIndexRrfFilteredSql)),
+
     // RAG context assembly — what the fused top-k is FOR: the retrieved
     // hits pack into a fixed token budget (400) in rank order with
     // stop-at-overflow semantics, and only THEN are the winning
@@ -977,14 +1022,44 @@ private[queries] object VectorQueries {
   private def hybridFused(s: SparkSession, d: String): DataFrame = {
     val tn = ensureTextIndex(s, d)
     val vn = ensureIndex(s, d, "ivp", incremental = false)
-    val tRank = graft.operators.TextIndex
-      .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L))
+    hybridFusedFrom(s, d,
+      graft.operators.TextIndex
+        .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L)),
+      graft.operators.IvfIndex
+        .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
+          queryFrom = Some(Tables.embeddings(s, d))))
+  }
+
+  /** [[hybridFused]] with the payload predicate (label ≤ 3) pushed
+    * into BOTH arms: the text arm's bm25 gates its posting rows on the
+    * label the index denormalizes ([[ensureFilteredTextIndex]]), the
+    * vector arm's search gates its probed candidates on the payload
+    * the IVF postings carry (the `sim_index_filtered` machinery) —
+    * each arm's filter rides its own pruned scan, the fusion is
+    * untouched.
+    */
+  private def hybridFusedFiltered(s: SparkSession, d: String): DataFrame = {
+    val tn = ensureFilteredTextIndex(s, d)
+    val vn = ensureIndex(s, d, "ivfl", incremental = false,
+      payloadCols = Seq("label"))
+    hybridFusedFrom(s, d,
+      graft.operators.TextIndex
+        .bm25(s, tn, bm25Terms, limit = 50, excludeId = Some(0L),
+          payloadFilter = col("label") <= 3),
+      graft.operators.IvfIndex
+        .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
+          queryFrom = Some(Tables.embeddings(s, d)),
+          payloadFilter = col("label") <= 3))
+  }
+
+  /** The shared RRF fusion tail over the two arms' bounded top-50s. */
+  private def hybridFusedFrom(s: SparkSession, d: String,
+      textTop: DataFrame, vecTop: DataFrame): DataFrame = {
+    val tRank = textTop
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("score_u").desc, col("doc_id")))
           .cast("long").as("rt"))
-    val vRank = graft.operators.IvfIndex
-      .search(s, vn, "vec_id", "embedding", 0L, k = 50, nprobe = 2,
-        queryFrom = Some(Tables.embeddings(s, d)))
+    val vRank = vecTop
       .select(col("vec_id").as("doc_id"),
         row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
           .cast("long").as("rv"))

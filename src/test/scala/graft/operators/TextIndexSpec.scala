@@ -234,6 +234,30 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25(spark, names, terms, 25).collect().toSeq)
   }
 
+  test("payload-filtered bm25 gates ranking only: kept docs keep their unfiltered scores") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 7).as("label"))
+    val n9 = TextIndex.names("titest_pay", "spec")
+    TextIndex.build(docs.filter(col("doc_id") < 25), "doc_id", "text", n9,
+      payloadCols = Seq("label"))
+    // a payload-built index grows like a bare one — the batch carries
+    // the payload column and appendBatch denormalizes it
+    TextIndex.appendBatch(spark, n9,
+      docs.filter(col("doc_id") >= 25), "doc_id", "text")
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = byId(TextIndex.bm25(spark, n9, terms, 1000))
+    // payload build + growth never perturb the unfiltered ranking
+    assert(full === byId(TextIndex.bm25(spark, names, terms, 1000)))
+    val filt = byId(TextIndex.bm25(spark, n9, terms, 1000,
+      payloadFilter = col("label") <= 3))
+    // exactly the predicate's docs survive, each with its UNFILTERED
+    // score — df and corpus stats stay corpus-wide (ranking exclusion,
+    // the excludeId/tombstone contract)
+    assert(filt === full.filter { case (id, _) => id % 7 <= 3 })
+    assert(filt.nonEmpty && filt.size < full.size)
+  }
+
   test("term-clustered buckets SKIP row groups: a term's scan cost is O(df), not O(bucket)") {
     // The LayoutSpec z-order methodology applied to the serving layout:
     // the same posting rows written term-clustered (the build layout)
