@@ -195,12 +195,22 @@ object TextIndex {
   def delete(spark: SparkSession, n: Names, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete needs at least one id")
     import spark.implicits._
+    delete(spark, n, ids.toDF("doc_id"))
+  }
+
+  /** [[delete]] at DELTA scale: the takedown ids arrive as a DataFrame
+    * (first column, cast to long) and never pass through the driver —
+    * the form a nightly publish uses when the removed/changed set is a
+    * corpus fraction, not a bounded takedown list. Idempotent; an
+    * empty delta is a no-op night.
+    */
+  def delete(spark: SparkSession, n: Names, ids: DataFrame): Unit = {
     val tombT = tombstoneTable(n)
-    val add = ids.toDF("doc_id")
+    val add = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
     val merged =
       if (spark.catalog.tableExists(tombT))
         spark.table(tombT).unionByName(add).distinct().localCheckpoint()
-      else add.distinct()
+      else add.distinct().localCheckpoint()
     Warehouse.writeTable(merged, tombT)
   }
 

@@ -648,6 +648,32 @@ private[queries] object CatalogShared {
     "vec_id, CAST(cid AS BIGINT) AS centroid_id, vec_id >= 250 AS is_new",
     " AND NOT (a.vec_id % 10 = 3 AND a.vec_id < 250)")
 
+  /** Twin of `pipeline_publish_serving` — BOTH maintained serving
+    * indexes recomputed FROM SCRATCH over the post-publish state, so a
+    * hash match proves the classifier-driven incremental maintenance
+    * (delete → compact → append on the text index; append + takedown
+    * fold on the vector index) converged each index to exactly what a
+    * full rebuild on tonight's corpus would serve. Text arm = the
+    * [[bm25CorpusCtesFrom]] chain over the post-takedown corpus
+    * (doc_id % 10 <> 3 — compaction repays the stats drift, so df/n/tot
+    * all re-derive from the filtered corpus); vector arm = the stale
+    * model ([[ivfStaleCtes]] — the published index's quantizer, trained
+    * pre-boundary and never retrained by the publish) over old∪new
+    * minus the folded takedown set.
+    */
+  lazy val publishServingSql: String = {
+    val textCtes =
+      bm25CorpusCtesFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 3)")
+    val text = s"WITH $textCtes SELECT 'text' AS arm, doc_id AS id, " +
+      "CAST(sum(score_u) AS BIGINT) AS m1, CAST(count(*) AS BIGINT) AS m2 " +
+      "FROM scq GROUP BY doc_id ORDER BY m1 DESC, id LIMIT 25"
+    val vec = ivfSearchSql(ivfStaleCtes,
+      "'vec' AS arm, vec_id AS id, CAST(cid AS BIGINT) AS m1, " +
+        "CAST(vec_id >= 250 AS BIGINT) AS m2",
+      " AND NOT (a.vec_id % 10 = 3 AND a.vec_id < 250)")
+    s"SELECT arm, id, m1, m2 FROM (($text) UNION ALL ($vec)) t ORDER BY arm, id"
+  }
+
   /** Twin of `sim_index_stats` ([[graft.operators.IvfIndex.stats]]):
     * the FULL persisted assignment, cell by cell — a hash match proves
     * every vector's posting list, a much stronger statement than any

@@ -666,6 +666,81 @@ private[queries] object TrainingQueries {
     (snap2T, enc2T, man2T)
   }
 
+  /** PUBLISH keeps the SERVING indexes current — the composition the
+    * corpus-shard publish left open: after a nightly delta, the
+    * persisted text and vector indexes the hybrid/RAG stack serves
+    * must be maintained IN the same publish run, incrementally, or
+    * they serve last night's corpus until someone rebuilds them.
+    *
+    * One content-hash classifier pass ([[graft.operators.Snapshot
+    * .diff]] — the SAME machinery the shard publish classifies with)
+    * drives the text side: removed ∪ changed ids tombstone via the
+    * DataFrame delete (no driver collect — the delta is a corpus
+    * fraction, not a bounded takedown list), compact folds them
+    * physically (repaying the stats drift, so the maintained index is
+    * EXACTLY tonight's corpus's BM25), and added ∪ changed docs append
+    * retrain-free. The vector side detects its delta by an id
+    * anti-join against the indexed set (pruned to the id column),
+    * appends the new vectors against the PUBLISHED quantizer (stale
+    * model — never retrained by a publish), and folds the takedown
+    * set. Zero full index rebuilds anywhere; unchanged cells' files
+    * never move (PipelineSpec asserts both).
+    *
+    * Old/new state: last night = documents minus doc_id%10==7 with
+    * stale " v0" text for doc_id%5==0 (the snapshot_diff scheme);
+    * tonight = documents minus doc_id%10==3. Vector boundary: vec_id
+    * < 250 published, ≥ 250 tonight's batch, takedown %10==3.
+    */
+  private def ensurePublishServing(s: SparkSession, d: String)
+      : (graft.operators.TextIndex.Names, graft.operators.IvfIndex.Names) = {
+    import graft.operators.{IvfIndex, Snapshot, TextIndex}
+    import graft.sources.Warehouse
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents", "embeddings"))
+    val tn = TextIndex.names("pubt", fp)
+    val vn = IvfIndex.names("pubv", fp)
+    val markT = s"pubs_done_$fp"
+    CatalogShared.cachedBuild(s"pubserve|$fp") {
+      if (!s.catalog.tableExists(markT)) {
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val oldSnap = base.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v0"))).otherwise(col("text")))
+        val newSnap = base.filter(col("doc_id") % 10 =!= 3)
+        // the published (last-night) text index
+        TextIndex.build(oldSnap, "doc_id", "text", tn)
+        // ONE classifier pass drives the whole text maintenance
+        val diff = Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+          .select("doc_id", "status").localCheckpoint()
+        TextIndex.delete(s, tn,
+          diff.filter(col("status").isin("removed", "changed"))
+            .select("doc_id"))
+        TextIndex.compact(s, tn)
+        TextIndex.appendBatch(s, tn,
+          newSnap.join(diff.filter(col("status").isin("added", "changed")),
+            Seq("doc_id"), "left_semi"),
+          "doc_id", "text")
+        // vector arm: published index on the pre-boundary slice
+        val emb = Tables.embeddings(s, d)
+        val old = emb.filter(col("vec_id") < 250)
+        val k = math.max(8L, (old.count() + 511) / 512).toInt
+        IvfIndex.build(old, "vec_id", "embedding", vn, k = k)
+        // delta = tonight's rows not yet indexed (id-pruned anti-join);
+        // checkpoint cuts the lineage before appending into the same
+        // postings table the delta was derived from
+        val added = emb.join(s.table(vn.postings).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+        IvfIndex.appendBatch(s, vn, added, "vec_id", "embedding")
+        val takedown = old.filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        IvfIndex.delete(s, vn, "vec_id", takedown)
+        IvfIndex.compact(s, vn, "vec_id")
+        Warehouse.writeTable(s.range(1).toDF("done"), markT)
+      }
+      java.lang.Boolean.TRUE
+    }
+    (tn, vn)
+  }
+
   /** Build (or reuse) the VERSIONED store the time-travel row reads:
     * v0 base snapshot = a copy of the persisted epoch-0 curated store,
     * plus a change LEDGER whose version-1 entry is the nightly
@@ -1274,6 +1349,36 @@ private[queries] object TrainingQueries {
           ._2.orderBy("shard")
       },
       Some(assembleIncrementalSql)),
+
+    // The publish maintains the SERVING indexes — round-15's one named
+    // gap closed: one nightly run classifies tonight's snapshot against
+    // the published state (content-hash diff, the shard publish's own
+    // classifier) and incrementally maintains BOTH persisted serving
+    // indexes — text: DataFrame-delete(removed ∪ changed) → compact
+    // (the physical fold repays the stats drift) → append(added ∪
+    // changed), all retrain-free; vector: id-anti-join delta append
+    // against the published quantizer + takedown fold. Zero full index
+    // rebuilds. The output is both indexes' SERVING results after the
+    // publish; the oracle recomputes each index FROM SCRATCH over the
+    // post-publish corpus, so the hash match is the grown≡rebuilt
+    // statement at the pipeline level — the maintained indexes serve
+    // exactly what tonight's full rebuild would.
+    Q("pipeline_publish_serving",
+      (s, d) => {
+        val (tn, vn) = ensurePublishServing(s, d)
+        val text = graft.operators.TextIndex
+          .bm25(s, tn, CatalogShared.bm25Terms, limit = 25)
+          .select(lit("text").as("arm"), col("doc_id").as("id"),
+            col("score_u").as("m1"), col("n_terms").as("m2"))
+        val vec = graft.operators.IvfIndex
+          .search(s, vn, "vec_id", "embedding", 0L, k = 10, nprobe = 2,
+            queryFrom = Some(Tables.embeddings(s, d)))
+          .select(lit("vec").as("arm"), col("vec_id").as("id"),
+            col("centroid_id").cast("long").as("m1"),
+            (col("vec_id") >= 250).cast("long").as("m2"))
+        text.unionByName(vec).orderBy("arm", "id")
+      },
+      Some(publishServingSql)),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact

@@ -96,4 +96,86 @@ class PipelineSpec extends SparkSpec {
         + kept.filter(col("doc_id") < 10).count() // canonical benchmark rows
         + dirty.count())               // contaminated
   }
+
+  /** Per-partition file listing of a managed table — the byte-stability
+    * probe: a partition whose file SET is unchanged was never rewritten.
+    */
+  private def partFiles(table: String): Map[String, Set[String]] = {
+    val uri = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        table.toLowerCase(java.util.Locale.ROOT)))
+    val root = java.nio.file.Paths.get(uri)
+    val out = scala.collection.mutable.Map.empty[String, Set[String]]
+    val walk = java.nio.file.Files.walk(root)
+    try walk.forEach { f =>
+      val name = f.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(f) && name.endsWith(".parquet")) {
+        val part = f.getParent.getFileName.toString
+        out(part) = out.getOrElse(part, Set.empty) + name
+      }
+    } finally walk.close()
+    out.toMap
+  }
+
+  test("publish index maintenance is delta-only: unaffected cells/buckets byte-stable") {
+    // The pipeline_publish_serving contract at the file level: appends
+    // only ADD files, compaction rewrites ONLY partitions holding a
+    // tombstoned row — everything else's files never move.
+    val emb = Tables.embeddings(spark, sf)
+    val vn = IvfIndex.names("pubspec_v", "spec")
+    val old = emb.filter(col("vec_id") < 250)
+    IvfIndex.build(old, "vec_id", "embedding", vn, k = 8)
+    val atBuild = partFiles(vn.postings)
+    IvfIndex.appendBatch(spark, vn,
+      emb.filter(col("vec_id") >= 250).localCheckpoint(),
+      "vec_id", "embedding")
+    val atAppend = partFiles(vn.postings)
+    atBuild.foreach { case (cell, fs) =>
+      assert(fs.subsetOf(atAppend.getOrElse(cell, Set.empty)),
+        s"append rewrote files in $cell")
+    }
+    val takedown = old.filter(col("vec_id") % 10 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val affectedCells = spark.table(vn.postings)
+      .filter(col("vec_id").isin(takedown: _*))
+      .select("centroid_id").distinct()
+      .collect().map(r => s"centroid_id=${r.get(0)}").toSet
+    IvfIndex.delete(spark, vn, "vec_id", takedown)
+    IvfIndex.compact(spark, vn, "vec_id")
+    val atCompact = partFiles(vn.postings)
+    atAppend.keys.filterNot(affectedCells).foreach { cell =>
+      assert(atCompact.getOrElse(cell, Set.empty) === atAppend(cell),
+        s"compact touched unaffected $cell")
+    }
+    assert(affectedCells.nonEmpty)
+
+    // text side: same contract on the term buckets
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val tn = TextIndex.names("pubspec_t", "spec")
+    TextIndex.build(docs.filter(col("doc_id") < 250), "doc_id", "text", tn)
+    val tBuild = partFiles(tn.postings)
+    import spark.implicits._
+    val gone = docs.filter(col("doc_id") < 250 && col("doc_id") % 50 === 3)
+      .select("doc_id")
+    val affectedBuckets = spark.table(tn.postings)
+      .join(gone, Seq("doc_id"), "left_semi")
+      .select("bucket").distinct()
+      .collect().map(r => s"bucket=${r.get(0)}").toSet
+    TextIndex.delete(spark, tn, gone)
+    TextIndex.compact(spark, tn)
+    val tCompact = partFiles(tn.postings)
+    tBuild.keys.filterNot(affectedBuckets).foreach { b =>
+      assert(tCompact.getOrElse(b, Set.empty) === tBuild(b),
+        s"compact touched unaffected $b")
+    }
+    assert(affectedBuckets.nonEmpty && tBuild.keys.exists(!affectedBuckets(_)),
+      "fixture must leave at least one bucket unaffected for the check to bite")
+    TextIndex.appendBatch(spark, tn,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    val tAppend = partFiles(tn.postings)
+    tCompact.foreach { case (b, fs) =>
+      assert(fs.subsetOf(tAppend.getOrElse(b, Set.empty)),
+        s"append rewrote files in $b")
+    }
+  }
 }
