@@ -151,7 +151,10 @@ object EventStream {
       val q = parquetSink(enrichWithDim(stream, dim, streamKey, dimKey),
         out, base.resolve("ckpt").toString).start()
       awaitDrained(q)
-      spark.read.parquet(out).localCheckpoint()
+      // zero feed files (empty rows input) → zero micro-batches → no
+      // sink dir: return the join's contract schema empty
+      readSinkOrEmpty(spark, out,
+        enrichWithDim(rows.limit(0), dim, streamKey, dimKey))
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
@@ -217,9 +220,11 @@ object EventStream {
       val stream = feedStream(spark, changes, base, nFiles)
       val q = upsertSink(stream, key, snap, base.resolve("ckpt").toString).start()
       awaitDrained(q)
-      // eager localCheckpoint pulls the snapshot off disk so the feed,
-      // checkpoint, and sink dirs can be deleted before returning
-      spark.read.parquet(snap).localCheckpoint()
+      // eager localCheckpoint (inside readSinkOrEmpty) pulls the
+      // snapshot off disk so the feed, checkpoint, and sink dirs can be
+      // deleted before returning; an empty change stream never writes a
+      // first snapshot → return the changes schema empty
+      readSinkOrEmpty(spark, snap, changes)
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
@@ -265,8 +270,12 @@ object EventStream {
           .option("timestampFormat", tsFmt).json(stage.toString)
         val part = stage.toFile.listFiles()
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-        require(part.length == 1, s"expected 1 json part, got ${part.length}")
-        java.nio.file.Files.move(part.head.toPath, feed.resolve(name))
+        require(part.length <= 1, s"expected <= 1 json part, got ${part.length}")
+        // an EMPTY batch (e.g. a night with no late rows) writes no part
+        // file — feed a zero-byte file so the drain still runs a batch
+        // and commits/advances the checkpoint, instead of crashing here
+        if (part.length == 1) java.nio.file.Files.move(part.head.toPath, feed.resolve(name))
+        else java.nio.file.Files.createFile(feed.resolve(name))
       }
       def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = spark.readStream.schema(eventSchema)
@@ -282,7 +291,14 @@ object EventStream {
       val lateInputRows = progress.map(_.numInputRows).sum
       val droppedGroups = progress
         .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
-      (spark.read.parquet(out).localCheckpoint(), lateInputRows, droppedGroups)
+      // both inputs empty → no window ever finalized → no sink dir:
+      // the contract schema comes from the same agg over a BATCH empty
+      // frame (withWatermark is a no-op on batch plans)
+      (readSinkOrEmpty(spark, out,
+        windowedAgg(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema),
+          windowLen, watermark)),
+        lateInputRows, droppedGroups)
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
@@ -684,7 +700,8 @@ object EventStream {
       val q = parquetSink(dedupWithinWatermark(stream, keys),
         out, base.resolve("ckpt").toString).start()
       awaitDrained(q)
-      spark.read.parquet(out).localCheckpoint()
+      // empty rows input → zero batches → no sink dir: contract schema
+      readSinkOrEmpty(spark, out, rows)
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
