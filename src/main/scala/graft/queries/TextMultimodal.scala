@@ -849,6 +849,47 @@ private[queries] object TextMultimodalQueries {
         "sum_r, sum_g, sum_b, sum_a, wluma, ahash, CAST(1 AS BIGINT) AS png_eq_bmp " +
         "FROM st JOIN ah USING (doc_id) ORDER BY doc_id")),
 
+    // REAL baseline-JPEG decode — the last image-codec waiver closed
+    // ([[graft.multimodal.Jpeg]]): per doc, a block-constant color image
+    // (16×16 blocks — every block is DC-only under the exact orthonormal
+    // DCT, so with all-ones quant tables the entropy+DCT pipeline
+    // round-trips BIT-EXACTLY) encodes as a real JPEG (Annex-K Huffman,
+    // odd ids 4:2:0 / even 4:4:4), decodes through the zero-dependency
+    // path (markers → Huffman → dequant → IDCT → upsample → fixed-point
+    // YCbCr), and reduces to exact integer stats plus jpeg_eq_closed —
+    // every decoded pixel compared against the closed form, which is
+    // just the integer YCbCr round-trip of the block color. The oracle
+    // computes that chain with the same bias-trick constants (every
+    // floor-division operand non-negative, so // ≡ the Scala >> 16)
+    // without seeing a JPEG byte. JpegSpec additionally pins the
+    // decoder against the JDK's own ImageIO (libjpeg-derived) reader.
+    Q("mm_image_jpeg",
+      (s, d) => graft.multimodal.Jpeg
+        .syntheticJpegStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h FROM documents WHERE doc_id < 100), " +
+        "px AS (SELECT doc_id, w, h, x, y, x // 16 AS bx, y // 16 AS by FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "c0 AS (SELECT *, (doc_id + 11*bx + 17*by) % 256 AS r, (3*doc_id + 7*bx + 5*by) % 256 AS g, (2*doc_id + 13*bx + 3*by) % 256 AS b FROM px), " +
+        "yc AS (SELECT doc_id, w, h, x, y, (19595*r + 38470*g + 7471*b + 32768) // 65536 AS yy, " +
+        "((-11056*r - 21712*g + 32768*b + 32768 + 16777216) // 65536) - 256 AS cbm, " +
+        "((32768*r - 27440*g - 5328*b + 32768 + 16777216) // 65536) - 256 AS crm FROM c0), " +
+        "rc AS (SELECT doc_id, w, h, x, y, " +
+        "LEAST(255, GREATEST(0, yy + ((91881*crm + 32768 + 16777216) // 65536) - 256)) AS r2, " +
+        "LEAST(255, GREATEST(0, yy - (((22554*cbm + 46802*crm + 32768 + 16777216) // 65536) - 256))) AS g2, " +
+        "LEAST(255, GREATEST(0, yy + ((116130*cbm + 32768 + 16777216) // 65536) - 256)) AS b2 FROM yc), " +
+        "l AS (SELECT *, (r2*299 + g2*587 + b2*114) // 1000 AS luma, (y*3//h)*4 + (x*4//w) AS blk FROM rc), " +
+        "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
+        "g AS (SELECT doc_id, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1), " +
+        "ah AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash FROM bs JOIN g USING (doc_id) GROUP BY doc_id), " +
+        "st AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(r2) AS BIGINT) AS sum_r, CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b2) AS BIGINT) AS sum_b, " +
+        "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma FROM l GROUP BY doc_id) " +
+        "SELECT st.doc_id, w, h, CAST(st.doc_id % 2 AS BIGINT) AS subsampled, n_px, " +
+        "sum_r, sum_g, sum_b, wluma, ahash, CAST(1 AS BIGINT) AS jpeg_eq_closed " +
+        "FROM st JOIN ah USING (doc_id) ORDER BY doc_id")),
+
     // The aHash fingerprint's CONSUMER — image near-dup pairs within
     // hamming radius 2, via the SimHash pigeonhole blocking
     // ([[graft.multimodal.Multimodal.imageNearDupPairs]]): 3 disjoint
