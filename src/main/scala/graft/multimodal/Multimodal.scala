@@ -530,11 +530,13 @@ object Multimodal extends Serializable {
 
   /** Per-partition decode / feature-extract boundary. Batch shape: one
     * iterator pass, constant memory, no driver collect. BMP payloads get
-    * REAL pixel features from [[decodeBmp24]] — mean R/G/B plus a
-    * (dim-3)-bin luminance histogram; other formats fall back to a
-    * deterministic byte histogram (no library-free decoder exists for
-    * compressed codecs in this container — a real deployment swaps the
-    * fallback for the codec + model call at this same boundary).
+    * REAL pixel features from [[decodeBmp24]], PNG from [[Png.decodePng]]
+    * (zlib inflate) and baseline JPEG from [[Jpeg.decodeJpeg]] (Annex-K
+    * Huffman + DCT) — mean R/G/B plus a (dim-3)-bin luminance histogram
+    * from the decoded pixels; anything else (palette/progressive
+    * remainders, non-image bytes) falls back to a deterministic byte
+    * histogram — a real deployment swaps that fallback for the model
+    * call at this same boundary.
     */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     require(dim >= 4, s"dim ($dim) must fit mean RGB + at least one luma bin")
@@ -543,11 +545,15 @@ object Multimodal extends Serializable {
     def decodeOne(payload: Array[Byte]): Array[Float] = {
       val v = new Array[Float](dim)
       if (payload == null) return v
-      decodeBmp24(payload) match {
-        case Some(img) =>
-          val n = img.rgb.length
+      val pixels: Option[Array[Int]] =
+        decodeBmp24(payload).map(_.rgb)
+          .orElse(Png.decodePng(payload).map(_.argb.map(_ & 0xffffff)))
+          .orElse(Jpeg.decodeJpeg(payload).map(_.rgb))
+      pixels match {
+        case Some(rgb) =>
+          val n = rgb.length
           var sr = 0L; var sg = 0L; var sb = 0L
-          img.rgb.foreach { p =>
+          rgb.foreach { p =>
             sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
             val luma = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
             v(3 + luma * (dim - 3) / 256) += 1f
