@@ -890,6 +890,35 @@ private[queries] object TextMultimodalQueries {
         "sum_r, sum_g, sum_b, wluma, ahash, CAST(1 AS BIGINT) AS jpeg_eq_closed " +
         "FROM st JOIN ah USING (doc_id) ORDER BY doc_id")),
 
+    // REAL GIF decode — variable-width LZW with the full dictionary
+    // lifecycle, block walk, and the 4-pass interlace order
+    // ([[graft.multimodal.Gif]]; odd ids store INTERLACED). GIF is
+    // palette-LOSSLESS, so this is the strongest of the three image
+    // parity rows: the oracle pins every decoded pixel as exactly the
+    // source block color — no conversion caveat anywhere — and the
+    // stats/fingerprint re-derive from the same closed form the other
+    // image rows use. JpegSpec/GifSpec additionally cross-decode
+    // against the JDK's own ImageIO readers.
+    Q("mm_image_gif",
+      (s, d) => graft.multimodal.Gif
+        .syntheticGifStats(
+          Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h FROM documents WHERE doc_id < 100), " +
+        "px AS (SELECT doc_id, w, h, x, y, x // 16 AS bx, y // 16 AS by FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
+        "c0 AS (SELECT doc_id, w, h, x, y, (doc_id + 11*bx + 17*by) % 256 AS r, (3*doc_id + 7*bx + 5*by) % 256 AS g, (2*doc_id + 13*bx + 3*by) % 256 AS b FROM px), " +
+        "l AS (SELECT *, (r*299 + g*587 + b*114) // 1000 AS luma, (y*3//h)*4 + (x*4//w) AS blk FROM c0), " +
+        "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
+        "g AS (SELECT doc_id, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1), " +
+        "ah AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum * gn > gsum * bn THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash FROM bs JOIN g USING (doc_id) GROUP BY doc_id), " +
+        "st AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, " +
+        "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma FROM l GROUP BY doc_id) " +
+        "SELECT st.doc_id, w, h, CAST(st.doc_id % 2 AS BIGINT) AS interlaced, n_px, " +
+        "sum_r, sum_g, sum_b, wluma, ahash, CAST(1 AS BIGINT) AS gif_eq_closed " +
+        "FROM st JOIN ah USING (doc_id) ORDER BY doc_id")),
+
     // The aHash fingerprint's CONSUMER — image near-dup pairs within
     // hamming radius 2, via the SimHash pigeonhole blocking
     // ([[graft.multimodal.Multimodal.imageNearDupPairs]]): 3 disjoint
