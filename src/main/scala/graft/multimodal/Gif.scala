@@ -66,6 +66,15 @@ object Gif extends Serializable {
       }
     }
     if (cur.nonEmpty) put(dict(cur))
+    // the decoder adds one more dictionary entry AFTER the final data
+    // code — if that add crosses a power-of-two boundary the decoder
+    // reads EOI at the GROWN width, so mirror the growth here or a
+    // stream whose last phrase lands exactly on the boundary (e.g. 64
+    // identical pixels at minCodeSize 2) truncates its EOI
+    if (next < 4096) {
+      next += 1
+      if (next == (1 << width) + 1 && width < 12) width += 1
+    }
     put(eoi)
     if (nbits > 0) out.write((acc & 0xff).toInt)
     out.toByteArray

@@ -549,6 +549,7 @@ object Multimodal extends Serializable {
         decodeBmp24(payload).map(_.rgb)
           .orElse(Png.decodePng(payload).map(_.argb.map(_ & 0xffffff)))
           .orElse(Jpeg.decodeJpeg(payload).map(_.rgb))
+          .orElse(Gif.decodeGif(payload).map(_.rgb))
       pixels match {
         case Some(rgb) =>
           val n = rgb.length

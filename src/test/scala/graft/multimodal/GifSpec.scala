@@ -82,6 +82,18 @@ class GifSpec extends SparkSpec {
         s"ImageIO ($x,$y)")
   }
 
+  test("EOI lands on a width boundary: the decoder's final dictionary add is mirrored") {
+    // 64 identical pixels at minCodeSize 2: the decoder's add AFTER the
+    // final data code pushes next to 16 = 2^4, growing the read width
+    // to 5 exactly at EOI — an encoder that writes EOI at the old width
+    // truncates it (the bug this pins). Cross-check with ImageIO too.
+    val one = Gif.encodeGif(8, 8, Array(0x326496), (_, _) => 0)
+    val img = Gif.decodeGif(one).get
+    assert(img.rgb.forall(_ == 0x326496) && img.rgb.length === 64)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one))
+    assert((ref.getRGB(7, 7) & 0xffffff) === 0x326496)
+  }
+
   test("extensions are skipped; malformed payloads return None, never throw") {
     val good = Gif.encodeGif(8, 8, Array(0x112233, 0x445566), (x, y) => (x + y) % 2)
     assert(Gif.decodeGif(good).isDefined)

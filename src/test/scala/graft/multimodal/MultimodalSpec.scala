@@ -186,7 +186,7 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.toDouble).sum === 50 + 100 + 150 + 8.0)
   }
 
-  test("extractFeatures decodes COMPRESSED payloads too: PNG and JPEG pixel features") {
+  test("extractFeatures decodes COMPRESSED payloads too: PNG, JPEG and GIF pixel features") {
     import spark.implicits._
     // same constant color through all three codecs; the JPEG row's
     // expectation pays exactly the integer YCbCr round-trip (here
@@ -199,12 +199,13 @@ class MultimodalSpec extends SparkSpec {
     val png = Png.encodePng(8, 8, 2, (_, _) => (r0, g0, b0, 255), _ % 5)
     val jpg = Jpeg.encodeJpegColor(8, 8, (_, _) => (r0, g0, b0),
       subsample420 = false)
+    val gif = Gif.encodeGif(8, 8, Array((r0 << 16) | (g0 << 8) | b0), (_, _) => 0)
     val rows = Multimodal.extractFeatures(
-      Seq((1L, bmp), (2L, png), (3L, jpg)).toDF("doc_id", "payload"))
+      Seq((1L, bmp), (2L, png), (3L, jpg), (4L, gif)).toDF("doc_id", "payload"))
       .orderBy("doc_id")
       .select("features").collect().map(_.getSeq[Float](0))
     Seq((rows(0), (r0, g0, b0)), (rows(1), (r0, g0, b0)),
-      (rows(2), (jr, jg, jb))).foreach { case (f, (er, eg, eb)) =>
+      (rows(2), (jr, jg, jb)), (rows(3), (r0, g0, b0))).foreach { case (f, (er, eg, eb)) =>
       assert((f(0), f(1), f(2)) === ((er.toFloat, eg.toFloat, eb.toFloat)))
       val luma = (er * 299 + eg * 587 + eb * 114) / 1000
       assert(f(3 + luma * 13 / 256) === 64f) // all 64 px in one luma bin
