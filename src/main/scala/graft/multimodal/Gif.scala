@@ -286,17 +286,20 @@ object Gif extends Serializable {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idx)
-        val w = (16 * (1 + id % 3)).toInt
-        val h = (16 * (1 + id % 2)).toInt
+        // floorMod: a negative id must still yield positive dims and
+        // 0..255 channels (encode's require would throw mid-task)
+        val w = (16 * (1 + Math.floorMod(id, 3))).toInt
+        val h = (16 * (1 + Math.floorMod(id, 2))).toInt
         val bw = w / 16
         def blockRgb(bx: Int, by: Int): Int =
-          ((((id + 11 * bx + 17 * by) % 256).toInt << 16) |
-            (((3 * id + 7 * bx + 5 * by) % 256).toInt << 8) |
-            ((2 * id + 13 * bx + 3 * by) % 256).toInt)
+          ((Math.floorMod(id + 11 * bx + 17 * by, 256).toInt << 16) |
+            (Math.floorMod(3 * id + 7 * bx + 5 * by, 256).toInt << 8) |
+            Math.floorMod(2 * id + 13 * bx + 3 * by, 256).toInt)
         val palette = (for (by <- 0 until h / 16; bx <- 0 until bw)
           yield blockRgb(bx, by)).toArray
         val payload = encodeGif(w, h, palette,
-          (x, y) => (y / 16) * bw + (x / 16), interlaced = id % 2 == 1)
+          (x, y) => (y / 16) * bw + (x / 16),
+          interlaced = Math.floorMod(id, 2) == 1)
         val img = decodeGif(payload).getOrElse(
           throw new IllegalStateException(s"GIF round-trip failed for id $id"))
         var sr = 0L; var sg = 0L; var sb = 0L; var wl = 0L
@@ -313,7 +316,7 @@ object Gif extends Serializable {
           wl += i.toLong * luma(i)
           i += 1
         }
-        Row.fromSeq(Seq(id, w.toLong, h.toLong, id % 2,
+        Row.fromSeq(Seq(id, w.toLong, h.toLong, Math.floorMod(id, 2L),
           img.rgb.length.toLong, sr, sg, sb, wl,
           Multimodal.aHash12(w, h, luma), if (eq) 1L else 0L))
       }

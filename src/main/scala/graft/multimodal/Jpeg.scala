@@ -477,14 +477,20 @@ object Jpeg extends Serializable {
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
       else {
         val len = u16(pos + 2)
-        if (pos + 2 + len > payload.length) return None
+        if (len < 2 || pos + 2 + len > payload.length) return None
         val d = pos + 4
+        // every parser below is bounded by the segment's own end — a
+        // short/truncated segment returns None instead of reading the
+        // next marker's bytes as table data (or running off the array)
+        val segEnd = pos + 2 + len
         marker match {
           case 0xc0 => // SOF0 baseline
+            if (d + 6 > segEnd) return None
             if (u8(d) != 8) return None
             h = u16(d + 1); w = u16(d + 3)
             val nc = u8(d + 5)
             if (w < 1 || h < 1 || (nc != 1 && nc != 3)) return None
+            if (d + 6 + 3 * nc > segEnd) return None
             comps = (0 until nc).map { i =>
               val o = d + 6 + 3 * i
               Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 0xf, u8(o + 2))
@@ -496,7 +502,8 @@ object Jpeg extends Serializable {
             return None // extended/progressive/lossless/arithmetic
           case 0xdb =>
             var o = d
-            while (o < pos + 2 + len) {
+            while (o < segEnd) {
+              if (o + 65 > segEnd) return None // truncated table
               val pq = u8(o) >> 4; val tq = u8(o) & 0xf
               if (pq != 0 || tq > 3) return None // 8-bit tables only
               quant(tq) = (0 until 64).map(i => u8(o + 1 + i)).toArray
@@ -504,22 +511,28 @@ object Jpeg extends Serializable {
             }
           case 0xc4 =>
             var o = d
-            while (o < pos + 2 + len) {
+            while (o < segEnd) {
+              if (o + 17 > segEnd) return None // truncated bit counts
               val tc = u8(o) >> 4; val th = u8(o) & 0xf
               if (th > 3) return None
               val bits = new Array[Int](17)
               (1 to 16).foreach(l => bits(l) = u8(o + l))
               val n = bits.sum
+              if (o + 17 + n > segEnd) return None // truncated values
               val vals = (0 until n).map(i => u8(o + 17 + i)).toArray
               if (tc == 0) dcTabs(th) = new HuffDecode(bits, vals)
               else acTabs(th) = new HuffDecode(bits, vals)
               o += 17 + n
             }
-          case 0xdd => restartInterval = u16(d)
+          case 0xdd =>
+            if (d + 2 > segEnd) return None
+            restartInterval = u16(d)
           case 0xda =>
             if (comps == null) return None
+            if (d + 1 > segEnd) return None
             val ns = u8(d)
             if (ns != comps.length) return None
+            if (d + 1 + 2 * ns + 3 > segEnd) return None // truncated scan header
             (0 until ns).foreach { i =>
               val cid = u8(d + 1 + 2 * i)
               val c = comps.find(_.id == cid).getOrElse(return None)
@@ -673,12 +686,15 @@ object Jpeg extends Serializable {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idx)
-        val w = (16 * (1 + id % 3)).toInt
-        val h = (16 * (1 + id % 2)).toInt
-        val sub = id % 2 == 1
-        def blockRgb(bx: Int, by: Int) = (((id + 11 * bx + 17 * by) % 256).toInt,
-          ((3 * id + 7 * bx + 5 * by) % 256).toInt,
-          ((2 * id + 13 * bx + 3 * by) % 256).toInt)
+        // floorMod: a negative id must still yield positive dims and
+        // 0..255 channels (encode's require would throw mid-task)
+        val w = (16 * (1 + Math.floorMod(id, 3))).toInt
+        val h = (16 * (1 + Math.floorMod(id, 2))).toInt
+        val sub = Math.floorMod(id, 2) == 1
+        def blockRgb(bx: Int, by: Int) =
+          (Math.floorMod(id + 11 * bx + 17 * by, 256).toInt,
+            Math.floorMod(3 * id + 7 * bx + 5 * by, 256).toInt,
+            Math.floorMod(2 * id + 13 * bx + 3 * by, 256).toInt)
         val payload = encodeJpegColor(w, h,
           (x, y) => blockRgb(x / 16, y / 16), subsample420 = sub)
         val img = decodeJpeg(payload).getOrElse(

@@ -138,17 +138,38 @@ object IvfIndex {
   def delete(spark: SparkSession, n: PqNames, idCol: String, ids: Seq[Long]): Unit =
     deleteFrom(spark, n.postings, idCol, ids)
 
+  /** [[delete]] at DELTA scale — the takedown ids arrive as a DataFrame
+    * (first column, cast to long) and NEVER transit the driver: the
+    * form a nightly publish or bulk dedup-drop uses when the removed
+    * set is a corpus fraction, not a bounded takedown list (the
+    * [[graft.operators.TextIndex.delete]] DataFrame-face twin). A
+    * corpus-fraction delete should be followed by [[compact]] — the
+    * read paths broadcast the tombstones on the premise that they stay
+    * bounded between compactions. Idempotent (distinct ids).
+    */
+  def delete(spark: SparkSession, n: Names, idCol: String, ids: DataFrame): Unit =
+    deleteFromDf(spark, n.postings, idCol, ids)
+
+  /** DataFrame-face [[delete]] for the quantized layout. */
+  def delete(spark: SparkSession, n: PqNames, idCol: String, ids: DataFrame): Unit =
+    deleteFromDf(spark, n.postings, idCol, ids)
+
   private def deleteFrom(spark: SparkSession, postings: String,
       idCol: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "delete needs at least one id")
     import spark.implicits._
+    deleteFromDf(spark, postings, idCol, ids.toDF(idCol))
+  }
+
+  private def deleteFromDf(spark: SparkSession, postings: String,
+      idCol: String, ids: DataFrame): Unit = {
     val tombT = tombstoneTable(postings)
-    val add = ids.toDF(idCol)
+    val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
     val merged =
       if (spark.catalog.tableExists(tombT))
         // localCheckpoint: writeTable drops the table this frame reads
         spark.table(tombT).unionByName(add).distinct().localCheckpoint()
-      else add.distinct()
+      else add.distinct().localCheckpoint()
     Warehouse.writeTable(merged, tombT)
   }
 

@@ -730,9 +730,9 @@ private[queries] object TrainingQueries {
         val added = emb.join(s.table(vn.postings).select("vec_id"),
           Seq("vec_id"), "left_anti").localCheckpoint()
         IvfIndex.appendBatch(s, vn, added, "vec_id", "embedding")
-        val takedown = old.filter(col("vec_id") % 10 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).toSeq
-        IvfIndex.delete(s, vn, "vec_id", takedown)
+        // DataFrame-face delete: corpus-fraction takedown, no driver hop
+        IvfIndex.delete(s, vn, "vec_id",
+          old.filter(col("vec_id") % 10 === 3).select("vec_id"))
         IvfIndex.compact(s, vn, "vec_id")
         Warehouse.writeTable(s.range(1).toDF("done"), markT)
       }

@@ -299,9 +299,10 @@ private[queries] object VectorQueries {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
         IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
-        val takedown = emb.filter(col("vec_id") % 10 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).toSeq
-        IvfIndex.delete(s, n, "vec_id", takedown)
+        // DataFrame-face delete: the takedown set is a corpus fraction
+        // (10% of vec_ids) — it must never transit the driver
+        IvfIndex.delete(s, n, "vec_id",
+          emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
       }
       java.lang.Boolean.TRUE
     }
@@ -335,9 +336,10 @@ private[queries] object VectorQueries {
           val k = math.max(8L, (emb.count() + 511) / 512).toInt
           IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
         }
-        val takedown = emb.filter(col("vec_id") % 10 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).toSeq
-        IvfIndex.delete(s, n, "vec_id", takedown)
+        // DataFrame-face delete: the takedown set is a corpus fraction
+        // (10% of vec_ids) — it must never transit the driver
+        IvfIndex.delete(s, n, "vec_id",
+          emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
         IvfIndex.rebuild(s, n, "vec_id", "embedding")
         graft.sources.Warehouse.writeTable(
           s.range(1).toDF("done"), markT)
@@ -377,9 +379,10 @@ private[queries] object VectorQueries {
             dim = 64, m = 4, pqK = 4,
             coarseModel = Some(coarse), books = Some(books))
         }
-        val takedown = emb.filter(col("vec_id") % 10 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).toSeq
-        IvfIndex.delete(s, n, "vec_id", takedown)
+        // DataFrame-face delete: the takedown set is a corpus fraction
+        // (10% of vec_ids) — it must never transit the driver
+        IvfIndex.delete(s, n, "vec_id",
+          emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
         IvfIndex.rebuildPq(s, n, "vec_id", "embedding", emb,
           dim = 64, m = 4, pqK = 4)
         graft.sources.Warehouse.writeTable(s.range(1).toDF("done"), markT)
@@ -480,9 +483,9 @@ private[queries] object VectorQueries {
         val docs = Tables.documents(s, d)
         if (!TextIndex.exists(s, n))
           TextIndex.build(docs, "doc_id", "text", n)
-        val takedown = docs.filter(col("doc_id") % 10 === 3)
-          .select("doc_id").collect().map(_.getLong(0)).toSeq
-        TextIndex.delete(s, n, takedown)
+        // DataFrame-face delete: corpus-fraction takedown, no driver hop
+        TextIndex.delete(s, n,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
       }
       java.lang.Boolean.TRUE
     }
@@ -506,9 +509,9 @@ private[queries] object VectorQueries {
         val docs = Tables.documents(s, d)
         if (!TextIndex.exists(s, n))
           TextIndex.build(docs, "doc_id", "text", n)
-        val takedown = docs.filter(col("doc_id") % 10 === 3)
-          .select("doc_id").collect().map(_.getLong(0)).toSeq
-        TextIndex.delete(s, n, takedown)
+        // DataFrame-face delete: corpus-fraction takedown, no driver hop
+        TextIndex.delete(s, n,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
         TextIndex.compact(s, n)
         graft.sources.Warehouse.writeTable(s.range(1).toDF("done"), markT)
       }
@@ -534,9 +537,10 @@ private[queries] object VectorQueries {
         val emb = Tables.embeddings(s, d)
         val k = math.max(8L, (emb.count() + 511) / 512).toInt
         IvfIndex.build(emb, "vec_id", "embedding", n, k = k)
-        val takedown = emb.filter(col("vec_id") % 10 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).toSeq
-        IvfIndex.delete(s, n, "vec_id", takedown)
+        // DataFrame-face delete: the takedown set is a corpus fraction
+        // (10% of vec_ids) — it must never transit the driver
+        IvfIndex.delete(s, n, "vec_id",
+          emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
         IvfIndex.compact(s, n, "vec_id")
       }
       java.lang.Boolean.TRUE

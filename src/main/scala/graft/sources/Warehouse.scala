@@ -47,12 +47,18 @@ object Warehouse {
     * 391-cell index's files for one aggregate), with it each value's
     * rows co-locate and the layout lands ~one file per partition value.
     */
+  /** `writerOptions` reach the parquet writer per-WRITE (e.g.
+    * `parquet.block.size` in a layout experiment) — scoped to this
+    * call, never a mutation of the shared session/hadoop config.
+    */
   def writePartitioned(df: DataFrame, table: String, partCol: String,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     dropWithLocation(df.sparkSession, table)
     sorted(df.repartition(col(partCol)), partCol :: Nil, sortCols)
-      .write.format("parquet").partitionBy(partCol).saveAsTable(table)
+      .write.format("parquet").options(writerOptions)
+      .partitionBy(partCol).saveAsTable(table)
     refresh(df.sparkSession, table)
   }
 

@@ -179,6 +179,38 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decodeJpeg(good.updated(sof + 1, 0xc2.toByte)) === None)
     // 12-bit precision refused (precision byte right after SOF length)
     assert(Jpeg.decodeJpeg(good.updated(sof + 4, 12.toByte)) === None)
+    // truncated SEGMENTS: content shorter than the parser's required
+    // read must return None, not throw or swallow the next marker
+    def seg(marker: Int, content: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((content.length + 2) >> 8).toByte, ((content.length + 2) & 0xff).toByte) ++
+        content
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // DQT with len=3 as the last bytes: 1 byte of a 65-byte table
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xdb, Array(0x00.toByte))) === None)
+    // DHT cut inside the 16 bit-counts
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xc4, Array(0x00.toByte, 1, 2))) === None)
+    // DHT whose bit counts promise more values than the segment holds
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xc4,
+      Array[Byte](0x00, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))) === None)
+    // SOF0 with fewer component specs than nc declares
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xc0,
+      Array[Byte](8, 0, 16, 0, 16, 3, 1, 0x22, 0))) === None)
+    // SOF0 shorter than the fixed 6-byte header
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xc0, Array[Byte](8, 0, 16))) === None)
+    // DRI with a 1-byte body
+    assert(Jpeg.decodeJpeg(soi ++ seg(0xdd, Array[Byte](0))) === None)
+    // zero-length segment (len < 2 is structurally invalid)
+    assert(Jpeg.decodeJpeg(soi ++ Array(0xff.toByte, 0xdb.toByte,
+      0.toByte, 0.toByte)) === None)
+    // mid-file short DQT: the truncated table must NOT consume the
+    // following SOF0's bytes as table data — decode refuses instead
+    val dqtShort = seg(0xdb, Array(0x00.toByte) ++ Array.fill(32)(1.toByte))
+    val sofOk = seg(0xc0, Array[Byte](8, 0, 16, 0, 16, 1, 1, 0x11, 0))
+    assert(Jpeg.decodeJpeg(soi ++ dqtShort ++ sofOk) === None)
+    // SOS with a truncated component-selector list
+    val sosShort = seg(0xda, Array[Byte](1, 1))
+    assert(Jpeg.decodeJpeg(soi ++ sofOk ++ sosShort) === None)
   }
 
   test("synthetic parity rows: every decoded pixel equals the closed form") {

@@ -203,6 +203,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && p.contains("PartitionFilters"), p)
   }
 
+  test("DataFrame-face delete ≡ Seq-face delete (tombstone state and serving identical, both layouts)") {
+    // flat layout: same corpus, same takedown set, one per face
+    val ids = Seq(3L, 13L, 23L, 33L)
+    val nSeq = IvfIndex.names("ivxspec", "tdf_a")
+    val nDf = IvfIndex.names("ivxspec", "tdf_b")
+    IvfIndex.build(emb, "vec_id", "embedding", nSeq, k = 8)
+    IvfIndex.build(emb, "vec_id", "embedding", nDf, k = 8)
+    IvfIndex.delete(spark, nSeq, "vec_id", ids)
+    IvfIndex.delete(spark, nDf, "vec_id",
+      emb.filter(col("vec_id").isin(ids: _*)).select("vec_id"))
+    def tomb(n: IvfIndex.Names) =
+      spark.table(IvfIndex.tombstoneTable(n))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(tomb(nSeq) === tomb(nDf))
+    assert(tomb(nDf) === ids.sorted)
+    def top(n: IvfIndex.Names) =
+      IvfIndex.search(spark, n, "vec_id", "embedding", 0L, k = 10,
+        nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top(nSeq) === top(nDf))
+    // the DataFrame face dedups and idempotes like the Seq face
+    IvfIndex.delete(spark, nDf, "vec_id",
+      emb.filter(col("vec_id").isin(ids: _*)).select("vec_id"))
+    assert(tomb(nDf) === ids.sorted)
+    // quantized layout parity
+    val qSeq = IvfIndex.pqNames("ivxspec", "tdf_qa")
+    val qDf = IvfIndex.pqNames("ivxspec", "tdf_qb")
+    IvfIndex.buildPq(emb, "vec_id", "embedding", qSeq, k = 8,
+      dim = 64, m = 4, pqK = 4)
+    IvfIndex.buildPq(emb, "vec_id", "embedding", qDf, k = 8,
+      dim = 64, m = 4, pqK = 4)
+    IvfIndex.delete(spark, qSeq, "vec_id", ids)
+    IvfIndex.delete(spark, qDf, "vec_id",
+      emb.filter(col("vec_id").isin(ids: _*)).select("vec_id"))
+    def qtomb(n: IvfIndex.PqNames) =
+      spark.table(IvfIndex.tombstoneTable(n))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(qtomb(qSeq) === qtomb(qDf))
+    def qtop(n: IvfIndex.PqNames) =
+      IvfIndex.searchPq(spark, n, "vec_id", "embedding", 0L, k = 10,
+        nprobe = 2, poolFactor = 4, queryFrom = emb)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(qtop(qSeq) === qtop(qDf))
+  }
+
   test("re-ingest clears a tombstone (a takedown blocks the old row, never a future version)") {
     val n = IvfIndex.names("ivxspec", "t7")
     IvfIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding", n, k = 8)

@@ -266,12 +266,13 @@ class TextIndexSpec extends SparkSpec {
     // holds many min/max envelopes, then ONE term's pruned query
     // measured on the scan's own numOutputRows — rows the parquet
     // reader actually surfaced after row-group/page pruning.
-    val hc = spark.sparkContext.hadoopConfiguration
-    val oldBlock = Option(hc.get("parquet.block.size"))
-    val oldDict = Option(hc.get("parquet.enable.dictionary"))
-    hc.set("parquet.block.size", "8192")
-    hc.set("parquet.enable.dictionary", "false")
-    try {
+    // tiny row groups + no dictionary, scoped to THESE writes via
+    // per-write options (never a mutation of the shared hadoop config
+    // — a concurrent suite's writes must not inherit the layout)
+    val tinyGroups = Map(
+      "parquet.block.size" -> "8192",
+      "parquet.enable.dictionary" -> "false")
+    locally {
       // 8192 docs × 16 terms over a 2048-term vocabulary → each bucket
       // holds ~4096 postings of ~64 distinct terms; each term appears
       // in exactly 64 docs (df = 64 ≈ 1.6% of its bucket)
@@ -279,14 +280,22 @@ class TextIndexSpec extends SparkSpec {
         expr("array_join(transform(sequence(0, 15), " +
           "j -> concat('term', lpad(cast((id * 16 + j) % 2048 as string), 4, '0'))), ' ')")
           .as("text"))
-      val clustered = TextIndex.names("tiskip_s", "spec")
-      TextIndex.build(docs, "doc_id", "text", clustered)
-      // the scattered twin: identical rows, identical bucketing, sorted
-      // by doc_id inside each bucket instead of term
+      val built = TextIndex.names("tiskip_s", "spec")
+      TextIndex.build(docs, "doc_id", "text", built)
+      val postCols = Seq("term", "doc_id", "tf", "dl", "pos_list", "bucket")
+      // rewrite the SAME rows into both layouts with the tiny-row-group
+      // writer options: term-clustered (the build's sort) vs
+      // doc-clustered (term-scattered — the pre-clustering layout's
+      // effective order)
+      val clustered = TextIndex.Names("tiskip_c_post", built.stats)
       graft.sources.Warehouse.writePartitioned(
-        spark.table(clustered.postings)
-          .select("term", "doc_id", "tf", "dl", "pos_list", "bucket"),
-        "tiskip_u_post", "bucket", sortCols = Seq("doc_id"))
+        spark.table(built.postings).select(postCols.map(col): _*),
+        clustered.postings, "bucket", sortCols = Seq("term", "doc_id"),
+        writerOptions = tinyGroups)
+      graft.sources.Warehouse.writePartitioned(
+        spark.table(built.postings).select(postCols.map(col): _*),
+        "tiskip_u_post", "bucket", sortCols = Seq("doc_id"),
+        writerOptions = tinyGroups)
       def surfaced(table: String): Long = {
         val t = "term0042"
         val df = spark.table(table)
@@ -314,9 +323,6 @@ class TextIndexSpec extends SparkSpec {
         s"doc-clustered layout unexpectedly skipped: $scattered")
       assert(sorted * 4 <= scattered,
         s"term-clustered read $sorted rows vs doc-clustered $scattered")
-    } finally {
-      oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
-      oldDict.fold(hc.unset("parquet.enable.dictionary"))(hc.set("parquet.enable.dictionary", _))
     }
   }
 
