@@ -692,12 +692,14 @@ private[queries] object TrainingQueries {
     * < 250 published, ≥ 250 tonight's batch, takedown %10==3.
     */
   private def ensurePublishServing(s: SparkSession, d: String)
-      : (graft.operators.TextIndex.Names, graft.operators.IvfIndex.Names) = {
+      : (graft.operators.TextIndex.Names, graft.operators.IvfIndex.Names,
+         graft.operators.IvfIndex.PqNames) = {
     import graft.operators.{IvfIndex, Snapshot, TextIndex}
     import graft.sources.Warehouse
     val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents", "embeddings"))
     val tn = TextIndex.names("pubt", fp)
     val vn = IvfIndex.names("pubv", fp)
+    val qn = IvfIndex.pqNames("pubq", fp)
     val markT = s"pubs_done_$fp"
     CatalogShared.cachedBuild(s"pubserve|$fp") {
       if (!s.catalog.tableExists(markT)) {
@@ -734,11 +736,33 @@ private[queries] object TrainingQueries {
         IvfIndex.delete(s, vn, "vec_id",
           old.filter(col("vec_id") % 10 === 3).select("vec_id"))
         IvfIndex.compact(s, vn, "vec_id")
+        // QUANTIZED arm — the layout a 100 TB deployment actually
+        // serves gets the SAME nightly: published PQ index on the
+        // pre-boundary slice (coarse + codebooks from the shared model
+        // cache — the identical stale artifacts the ivqi rows serve),
+        // delta encoded through the PUBLISHED codebooks (zero Lloyd
+        // rounds, zero codebook retrains), takedown folded physically.
+        val coarse = CatalogShared.cachedModel(
+          s"ivf_stale|${CatalogShared.embKey(d)}|k=$k|it=2") {
+          graft.operators.Ivf.train(old, "vec_id", "embedding", k = k, iters = 2) }
+        val books = CatalogShared.cachedModel(
+          s"pq_stale|${CatalogShared.embKey(d)}|m=4|k=4|it=2") {
+          graft.operators.Pq.train(old, "vec_id", "embedding",
+            dim = 64, m = 4, k = 4, iters = 2) }
+        IvfIndex.buildPq(old, "vec_id", "embedding", qn, k = k,
+          dim = 64, m = 4, pqK = 4,
+          coarseModel = Some(coarse), books = Some(books))
+        val addedPq = emb.join(s.table(qn.postings).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+        IvfIndex.appendBatchPq(s, qn, addedPq, "vec_id", "embedding")
+        IvfIndex.delete(s, qn, "vec_id",
+          old.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        IvfIndex.compact(s, qn, "vec_id")
         Warehouse.writeTable(s.range(1).toDF("done"), markT)
       }
       java.lang.Boolean.TRUE
     }
-    (tn, vn)
+    (tn, vn, qn)
   }
 
   /** Build (or reuse) the VERSIONED store the time-travel row reads:
@@ -1365,7 +1389,7 @@ private[queries] object TrainingQueries {
     // exactly what tonight's full rebuild would.
     Q("pipeline_publish_serving",
       (s, d) => {
-        val (tn, vn) = ensurePublishServing(s, d)
+        val (tn, vn, _) = ensurePublishServing(s, d)
         val text = graft.operators.TextIndex
           .bm25(s, tn, CatalogShared.bm25Terms, limit = 25)
           .select(lit("text").as("arm"), col("doc_id").as("id"),
@@ -1379,6 +1403,30 @@ private[queries] object TrainingQueries {
         text.unionByName(vec).orderBy("arm", "id")
       },
       Some(publishServingSql)),
+
+    // The publish maintains the QUANTIZED serving layout too — the
+    // index a 100 TB deployment actually serves. The same nightly that
+    // maintains the text and flat-vector indexes also grows the IVF-PQ
+    // layout: the delta is encoded through the PUBLISHED codebooks
+    // (zero Lloyd rounds, zero codebook retrains — appendBatchPq), the
+    // takedown set folds via the DataFrame-face delete + compact
+    // (physical rewrite of only the affected cells). The output is the
+    // post-publish quantized serving result (ADC over the pruned code
+    // postings + exact re-rank); the oracle recomputes the stale-model
+    // PQ search closed-form over the post-publish corpus — the
+    // grown≡rebuilt statement on the quantized layout.
+    Q("pipeline_publish_serving_pq",
+      (s, d) => {
+        val (_, _, qn) = ensurePublishServing(s, d)
+        graft.operators.IvfIndex
+          .searchPq(s, qn, "vec_id", "embedding", 0L, k = 10,
+            nprobe = 2, poolFactor = 4,
+            queryFrom = Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            (col("vec_id") >= 250).as("is_new"))
+      },
+      Some(ivfPqStreamDeleteSql)),
 
     // Tokenizer-coverage report: per-source OOV rate against the
     // corpus top-200 vocabulary (the text_encode_ids tokenizer's exact

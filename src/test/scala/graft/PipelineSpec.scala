@@ -178,4 +178,58 @@ class PipelineSpec extends SparkSpec {
         s"append rewrote files in $b")
     }
   }
+
+  test("publish PQ maintenance is delta-only: codebooks untouched, appends add-only, compact scoped") {
+    // The pipeline_publish_serving_pq contract at the file level: the
+    // nightly never retrains either quantizer (centroids + codebooks
+    // tables byte-stable), appendBatchPq only ADDS files, and the
+    // takedown compact rewrites ONLY cells holding a tombstoned row.
+    val emb = Tables.embeddings(spark, sf)
+    val qn = IvfIndex.pqNames("pubspec_q", "spec")
+    val old = emb.filter(col("vec_id") < 250)
+    IvfIndex.buildPq(old, "vec_id", "embedding", qn, k = 8,
+      dim = 64, m = 4, pqK = 4)
+    val centsBuild = partFiles(qn.centroids)
+    val booksBuild = partFiles(qn.codebooks)
+    val atBuild = partFiles(qn.postings)
+    IvfIndex.appendBatchPq(spark, qn,
+      emb.filter(col("vec_id") >= 250).localCheckpoint(),
+      "vec_id", "embedding")
+    val atAppend = partFiles(qn.postings)
+    atBuild.foreach { case (cell, fs) =>
+      assert(fs.subsetOf(atAppend.getOrElse(cell, Set.empty)),
+        s"appendBatchPq rewrote files in $cell")
+    }
+    // sparser fixture takedown than the catalog row's %10: with only 8
+    // cells at spec scale a 10% set hits every cell and the
+    // unaffected-cell check below can't bite
+    val affectedCells = spark.table(qn.postings)
+      .filter(col("vec_id") % 50 === 3 && col("vec_id") < 250)
+      .select("centroid_id").distinct()
+      .collect().map(r => s"centroid_id=${r.get(0)}").toSet
+    IvfIndex.delete(spark, qn, "vec_id",
+      old.filter(col("vec_id") % 50 === 3).select("vec_id"))
+    IvfIndex.compact(spark, qn, "vec_id")
+    val atCompact = partFiles(qn.postings)
+    atAppend.keys.filterNot(affectedCells).foreach { cell =>
+      assert(atCompact.getOrElse(cell, Set.empty) === atAppend(cell),
+        s"compact touched unaffected $cell")
+    }
+    assert(affectedCells.nonEmpty &&
+      atAppend.keys.exists(!affectedCells(_)),
+      "fixture must leave at least one cell unaffected for the check to bite")
+    // zero retrains: both model tables' files never moved all night
+    assert(partFiles(qn.centroids) === centsBuild,
+      "nightly publish retrained the coarse quantizer")
+    assert(partFiles(qn.codebooks) === booksBuild,
+      "nightly publish retrained the codebooks")
+    // the folded index serves the post-publish corpus exactly
+    val served = IvfIndex.searchPq(spark, qn, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(
+      old.filter(col("vec_id") % 50 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet).isEmpty,
+      "a folded takedown id resurfaced from the quantized search")
+  }
 }
