@@ -409,23 +409,90 @@ private[queries] object CatalogShared {
     * [[graft.operators.TextIndex.bm25]]'s exact IEEE tree so the row
     * hash-matches the same corpus oracle.
     */
-  def sqlTextSearch(postT: String, statsT: String): String = {
+  def sqlTextSearch(postT: String, statsT: String): String =
+    s"WITH ${sqlBm25IndexCtes(postT, statsT)} " +
+      "SELECT doc_id, sum(score_u) AS score_u, count(1) AS n_terms " +
+      "FROM sc GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+
+  /** The pruned-slice BM25 CTE chain over the PERSISTED index tables —
+    * the Spark-SQL rendering of [[graft.operators.TextIndex.bm25]]'s
+    * plan (bucket-pruned posting slice `p`, slice-local exact df `d`,
+    * 1-row stats `s`, bit-portable per-term scores `sc`). Shared by
+    * [[sqlTextSearch]] (S11) and the hybrid SQL face (S13).
+    */
+  private def sqlBm25IndexCtes(postT: String, statsT: String): String = {
     val bks = bm25Terms.map(graft.operators.TextIndex.bucketOf).distinct
     // SQL-escape the term literals (doubled quotes): the fixed
     // bm25Terms are safe as-is, but this helper is the template a
     // client library would reuse with arbitrary user terms
     def q(t: String) = s"'${t.replace("'", "''")}'"
-    s"WITH p AS (SELECT term, doc_id, tf, dl FROM $postT " +
+    s"p AS (SELECT term, doc_id, tf, dl FROM $postT " +
       s"WHERE bucket IN (${bks.mkString(", ")}) " +
       s"AND term IN (${bm25Terms.map(q).mkString(", ")})), " +
       "d AS (SELECT term, CAST(count(DISTINCT doc_id) AS LONG) AS df FROM p GROUP BY term), " +
       s"s AS (SELECT n, tot FROM $statsT), " +
       "sc AS (SELECT doc_id, CAST(floor((n - df + 0.5D) / (df + 0.5D) * (tf * 2.25D) / " +
       "(tf + 1.25D * (0.25D + 0.75D * CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n))) * 1000000.0D + 0.5D) AS LONG) AS score_u " +
-      "FROM p JOIN d USING (term) CROSS JOIN s) " +
-      "SELECT doc_id, sum(score_u) AS score_u, count(1) AS n_terms " +
-      "FROM sc GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 25"
+      "FROM p JOIN d USING (term) CROSS JOIN s)"
   }
+
+  /** Quoted-phrase search from the PERSISTED text index as ONE Spark
+    * SQL statement (s12_sql_phrase) — the SQL face of
+    * [[graft.operators.TextIndex.phrase]]: the posting rows' positions
+    * payload ("p1|p2|…") explodes with pure column ops on the same
+    * bucket-pruned slice BM25 reads, and successive words intersect on
+    * (doc, start) — never a corpus tokenization at query time. A
+    * SQL-only user runs phrase queries with zero Scala.
+    */
+  def sqlPhraseSearch(postT: String, words: Seq[String]): String = {
+    require(words.size >= 2, "phrase SQL face is for multi-word phrases")
+    val ws = words.map(_.toLowerCase(java.util.Locale.ROOT))
+    val bks = ws.distinct.map(graft.operators.TextIndex.bucketOf).distinct
+    def q(t: String) = s"'${t.replace("'", "''")}'"
+    val joins = ws.zipWithIndex.drop(1).map { case (w, i) =>
+      s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i " +
+        s"AND t$i.term = ${q(w)}"
+    }.mkString(" ")
+    s"WITH tok AS (SELECT doc_id, term, CAST(p AS BIGINT) AS pos " +
+      s"FROM (SELECT doc_id, term, explode(split(pos_list, '\\\\|')) AS p " +
+      s"FROM $postT WHERE bucket IN (${bks.mkString(", ")}) " +
+      s"AND term IN (${ws.distinct.map(q).mkString(", ")}))) " +
+      s"SELECT t0.doc_id, t0.pos FROM tok t0 $joins " +
+      s"WHERE t0.term = ${q(ws.head)} ORDER BY t0.doc_id, t0.pos"
+  }
+
+  /** Hybrid RRF retrieval over BOTH persisted indexes as ONE Spark SQL
+    * statement (s13_sql_hybrid) — the SQL face of `sim_index_hybrid`:
+    * the vector arm is [[sqlIndexSearch]]'s probe-CTE + pruned posting
+    * scan widened to top-50 exact cosine, the text arm is
+    * [[sqlBm25IndexCtes]]'s pruned BM25 top-50 with the query-doc slot
+    * excluded from RANKING only (doc 0 stays inside df — the bm25
+    * excludeId contract), and the fusion is reciprocal-rank 1/(60+r)
+    * over the two bounded lists. An analyst with a SQL prompt runs the
+    * full RAG retrieval stack with zero Scala.
+    */
+  def sqlHybridSearch(centT: String, postT: String,
+      tixPostT: String, tixStatsT: String): String =
+    "WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+      "FROM embeddings WHERE vec_id = 0), " +
+      "pr AS (SELECT cid FROM (SELECT c.cid, " +
+      "-((dot_product(q.qv, q.qv) - 2 * dot_product(c.c, q.qv)) + dot_product(c.c, c.c)) AS s " +
+      s"FROM $centT c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "vtop AS (SELECT p.vec_id, " +
+      "dot_product(p.embedding, q.qv) / sqrt(dot_product(p.embedding, p.embedding)) AS s " +
+      s"FROM $postT p JOIN pr ON p.centroid_id = pr.cid, q " +
+      "WHERE p.vec_id <> 0 ORDER BY s DESC, p.vec_id LIMIT 50), " +
+      "vr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rv FROM vtop), " +
+      sqlBm25IndexCtes(tixPostT, tixStatsT) + ", " +
+      "bsum AS (SELECT doc_id, sum(score_u) AS score_u FROM sc " +
+      "WHERE doc_id <> 0 GROUP BY doc_id), " +
+      "btop AS (SELECT doc_id, score_u FROM bsum ORDER BY score_u DESC, doc_id LIMIT 50), " +
+      "tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rt FROM btop), " +
+      "fus AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, " +
+      "tr.doc_id IS NOT NULL AS has_text, vr.doc_id IS NOT NULL AS has_vec, " +
+      "COALESCE(CAST(1 AS DOUBLE) / (60 + rt), 0D) + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0D) AS rrf " +
+      "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id) " +
+      "SELECT doc_id, has_text, has_vec FROM fus ORDER BY rrf DESC, doc_id LIMIT 10"
 
   /** Twin of `sim_index_pq` ([[graft.operators.IvfIndex.searchPq]]) —
     * the QUANTIZED persisted index: same coarse model ([[ivfModelCtes]])

@@ -1011,9 +1011,50 @@ private[queries] object VectorQueries {
           .select(col("doc_id"), col("pos"))
           .orderBy("doc_id", "pos")
       },
-      Some("WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)) " +
-        "SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
-        "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2")))
+      Some(phraseCorpusSql)),
+
+    // S12: quoted-phrase search on the SQL front end — one spark.sql
+    // statement over the SAME persisted posting slice BM25 prunes to:
+    // the positions payload explodes with pure column ops and
+    // successive words intersect on (doc, start). The "analyst with a
+    // SQL prompt" face of text_index_phrase; the oracle IS that row's
+    // corpus twin, so the hash match proves SQL ≡ TextIndex.phrase ≡
+    // corpus-scan phrase matching.
+    Q("s12_sql_phrase",
+      (s, d) => {
+        val n = ensureTextIndex(s, d)
+        s.sql(sqlPhraseSearch(n.postings, Seq("table", "part")))
+      },
+      Some(phraseCorpusSql)),
+
+    // S13: hybrid RRF retrieval on the SQL front end — ONE spark.sql
+    // statement fuses both persisted indexes: the vector arm is the
+    // S9 probe-CTE + dynamically-pruned posting scan widened to top-50
+    // exact cosine, the text arm the S11 pruned BM25 top-50 with the
+    // query-doc slot excluded from ranking only, RRF 1/(60+r) fusion.
+    // Same tables as sim_index_hybrid (both read-only after their
+    // serialized builds); the oracle is that row's standing twin, so
+    // the hash match proves SQL ≡ the DataFrame hybrid ≡ the
+    // cross-engine ground truth.
+    Q("s13_sql_hybrid",
+      (s, d) => {
+        graft.functions.Registry.registerSql(s)
+        val tn = ensureTextIndex(s, d)
+        val vn = ensureIndex(s, d, "ivp", incremental = false)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(sqlHybridSearch(vn.centroids, vn.postings,
+          tn.postings, tn.stats))
+      },
+      Some(hybridIndexRrfSql)))
+
+  /** DuckDB corpus twin shared by `text_index_phrase` and
+    * `s12_sql_phrase`: tokenize `documents` positionally, adjacent-join
+    * on (doc, pos+1) for the fixture phrase "table part".
+    */
+  private lazy val phraseCorpusSql: String =
+    "WITH tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), LATERAL unnest(generate_series(1, len(ws))) AS t(i)) " +
+      "SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+      "WHERE a.w = 'table' AND b.w = 'part' ORDER BY 1, 2"
 
   /** The shared hybrid fusion: BM25 top-50 from the persisted text
     * index (doc 0 = the query slot, excluded from ranking) and exact-

@@ -174,6 +174,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s12_sql_phrase: SQL phrase face prunes the posting scan and equals TextIndex.phrase row for row") {
+    val p = plan("s12_sql_phrase")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("tix_tpost"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val viaSql = SparkEntry.queries("s12_sql_phrase")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = SparkEntry.queries("text_index_phrase")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi)
+  }
+
+  test("s13_sql_hybrid: SQL hybrid face serves both arms pruned and equals the DataFrame hybrid row for row") {
+    val p = plan("s13_sql_hybrid")
+    // lexical arm = pruned text postings, vector arm = pruned IVF
+    // postings; documents is never scanned — only the embeddings point
+    // read for the query vector
+    assert(p.contains("tix_tpost"), p)
+    assert(p.contains("ivp_post"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val viaSql = SparkEntry.queries("s13_sql_hybrid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    val viaApi = SparkEntry.queries("sim_index_hybrid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(viaSql === viaApi)
+  }
+
   test("rag_context_pack: corpus touched once via a pushed id point-read of the fused winners") {
     val p = plan("rag_context_pack")
     // retrieval already ran on the indexes (driver-side, bounded); the
