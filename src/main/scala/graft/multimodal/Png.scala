@@ -6,12 +6,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 /** REAL, zero-dependency PNG codec — the compressed-image slice of the
   * multimodal waiver closed: PNG's IDAT stream is zlib, and
   * `java.util.zip.{Deflater, Inflater}` ship in the JDK, so full pixel
-  * decode needs no external library. Supports the training-data
-  * mainstream: 8-bit-per-channel truecolor (color type 2, RGB) and
-  * truecolor+alpha (type 6, RGBA), non-interlaced, with all FIVE
-  * scanline filters (None/Sub/Up/Average/Paeth) on both paths.
-  * Palette/16-bit/interlaced payloads return None (never throw) — the
-  * documented remainder of the waiver.
+  * decode needs no external library. Supports grayscale (color type 0),
+  * truecolor (2), palette (3, with optional tRNS alpha), and
+  * truecolor+alpha (6); bit depths 8 and 16 (16-bit samples downscale
+  * to their high byte, the standard reduction); BOTH interlace methods
+  * (none and Adam7's seven passes); and all FIVE scanline filters
+  * (None/Sub/Up/Average/Paeth) on every path. The remaining documented
+  * waiver is sub-byte palette/gray depths (1/2/4-bit) — those payloads
+  * return None (never throw).
   *
   * Reference anchor: the reference stores tweet media as opaque URLs and
   * never decodes anything (SURVEY §2.7); this codec is what an image
@@ -54,71 +56,143 @@ object Png extends Serializable {
     be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
   }
 
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass — the PNG spec's
+    * starting_col/starting_row/col_increment/row_increment tables.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pixels of coordinate `o, o+s, o+2s, …` inside `[0, total)`. */
+  private def passDim(total: Int, o: Int, s: Int): Int =
+    if (total > o) (total - o + s - 1) / s else 0
+
   /** Library-free PNG writer: 8-bit color type 2 (RGB) or 6 (RGBA),
-    * non-interlaced. `pixel(x, y)` returns (r, g, b, a) — alpha ignored
-    * for type 2. `rowFilter(y)` picks each scanline's filter (mod 5),
-    * so a fixture can exercise every filter type; the filtered bytes
-    * then zlib-deflate into one IDAT. Used to synthesize deterministic
-    * fixtures [[decodePng]] must invert exactly.
+    * non-interlaced — the original fixture face; see [[encodePngExt]]
+    * for palette / 16-bit / Adam7 variants.
     */
   def encodePng(width: Int, height: Int, colorType: Int,
       pixel: (Int, Int) => (Int, Int, Int, Int),
+      rowFilter: Int => Int = _ => 0): Array[Byte] =
+    encodePngExt(width, height, colorType, 8, interlaced = false,
+      pixel, rowFilter)
+
+  /** Full-variant library-free PNG writer: color types 0 (gray — the
+    * red channel), 2 (RGB), 3 (palette, built from the image's distinct
+    * colors in row-major first-occurrence order, ≤256), 6 (RGBA); bit
+    * depth 8 or 16 (type 3 is 8 only; 16-bit low bytes are a
+    * deterministic function of the sample so fixtures are stable and
+    * the MSB reduction is observable); interlace none or Adam7.
+    * `rowFilter(y)` picks each GLOBAL scanline's filter (mod 5) — in
+    * Adam7 every pass row maps to a distinct global y, so the rotation
+    * exercises all five filters across passes too. Used to synthesize
+    * deterministic fixtures [[decodePng]] must invert exactly.
+    */
+  def encodePngExt(width: Int, height: Int, colorType: Int, bitDepth: Int,
+      interlaced: Boolean,
+      pixel: (Int, Int) => (Int, Int, Int, Int),
       rowFilter: Int => Int = _ => 0): Array[Byte] = {
     require(width >= 1 && height >= 1, s"dims ${width}x$height")
-    require(colorType == 2 || colorType == 6, s"colorType $colorType")
-    val bpp = if (colorType == 6) 4 else 3
-    val stride = width * bpp
-    val filtered = new Array[Byte](height * (stride + 1))
-    var prev = new Array[Byte](stride)
-    (0 until height).foreach { y =>
-      val cur = new Array[Byte](stride)
-      (0 until width).foreach { x =>
-        val (r, g, b, a) = pixel(x, y)
-        cur(x * bpp) = r.toByte; cur(x * bpp + 1) = g.toByte
-        cur(x * bpp + 2) = b.toByte
-        if (bpp == 4) cur(x * bpp + 3) = a.toByte
+    require(Set(0, 2, 3, 6)(colorType), s"colorType $colorType")
+    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
+    require(colorType != 3 || bitDepth == 8, "palette PNG is 8-bit")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+    }
+    val bps = bitDepth / 8
+    val bpp = channels * bps
+    // palette: distinct colors in row-major first-occurrence order
+    var pal: Array[Int] = null
+    var palIdx: Map[Int, Int] = null
+    if (colorType == 3) {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      for (y <- 0 until height; x <- 0 until width) {
+        val (r, g, b, _) = pixel(x, y)
+        val c = (r << 16) | (g << 8) | b
+        if (!seen.contains(c)) seen(c) = seen.size
       }
-      val f = math.floorMod(rowFilter(y), 5)
-      val base = y * (stride + 1)
-      filtered(base) = f.toByte
-      (0 until stride).foreach { i =>
-        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val up = prev(i) & 0xff
-        val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 => paeth(left, up, upLeft)
+      require(seen.size <= 256, s"palette PNG needs <=256 colors, got ${seen.size}")
+      pal = seen.keysIterator.toArray
+      palIdx = seen.toMap
+    }
+    val passes = if (interlaced) Adam7 else Array((0, 0, 1, 1))
+    val filtered = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        var prev = new Array[Byte](stride)
+        (0 until ph).foreach { py =>
+          val gy = y0 + py * dy
+          val cur = new Array[Byte](stride)
+          (0 until pw).foreach { px =>
+            val gx = x0 + px * dx
+            val (r, g, b, a) = pixel(gx, gy)
+            def put(ch: Int, v: Int): Unit = {
+              cur(px * bpp + ch * bps) = v.toByte
+              // 16-bit low byte: deterministic, distinct from the MSB,
+              // so a decoder that read the wrong byte fails the parity
+              if (bps == 2)
+                cur(px * bpp + ch * bps + 1) = ((v * 73 + 11) % 256).toByte
+            }
+            colorType match {
+              case 0 => put(0, r)
+              case 2 => put(0, r); put(1, g); put(2, b)
+              case 3 => cur(px * bpp) = palIdx((r << 16) | (g << 8) | b).toByte
+              case 6 => put(0, r); put(1, g); put(2, b); put(3, a)
+            }
+          }
+          val f = math.floorMod(rowFilter(gy), 5)
+          filtered.write(f)
+          val row = new Array[Byte](stride)
+          (0 until stride).foreach { i =>
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val up = prev(i) & 0xff
+            val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 => paeth(left, up, upLeft)
+            }
+            row(i) = ((cur(i) & 0xff) - pred).toByte
+          }
+          filtered.write(row)
+          prev = cur
         }
-        filtered(base + 1 + i) = ((cur(i) & 0xff) - pred).toByte
       }
-      prev = cur
     }
     val defl = new java.util.zip.Deflater()
     val idat = try {
-      defl.setInput(filtered); defl.finish()
+      defl.setInput(filtered.toByteArray); defl.finish()
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
       bos.toByteArray
     } finally defl.end()
     val ihdr = be32(width.toLong) ++ be32(height.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
-    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0)
+    val plte =
+      if (pal == null) Array.empty[Byte]
+      else chunk("PLTE", pal.flatMap(c => Array(
+        ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)))
+    Signature ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
   }
 
   /** REAL library-free PNG pixel decoder: validates the signature,
     * walks the chunk stream verifying every chunk's CRC32, parses IHDR
-    * (8-bit depth, color type 2/6, compression 0, filter method 0,
-    * non-interlaced — anything else returns None), concatenates the
-    * IDAT chunks, inflates the zlib stream with
-    * `java.util.zip.Inflater`, un-filters each scanline (all five
-    * filter types, exact Paeth tie-breaks) and packs ARGB. Returns
+    * (color types 0/2/3/6, depths 8/16 — 8 only for palette — both
+    * interlace methods), PLTE and type-3 tRNS, concatenates the IDAT
+    * chunks, inflates the zlib stream with `java.util.zip.Inflater`,
+    * un-filters each scanline of each pass (all five filter types,
+    * exact Paeth tie-breaks; Adam7 scatters each pass into place) and
+    * packs ARGB — 16-bit samples reduce to their high byte. Returns
     * None (never throws) on malformed, truncated, CRC-corrupted or
-    * unsupported payloads.
+    * unsupported payloads (sub-byte depths, missing PLTE,
+    * out-of-range palette indexes).
     */
   def decodePng(payload: Array[Byte]): Option[PngPixels] = {
     if (payload == null || payload.length < Signature.length + 12) return None
@@ -128,6 +202,9 @@ object Png extends Serializable {
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     var pos = Signature.length
     var width = -1; var height = -1; var colorType = -1
+    var bitDepth = -1; var interlace = 0
+    var palette: Array[Int] = null
+    var trns: Array[Int] = null
     var ok = true; var sawEnd = false
     val idat = new java.io.ByteArrayOutputStream()
     while (ok && !sawEnd && pos + 12 <= payload.length) {
@@ -148,12 +225,29 @@ object Png extends Serializable {
               else {
                 width = beU32(dataStart).toInt
                 height = beU32(dataStart + 4).toInt
-                val bitDepth = u8(dataStart + 8)
+                bitDepth = u8(dataStart + 8)
                 colorType = u8(dataStart + 9)
                 val comp = u8(dataStart + 10); val filt = u8(dataStart + 11)
-                val interlace = u8(dataStart + 12)
-                if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
-                  comp != 0 || filt != 0 || interlace != 0) ok = false
+                interlace = u8(dataStart + 12)
+                val depthOk = colorType match {
+                  case 0 | 2 | 6 => bitDepth == 8 || bitDepth == 16
+                  case 3 => bitDepth == 8 // 1/2/4-bit palette: the waiver
+                  case _ => false
+                }
+                if (!depthOk || comp != 0 || filt != 0 ||
+                  (interlace != 0 && interlace != 1)) ok = false
+              }
+            case "PLTE" =>
+              if (dataLen == 0 || dataLen % 3 != 0 || dataLen > 768) ok = false
+              else palette = Array.tabulate(dataLen / 3)(j =>
+                (u8(dataStart + 3 * j) << 16) |
+                  (u8(dataStart + 3 * j + 1) << 8) | u8(dataStart + 3 * j + 2))
+            case "tRNS" =>
+              // palette alpha; the gray/truecolor transparent-color-key
+              // form is ancillary to the stats pipeline — skipped
+              if (colorType == 3) {
+                if (palette == null || dataLen > palette.length) ok = false
+                else trns = Array.tabulate(dataLen)(j => u8(dataStart + j))
               }
             case "IDAT" => idat.write(payload, dataStart, dataLen)
             case "IEND" => sawEnd = true
@@ -164,13 +258,23 @@ object Png extends Serializable {
       }
     }
     if (!ok || !sawEnd || width < 1 || height < 1) return None
-    val bpp = if (colorType == 6) 4 else 3
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+    }
+    val bps = bitDepth / 8
+    val bpp = channels * bps
     // crafted headers can overflow the buffer sizing in int space —
     // guard in longs (the decodeBmp24 lesson)
-    if (width.toLong * height > Int.MaxValue ||
-      (width.toLong * bpp + 1) * height > Int.MaxValue) return None
-    val stride = width * bpp
-    val expected = height * (stride + 1)
+    if (width.toLong * height > Int.MaxValue / 4) return None
+    val passes = if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    var expectedL = 0L
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
+      if (pw > 0 && ph > 0) expectedL += ph.toLong * (pw.toLong * bpp + 1)
+    }
+    if (expectedL > Int.MaxValue / 2) return None
+    val expected = expectedL.toInt
     val raw = new Array[Byte](expected)
     val infl = new java.util.zip.Inflater()
     try {
@@ -187,62 +291,92 @@ object Png extends Serializable {
       if (off != expected) return None
     } finally infl.end()
     val argb = new Array[Int](width * height)
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
-    var y = 0
-    while (y < height) {
-      val base = y * (stride + 1)
-      val f = raw(base) & 0xff
-      if (f > 4) return None
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val upLeft = if (i >= bpp) prev(i - bpp) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 => paeth(left, up, upLeft)
+    var off = 0
+    var passI = 0
+    // while, not foreach: the malformed-payload returns below must stay
+    // method-local (no NonLocalReturnControl through a closure)
+    while (passI < passes.length) {
+      val (x0, y0, dx, dy) = passes(passI)
+      passI += 1
+      val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val prev = new Array[Int](stride)
+        val cur = new Array[Int](stride)
+        java.util.Arrays.fill(prev, 0)
+        var py = 0
+        while (py < ph) {
+          val f = raw(off) & 0xff
+          if (f > 4) return None
+          var i = 0
+          while (i < stride) {
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = prev(i)
+            val upLeft = if (i >= bpp) prev(i - bpp) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 => paeth(left, up, upLeft)
+            }
+            cur(i) = ((raw(off + 1 + i) & 0xff) + pred) & 0xff
+            i += 1
+          }
+          var px = 0
+          while (px < pw) {
+            val base = px * bpp
+            // 16-bit: the high byte is sample 0 of each channel pair
+            def s(ch: Int): Int = cur(base + ch * bps)
+            val packed = colorType match {
+              case 0 => val v = s(0); (255 << 24) | (v << 16) | (v << 8) | v
+              case 2 => (255 << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
+              case 3 =>
+                val idx = cur(base)
+                if (idx >= palette.length) return None
+                val a = if (trns != null && idx < trns.length) trns(idx) else 255
+                (a << 24) | palette(idx)
+              case 6 => (s(3) << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
+            }
+            argb((y0 + py * dy) * width + (x0 + px * dx)) = packed
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          off += stride + 1
+          py += 1
         }
-        cur(i) = ((raw(base + 1 + i) & 0xff) + pred) & 0xff
-        i += 1
       }
-      var x = 0
-      while (x < width) {
-        val a = if (bpp == 4) cur(x * bpp + 3) else 255
-        argb(y * width + x) = (a << 24) | (cur(x * bpp) << 16) |
-          (cur(x * bpp + 1) << 8) | cur(x * bpp + 2)
-        x += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
-    Some(PngPixels(width, height, colorType == 6, argb))
+    Some(PngPixels(width, height,
+      colorType == 6 || (colorType == 3 && trns != null), argb))
   }
 
   /** Synthesize → PNG-encode → REAL-decode an image per row and prove
     * PARITY with the BMP path: pixel (x,y) of doc i is the
-    * [[Multimodal.syntheticBmpStats]] closed form (alpha
-    * (i+9x+21y)%256 on odd ids, which encode as RGBA; even ids RGB),
-    * the per-row filter rotates (y+i)%5 so the corpus exercises every
-    * scanline filter, and the decoded pixels reduce to the same exact
-    * integer stats the BMP rows verify — channel sums (now incl.
-    * alpha), position-weighted luma, and the [[Multimodal.aHash12]]
-    * fingerprint — plus `png_eq_bmp`: the decoded RGB plane compared
-    * byte-for-byte against [[Multimodal.decodeBmp24]] of the BMP twin
-    * of the same pixels. An oracle computes everything closed-form
-    * without seeing a PNG byte, so a hash match proves the zlib
-    * inflate + un-filtering inverts the format exactly. Same scale
+    * [[Multimodal.syntheticBmpStats]] closed form, the CONTAINER
+    * rotates by id so the corpus exercises every supported variant —
+    * color type by id%4 (0→truecolor, 1→RGBA with alpha
+    * (i+9x+21y)%256, 2→palette via PLTE, 3→16-bit truecolor whose low
+    * bytes the decoder must discard), Adam7 interlace on id%3==2, and
+    * the per-scanline filter rotates (y+i)%5 — and the decoded pixels
+    * reduce to the same exact integer stats the BMP rows verify:
+    * channel sums (incl. alpha), position-weighted luma, the
+    * [[Multimodal.aHash12]] fingerprint, plus `png_eq_bmp`: the
+    * decoded RGB plane compared byte-for-byte against
+    * [[Multimodal.decodeBmp24]] of the BMP twin of the same pixels —
+    * independent of which PNG container carried them. An oracle
+    * computes everything closed-form without seeing a PNG byte, so a
+    * hash match proves the zlib inflate + per-pass un-filtering +
+    * palette/MSB reduction inverts every variant exactly. Same scale
     * shape as the BMP rows: one mapPartitions pass, constant memory,
     * pixels never shuffle.
     */
   def syntheticPngParity(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(
       StructField(idCol, LongType) +:
-        Seq("w", "h", "color_type", "n_px", "sum_r", "sum_g", "sum_b",
-          "sum_a", "wluma", "ahash", "png_eq_bmp").map(StructField(_, LongType)))
+        Seq("w", "h", "color_type", "bit_depth", "interlaced", "n_px",
+          "sum_r", "sum_g", "sum_b", "sum_a", "wluma", "ahash",
+          "png_eq_bmp").map(StructField(_, LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
@@ -250,11 +384,15 @@ object Png extends Serializable {
         val id = r.getLong(idx)
         val w = (4 + id % 5).toInt
         val h = (3 + id % 4).toInt
-        val colorType = if (id % 2 == 1) 6 else 2
+        val colorType = (id % 4) match {
+          case 0 => 2; case 1 => 6; case 2 => 3; case _ => 2
+        }
+        val bitDepth = if (id % 4 == 3) 16 else 8
+        val interlaced = id % 3 == 2
         def rgb(x: Int, y: Int) = (((id + 7 * x + 13 * y) % 256).toInt,
           ((2 * id + 11 * x + 3 * y) % 256).toInt,
           ((3 * id + 5 * x + 17 * y) % 256).toInt)
-        val payload = encodePng(w, h, colorType,
+        val payload = encodePngExt(w, h, colorType, bitDepth, interlaced,
           (x, y) => {
             val (pr, pg, pb) = rgb(x, y)
             (pr, pg, pb, ((id + 9 * x + 21 * y) % 256).toInt)
@@ -279,6 +417,7 @@ object Png extends Serializable {
           i += 1
         }
         Row.fromSeq(Seq(id, w.toLong, h.toLong, colorType.toLong,
+          bitDepth.toLong, if (interlaced) 1L else 0L,
           img.argb.length.toLong, sr, sg, sb, sa, wl,
           Multimodal.aHash12(w, h, luma), if (eqBmp) 1L else 0L))
       }

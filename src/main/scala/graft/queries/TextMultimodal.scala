@@ -837,7 +837,7 @@ private[queries] object TextMultimodalQueries {
       Some("WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents WHERE doc_id < 100), " +
         "px AS (SELECT doc_id, w, h, x, y FROM d, LATERAL unnest(generate_series(0, w - 1)) AS tx(x), LATERAL unnest(generate_series(0, h - 1)) AS ty(y)), " +
         "c AS (SELECT doc_id, w, h, x, y, (doc_id + 7*x + 13*y) % 256 AS r, (2*doc_id + 11*x + 3*y) % 256 AS g, (3*doc_id + 5*x + 17*y) % 256 AS b, " +
-        "CASE WHEN doc_id % 2 = 1 THEN (doc_id + 9*x + 21*y) % 256 ELSE 255 END AS a FROM px), " +
+        "CASE WHEN doc_id % 4 = 1 THEN (doc_id + 9*x + 21*y) % 256 ELSE 255 END AS a FROM px), " +
         "l AS (SELECT doc_id, w, h, x, y, r, g, b, a, (y*3//h)*4 + (x*4//w) AS blk, (r*299 + g*587 + b*114) // 1000 AS luma FROM c), " +
         "bs AS (SELECT doc_id, blk, SUM(luma) AS bsum, CAST(count(*) AS BIGINT) AS bn FROM l GROUP BY 1, 2), " +
         "g AS (SELECT doc_id, SUM(luma) AS gsum, CAST(count(*) AS BIGINT) AS gn FROM l GROUP BY 1), " +
@@ -845,7 +845,10 @@ private[queries] object TextMultimodalQueries {
         "st AS (SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w, CAST(any_value(h) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_px, " +
         "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(a) AS BIGINT) AS sum_a, " +
         "CAST(sum((x + w*y) * luma) AS BIGINT) AS wluma FROM l GROUP BY doc_id) " +
-        "SELECT st.doc_id, w, h, CAST(CASE WHEN st.doc_id % 2 = 1 THEN 6 ELSE 2 END AS BIGINT) AS color_type, n_px, " +
+        "SELECT st.doc_id, w, h, " +
+        "CAST(CASE st.doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END AS BIGINT) AS color_type, " +
+        "CAST(CASE WHEN st.doc_id % 4 = 3 THEN 16 ELSE 8 END AS BIGINT) AS bit_depth, " +
+        "CAST(CASE WHEN st.doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS interlaced, n_px, " +
         "sum_r, sum_g, sum_b, sum_a, wluma, ahash, CAST(1 AS BIGINT) AS png_eq_bmp " +
         "FROM st JOIN ah USING (doc_id) ORDER BY doc_id")),
 

@@ -120,19 +120,198 @@ class PngSpec extends SparkSpec {
       good.updated(idatPos, (good(idatPos) ^ 0x5a).toByte)) === None)
     // truncated mid-IDAT
     assert(Png.decodePng(good.take(good.length - 20)) === None)
-    // unsupported: palette color type, 16-bit depth, interlaced
+    // unsupported / malformed variant payloads
     def withIhdr(d: Array[Byte]): Array[Byte] =
       signature ++ chunk("IHDR", d) ++
         chunk("IDAT", deflate(new Array[Byte](8))) ++
         chunk("IEND", Array.empty[Byte])
+    // palette type with NO PLTE chunk
     assert(Png.decodePng(withIhdr(ihdr(2, 2, colorType = 3))) === None)
-    assert(Png.decodePng(withIhdr(ihdr(2, 2, 2, bitDepth = 16))) === None)
-    assert(Png.decodePng(withIhdr(ihdr(2, 2, 2, interlace = 1))) === None)
-    // declared size larger than the deflated data actually holds
-    val short = signature ++ chunk("IHDR", ihdr(16, 16, 2)) ++
-      chunk("IDAT", deflate(new Array[Byte](10))) ++
-      chunk("IEND", Array.empty[Byte])
-    assert(Png.decodePng(short) === None)
+    // sub-byte palette depth (the documented remaining waiver)
+    assert(Png.decodePng(withIhdr(ihdr(2, 2, 3, bitDepth = 4))) === None)
+    // 16-bit palette is illegal per spec
+    assert(Png.decodePng(withIhdr(ihdr(2, 2, 3, bitDepth = 16))) === None)
+    // declared size larger than the deflated data actually holds —
+    // for plain, 16-bit and interlaced geometry alike
+    def short(d: Array[Byte]): Array[Byte] =
+      signature ++ chunk("IHDR", d) ++
+        chunk("IDAT", deflate(new Array[Byte](10))) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(Png.decodePng(short(ihdr(16, 16, 2))) === None)
+    assert(Png.decodePng(short(ihdr(16, 16, 2, bitDepth = 16))) === None)
+    assert(Png.decodePng(short(ihdr(16, 16, 2, interlace = 1))) === None)
+    // palette index past the PLTE table
+    val palRaw = Array[Byte](0, 0, 5) // filter 0, indexes 0 and 5
+    val oob = signature ++ chunk("IHDR", ihdr(2, 1, 3)) ++
+      chunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)) ++ // 2 entries
+      chunk("IDAT", deflate(palRaw)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.decodePng(oob) === None)
+    // empty / misaligned / oversized PLTE
+    def withPlte(p: Array[Byte]): Array[Byte] =
+      signature ++ chunk("IHDR", ihdr(1, 1, 3)) ++ chunk("PLTE", p) ++
+        chunk("IDAT", deflate(Array[Byte](0, 0))) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(Png.decodePng(withPlte(Array.empty[Byte])) === None)
+    assert(Png.decodePng(withPlte(Array[Byte](1, 2))) === None)
+    assert(Png.decodePng(withPlte(new Array[Byte](771))) === None)
+  }
+
+  test("palette PNG decodes through PLTE; tRNS supplies per-entry alpha") {
+    // 5 distinct block colors over a 6×4 image, every filter exercised
+    val colors = Array(0x102030, 0xff0000, 0x00ff00, 0x0000ff, 0x7f7f7f)
+    def px(x: Int, y: Int) = {
+      val c = colors((x / 2 + y) % 5)
+      ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff, 255)
+    }
+    val pay = Png.encodePngExt(6, 4, 3, 8, interlaced = false, px, y => y % 5)
+    val img = Png.decodePng(pay).get
+    assert(img.width === 6 && img.height === 4 && !img.hasAlpha)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val (r, g, b, _) = px(x, y)
+      val p = img.argb(y * 6 + x)
+      assert((p >>> 24) === 255)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+    // palette pixels must agree with the truecolor container byte-for-byte
+    val viaRgb = Png.decodePng(Png.encodePng(6, 4, 2, px, y => y % 5)).get
+    assert(img.argb.toSeq === viaRgb.argb.toSeq)
+    // tRNS: splice per-entry alpha after PLTE (shorter than the palette
+    // — uncovered entries default to 255)
+    val plteEnd = {
+      // signature + IHDR chunk (4 len + 4 type + 13 data + 4 crc) + PLTE
+      val ihdrLen = 4 + 4 + 13 + 4
+      signature.length + ihdrLen + (8 + colors.length * 3 + 4)
+    }
+    val trns = chunk("tRNS", Array[Byte](10.toByte, 200.toByte))
+    val withTrns = pay.take(plteEnd) ++ trns ++ pay.drop(plteEnd)
+    val ta = Png.decodePng(withTrns).get
+    assert(ta.hasAlpha)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val idx = (x / 2 + y) % 5
+      val expA = idx match { case 0 => 10; case 1 => 200; case _ => 255 }
+      assert((ta.argb(y * 6 + x) >>> 24) === expA, s"alpha ($x,$y)")
+      assert((ta.argb(y * 6 + x) & 0xffffff) === (img.argb(y * 6 + x) & 0xffffff))
+    }
+  }
+
+  test("16-bit samples reduce to their high byte (low bytes discarded, both color types)") {
+    def px(x: Int, y: Int) =
+      ((x * 37 + y * 101) % 256, (x * 53 + y * 7) % 256,
+        (x * 11 + y * 191) % 256, (x * 71 + y * 13) % 256)
+    Seq(2, 6).foreach { ct =>
+      val img = Png.decodePng(
+        Png.encodePngExt(7, 11, ct, 16, interlaced = false, px, y => y % 5)).get
+      assert(img.width === 7 && img.height === 11)
+      for (y <- 0 until 11; x <- 0 until 7) {
+        val (r, g, b, a) = px(x, y)
+        val p = img.argb(y * 7 + x)
+        assert(((p >> 16) & 0xff) === r, s"r ($x,$y) ct=$ct")
+        assert(((p >> 8) & 0xff) === g)
+        assert((p & 0xff) === b)
+        assert((p >>> 24) === (if (ct == 6) a else 255))
+      }
+    }
+  }
+
+  test("grayscale (type 0) replicates the gray sample into all channels") {
+    def px(x: Int, y: Int) = {
+      val v = (x * 29 + y * 67) % 256
+      (v, v, v, 255)
+    }
+    Seq(8, 16).foreach { depth =>
+      val img = Png.decodePng(
+        Png.encodePngExt(5, 7, 0, depth, interlaced = false, px, y => y % 5)).get
+      for (y <- 0 until 7; x <- 0 until 5) {
+        val v = (x * 29 + y * 67) % 256
+        assert(img.argb(y * 5 + x) === ((255 << 24) | (v << 16) | (v << 8) | v),
+          s"pixel ($x,$y) depth=$depth")
+      }
+    }
+  }
+
+  test("Adam7 interlaced decode equals the non-interlaced decode of the same pixels") {
+    def px(x: Int, y: Int) =
+      ((x * 37 + y * 101) % 256, (x * 53 + y * 7) % 256,
+        (x * 11 + y * 191) % 256, (x * 71 + y * 13) % 256)
+    // dims straddle the 8×8 pass grid: sub-8, exactly 8, and ragged
+    for ((w, h) <- Seq((3, 2), (8, 8), (13, 9), (1, 1), (16, 5));
+         ct <- Seq(2, 6)) {
+      val plain = Png.decodePng(
+        Png.encodePngExt(w, h, ct, 8, interlaced = false, px, y => y % 5)).get
+      val inter = Png.decodePng(
+        Png.encodePngExt(w, h, ct, 8, interlaced = true, px, y => y % 5)).get
+      assert(inter.width === w && inter.height === h)
+      assert(inter.argb.toSeq === plain.argb.toSeq, s"${w}x$h ct=$ct")
+    }
+    // 16-bit interlaced composes too
+    val p16 = Png.decodePng(
+      Png.encodePngExt(13, 9, 2, 16, interlaced = true, px, y => y % 5)).get
+    val p8 = Png.decodePng(
+      Png.encodePngExt(13, 9, 2, 8, interlaced = false, px, y => y % 5)).get
+    assert(p16.argb.toSeq === p8.argb.toSeq)
+    // interlaced palette
+    def ppx(x: Int, y: Int) = {
+      val c = Array(0x102030, 0xff0000, 0x00ff00)((x + y) % 3)
+      ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff, 255)
+    }
+    val pi = Png.decodePng(
+      Png.encodePngExt(9, 6, 3, 8, interlaced = true, ppx, y => y % 5)).get
+    val pp = Png.decodePng(
+      Png.encodePngExt(9, 6, 3, 8, interlaced = false, ppx, y => y % 5)).get
+    assert(pi.argb.toSeq === pp.argb.toSeq)
+  }
+
+  test("every variant container cross-decodes pixel-exact against the JDK's ImageIO") {
+    // the JpegSpec pattern: an INDEPENDENT reference decoder must agree
+    // with ours on the same bytes — encoder/decoder bug pairs can't
+    // cancel out. Covers truecolor/RGBA/palette/gray × 8/16-bit ×
+    // both interlace methods on ragged dims.
+    def px(x: Int, y: Int) =
+      ((x * 37 + y * 101) % 256, (x * 53 + y * 7) % 256,
+        (x * 11 + y * 191) % 256, 255)
+    def gpx(x: Int, y: Int) = {
+      val v = (x * 29 + y * 67) % 256; (v, v, v, 255)
+    }
+    def ppx(x: Int, y: Int) = {
+      val c = Array(0x102030, 0xff0000, 0x00ff00, 0x0000ff)((x + y) % 4)
+      ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff, 255)
+    }
+    val cases = Seq(
+      (2, 8, false, px _), (2, 8, true, px _), (6, 8, true, px _),
+      (2, 16, false, px _), (2, 16, true, px _),
+      (0, 8, false, gpx _), (0, 16, true, gpx _),
+      (3, 8, false, ppx _), (3, 8, true, ppx _))
+    cases.foreach { case (ct, depth, inter, f) =>
+      val pay = Png.encodePngExt(13, 9, ct, depth, inter, f, y => y % 5)
+      val ours = Png.decodePng(pay).get
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pay))
+      assert(jdk != null, s"ImageIO refused ct=$ct depth=$depth inter=$inter")
+      assert(jdk.getWidth === 13 && jdk.getHeight === 9)
+      for (y <- 0 until 9; x <- 0 until 13) {
+        val p = ours.argb(y * 13 + x)
+        if (ct == 0) {
+          // grayscale: getRGB re-encodes through sRGB (a gamma curve),
+          // so compare the RAW raster sample — 16-bit keeps all 16
+          // bits there, whose high byte is exactly our MSB reduction
+          val raw = jdk.getRaster.getSample(x, y, 0)
+          val theirs = if (depth == 16) raw >> 8 else raw
+          assert((p & 0xff) === theirs, s"($x,$y) gray depth=$depth inter=$inter")
+        } else if (depth == 8) {
+          assert(p === jdk.getRGB(x, y), s"($x,$y) ct=$ct inter=$inter")
+        } else {
+          // 16-bit color: getRGB downsamples v16*255/65535 rounded,
+          // which can differ from the plain MSB by 1 when the low
+          // byte is large — compare channels with ±1 tolerance
+          val theirs = jdk.getRGB(x, y)
+          Seq(16, 8, 0).foreach { sh =>
+            val a = (p >> sh) & 0xff; val b = (theirs >> sh) & 0xff
+            assert(math.abs(a - b) <= 1,
+              s"($x,$y) ct=$ct depth=16 inter=$inter shift=$sh: $a vs $b")
+          }
+        }
+      }
+    }
   }
 
   test("PNG parity rows: decoded RGB ≡ the BMP twin, aHash identical across codecs") {
