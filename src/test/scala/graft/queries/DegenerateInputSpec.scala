@@ -185,5 +185,96 @@ class DegenerateInputSpec extends SparkSpec {
     assert(IvfIndex.searchPq(spark, pn, "vec_id", "embedding", 0L,
       k = 5, nprobe = 2, poolFactor = 4, queryFrom = emb)
       .collect().map(_.getLong(0)).toSeq === pqBefore)
+    // DataFrame-face delete with an EMPTY id frame (the no-takedown
+    // night of the publish chain): serving untouched on BOTH layouts
+    IvfIndex.delete(spark, n, "vec_id", emb.limit(0).select("vec_id"))
+    assert(top(10) === before)
+    IvfIndex.compact(spark, n, "vec_id")
+    assert(top(10) === before)
+    IvfIndex.delete(spark, pn, "vec_id", emb.limit(0).select("vec_id"))
+    assert(IvfIndex.searchPq(spark, pn, "vec_id", "embedding", 0L,
+      k = 5, nprobe = 2, poolFactor = 4, queryFrom = emb)
+      .collect().map(_.getLong(0)).toSeq === pqBefore)
+  }
+
+  test("publish composition: empty-delta, all-changed, and empty-corpus nights keep the chain intact") {
+    import graft.operators.Snapshot
+    val terms = Seq("join", "vector", "stream")
+    val base = docs.filter(col("doc_id") < 60)
+
+    // 1) EMPTY-DELTA night: old == new → the classifier output is all
+    // 'unchanged'; delete(∅) → compact → appendBatch(∅) must leave the
+    // index byte-identical in serving terms (the publish chain's
+    // build→delete→append ordering with nothing to do at each step)
+    val n1 = TextIndex.names("degen_p1", "spec")
+    TextIndex.build(base, "doc_id", "text", n1)
+    val before = TextIndex.bm25(spark, n1, terms, 100).collect().toSeq
+    val diff0 = Snapshot.diff(base, base, "doc_id", Seq("text"))
+      .select("doc_id", "status").localCheckpoint()
+    assert(diff0.filter(col("status") =!= "unchanged").count() === 0L)
+    TextIndex.delete(spark, n1,
+      diff0.filter(col("status").isin("removed", "changed")).select("doc_id"))
+    TextIndex.compact(spark, n1)
+    TextIndex.appendBatch(spark, n1,
+      base.join(diff0.filter(col("status").isin("added", "changed")),
+        Seq("doc_id"), "left_semi"), "doc_id", "text")
+    assert(TextIndex.bm25(spark, n1, terms, 100).collect().toSeq === before)
+
+    // 2) ALL-CHANGED night: every doc's content hash moves → delete
+    // everything, compact folds the whole index away, append re-adds
+    // the new content; serving must equal a FRESH build on the new snap
+    val n2 = TextIndex.names("degen_p2", "spec")
+    TextIndex.build(base, "doc_id", "text", n2)
+    val newSnap = base.withColumn("text", concat(col("text"), lit(" v2")))
+      .localCheckpoint()
+    val diff2 = Snapshot.diff(base, newSnap, "doc_id", Seq("text"))
+      .select("doc_id", "status").localCheckpoint()
+    assert(diff2.filter(col("status") === "changed").count() === base.count())
+    TextIndex.delete(spark, n2,
+      diff2.filter(col("status").isin("removed", "changed")).select("doc_id"))
+    TextIndex.compact(spark, n2)
+    TextIndex.appendBatch(spark, n2,
+      newSnap.join(diff2.filter(col("status").isin("added", "changed")),
+        Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val nf = TextIndex.names("degen_p2f", "spec")
+    TextIndex.build(newSnap, "doc_id", "text", nf)
+    assert(TextIndex.bm25(spark, n2, terms, 100).collect().toSeq ===
+      TextIndex.bm25(spark, nf, terms, 100).collect().toSeq)
+    assert(spark.table(n2.stats).collect().head.toSeq ===
+      spark.table(nf.stats).collect().head.toSeq)
+
+    // 3) EMPTY-CORPUS publish: both snapshots empty — every step no-ops
+    val n3 = TextIndex.names("degen_p3", "spec")
+    TextIndex.build(docs.limit(0), "doc_id", "text", n3)
+    val diff3 = Snapshot.diff(docs.limit(0), docs.limit(0), "doc_id", Seq("text"))
+      .select("doc_id", "status").localCheckpoint()
+    TextIndex.delete(spark, n3,
+      diff3.filter(col("status").isin("removed", "changed")).select("doc_id"))
+    TextIndex.compact(spark, n3)
+    TextIndex.appendBatch(spark, n3,
+      docs.limit(0).join(diff3, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    assertEmptyWithSchema(TextIndex.bm25(spark, n3, terms, 10),
+      Seq("doc_id", "score_u", "n_terms"), "bm25 after empty publish")
+    val st3 = spark.table(n3.stats).collect().head
+    assert((st3.getLong(0), st3.getLong(1)) === (0L, 0L))
+
+    // 4) vector arm, empty-delta night: anti-join delta is empty, the
+    // takedown frame is empty — append(∅) + delete(∅) + compact keep
+    // the index serving its base state on BOTH layouts
+    val vn = IvfIndex.names("degen_pv", "spec")
+    if (!IvfIndex.exists(spark, vn))
+      IvfIndex.build(emb, "vec_id", "embedding", vn, k = 8)
+    val vBefore = IvfIndex.search(spark, vn, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, queryFrom = Some(emb))
+      .collect().map(_.getLong(0)).toSeq
+    val delta = emb.join(spark.table(vn.postings).select("vec_id"),
+      Seq("vec_id"), "left_anti").localCheckpoint()
+    assert(delta.count() === 0L)
+    IvfIndex.appendBatch(spark, vn, delta, "vec_id", "embedding")
+    IvfIndex.delete(spark, vn, "vec_id", delta.select("vec_id"))
+    IvfIndex.compact(spark, vn, "vec_id")
+    assert(IvfIndex.search(spark, vn, "vec_id", "embedding", 0L,
+      k = 10, nprobe = 2, queryFrom = Some(emb))
+      .collect().map(_.getLong(0)).toSeq === vBefore)
   }
 }
