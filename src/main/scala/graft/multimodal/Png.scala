@@ -6,14 +6,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 /** REAL, zero-dependency PNG codec — the compressed-image slice of the
   * multimodal waiver closed: PNG's IDAT stream is zlib, and
   * `java.util.zip.{Deflater, Inflater}` ship in the JDK, so full pixel
-  * decode needs no external library. Supports grayscale (color type 0),
-  * truecolor (2), palette (3, with optional tRNS alpha), and
-  * truecolor+alpha (6); bit depths 8 and 16 (16-bit samples downscale
-  * to their high byte, the standard reduction); BOTH interlace methods
-  * (none and Adam7's seven passes); and all FIVE scanline filters
-  * (None/Sub/Up/Average/Paeth) on every path. The remaining documented
-  * waiver is sub-byte palette/gray depths (1/2/4-bit) — those payloads
-  * return None (never throw).
+  * decode needs no external library. Covers the COMPLETE static-PNG
+  * surface: all five color types (0 gray, 2 truecolor, 3 palette with
+  * optional tRNS alpha, 4 gray+alpha, 6 truecolor+alpha) at every
+  * legal bit depth (1/2/4/8/16 gray, 1/2/4/8 palette, 8/16 for the
+  * multi-channel types — 16-bit samples downscale to their high byte,
+  * sub-byte gray scales over the depth's range); BOTH interlace
+  * methods (none and Adam7's seven passes); and all FIVE scanline
+  * filters (None/Sub/Up/Average/Paeth) on every path. Malformed or
+  * illegal payloads return None (never throw); Opus compressed audio
+  * is the engine's one remaining codec waiver.
   *
   * Reference anchor: the reference stores tweet media as opaque URLs and
   * never decodes anything (SURVEY §2.7); this codec is what an image
@@ -79,10 +81,12 @@ object Png extends Serializable {
 
   /** Full-variant library-free PNG writer: color types 0 (gray — the
     * red channel), 2 (RGB), 3 (palette, built from the image's distinct
-    * colors in row-major first-occurrence order, ≤256), 6 (RGBA); bit
-    * depth 8 or 16 (type 3 is 8 only; 16-bit low bytes are a
-    * deterministic function of the sample so fixtures are stable and
-    * the MSB reduction is observable); interlace none or Adam7.
+    * colors in row-major first-occurrence order, capped by the depth),
+    * 4 (gray+alpha), 6 (RGBA); every legal bit depth (sub-byte samples
+    * pack MSB-first and the fixture's values must fit the depth;
+    * 16-bit low bytes are a deterministic function of the sample so
+    * fixtures are stable and the MSB reduction is observable);
+    * interlace none or Adam7.
     * `rowFilter(y)` picks each GLOBAL scanline's filter (mod 5) — in
     * Adam7 every pass row maps to a distinct global y, so the rotation
     * exercises all five filters across passes too. Used to synthesize
@@ -93,14 +97,16 @@ object Png extends Serializable {
       pixel: (Int, Int) => (Int, Int, Int, Int),
       rowFilter: Int => Int = _ => 0): Array[Byte] = {
     require(width >= 1 && height >= 1, s"dims ${width}x$height")
-    require(Set(0, 2, 3, 6)(colorType), s"colorType $colorType")
-    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
-    require(colorType != 3 || bitDepth == 8, "palette PNG is 8-bit")
-    val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+    require(Set(0, 2, 3, 4, 6)(colorType), s"colorType $colorType")
+    val validDepths: Set[Int] = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => Set(8, 16)
     }
-    val bps = bitDepth / 8
-    val bpp = channels * bps
+    require(validDepths(bitDepth), s"bitDepth $bitDepth for type $colorType")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
     // palette: distinct colors in row-major first-occurrence order
     var pal: Array[Int] = null
     var palIdx: Map[Int, Int] = null
@@ -111,16 +117,21 @@ object Png extends Serializable {
         val c = (r << 16) | (g << 8) | b
         if (!seen.contains(c)) seen(c) = seen.size
       }
-      require(seen.size <= 256, s"palette PNG needs <=256 colors, got ${seen.size}")
+      val cap = 1 << math.min(bitDepth, 8)
+      require(seen.size <= cap,
+        s"palette PNG at depth $bitDepth needs <=$cap colors, got ${seen.size}")
       pal = seen.keysIterator.toArray
       palIdx = seen.toMap
     }
+    val bps = math.max(1, bitDepth / 8)
+    val bitsPP = channels * bitDepth
+    val fbpp = math.max(1, bitsPP / 8) // filter byte distance
     val passes = if (interlaced) Adam7 else Array((0, 0, 1, 1))
     val filtered = new java.io.ByteArrayOutputStream()
     passes.foreach { case (x0, y0, dx, dy) =>
       val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = (pw * bitsPP + 7) / 8
         var prev = new Array[Byte](stride)
         (0 until ph).foreach { py =>
           val gy = y0 + py * dy
@@ -129,16 +140,29 @@ object Png extends Serializable {
             val gx = x0 + px * dx
             val (r, g, b, a) = pixel(gx, gy)
             def put(ch: Int, v: Int): Unit = {
-              cur(px * bpp + ch * bps) = v.toByte
+              cur(px * channels * bps + ch * bps) = v.toByte
               // 16-bit low byte: deterministic, distinct from the MSB,
               // so a decoder that read the wrong byte fails the parity
               if (bps == 2)
-                cur(px * bpp + ch * bps + 1) = ((v * 73 + 11) % 256).toByte
+                cur(px * channels * bps + ch * bps + 1) =
+                  ((v * 73 + 11) % 256).toByte
             }
-            colorType match {
+            if (bitDepth < 8) {
+              // single-channel sub-byte: the fixture contract is that
+              // gray values / palette indexes fit the depth
+              val v = if (colorType == 3) palIdx((r << 16) | (g << 8) | b)
+                else r
+              require(v < (1 << bitDepth),
+                s"sample $v exceeds depth-$bitDepth domain")
+              val bitpos = px * bitDepth
+              cur(bitpos >> 3) = (cur(bitpos >> 3) |
+                (v << (8 - bitDepth - (bitpos & 7)))).toByte
+            } else colorType match {
               case 0 => put(0, r)
               case 2 => put(0, r); put(1, g); put(2, b)
-              case 3 => cur(px * bpp) = palIdx((r << 16) | (g << 8) | b).toByte
+              case 3 => cur(px * channels * bps) =
+                palIdx((r << 16) | (g << 8) | b).toByte
+              case 4 => put(0, r); put(1, a)
               case 6 => put(0, r); put(1, g); put(2, b); put(3, a)
             }
           }
@@ -146,9 +170,9 @@ object Png extends Serializable {
           filtered.write(f)
           val row = new Array[Byte](stride)
           (0 until stride).foreach { i =>
-            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val left = if (i >= fbpp) cur(i - fbpp) & 0xff else 0
             val up = prev(i) & 0xff
-            val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val upLeft = if (i >= fbpp) prev(i - fbpp) & 0xff else 0
             val pred = f match {
               case 0 => 0
               case 1 => left
@@ -184,15 +208,17 @@ object Png extends Serializable {
 
   /** REAL library-free PNG pixel decoder: validates the signature,
     * walks the chunk stream verifying every chunk's CRC32, parses IHDR
-    * (color types 0/2/3/6, depths 8/16 — 8 only for palette — both
-    * interlace methods), PLTE and type-3 tRNS, concatenates the IDAT
-    * chunks, inflates the zlib stream with `java.util.zip.Inflater`,
-    * un-filters each scanline of each pass (all five filter types,
-    * exact Paeth tie-breaks; Adam7 scatters each pass into place) and
-    * packs ARGB — 16-bit samples reduce to their high byte. Returns
-    * None (never throws) on malformed, truncated, CRC-corrupted or
-    * unsupported payloads (sub-byte depths, missing PLTE,
-    * out-of-range palette indexes).
+    * (ALL static-PNG color types 0/2/3/4/6 at every legal bit depth —
+    * 1/2/4/8/16 gray, 1/2/4/8 palette, 8/16 for the multi-channel
+    * types — and both interlace methods), PLTE and type-3 tRNS,
+    * concatenates the IDAT chunks, inflates the zlib stream with
+    * `java.util.zip.Inflater`, un-filters each scanline of each pass
+    * (all five filter types, exact Paeth tie-breaks; Adam7 scatters
+    * each pass into place) and packs ARGB — 16-bit samples reduce to
+    * their high byte, sub-byte gray scales over the depth's range.
+    * Returns None (never throws) on malformed, truncated,
+    * CRC-corrupted payloads, missing PLTE, illegal depth/type combos,
+    * or out-of-range palette indexes.
     */
   def decodePng(payload: Array[Byte]): Option[PngPixels] = {
     if (payload == null || payload.length < Signature.length + 12) return None
@@ -230,8 +256,9 @@ object Png extends Serializable {
                 val comp = u8(dataStart + 10); val filt = u8(dataStart + 11)
                 interlace = u8(dataStart + 12)
                 val depthOk = colorType match {
-                  case 0 | 2 | 6 => bitDepth == 8 || bitDepth == 16
-                  case 3 => bitDepth == 8 // 1/2/4-bit palette: the waiver
+                  case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+                  case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+                  case 3 => Set(1, 2, 4, 8)(bitDepth)
                   case _ => false
                 }
                 if (!depthOk || comp != 0 || filt != 0 ||
@@ -260,10 +287,11 @@ object Png extends Serializable {
     if (!ok || !sawEnd || width < 1 || height < 1) return None
     if (colorType == 3 && palette == null) return None
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val bps = bitDepth / 8
-    val bpp = channels * bps
+    val bps = math.max(1, bitDepth / 8)
+    val bitsPP = channels * bitDepth
+    val fbpp = math.max(1, bitsPP / 8) // filter byte distance
     // crafted headers can overflow the buffer sizing in int space —
     // guard in longs (the decodeBmp24 lesson)
     if (width.toLong * height > Int.MaxValue / 4) return None
@@ -271,7 +299,8 @@ object Png extends Serializable {
     var expectedL = 0L
     passes.foreach { case (x0, y0, dx, dy) =>
       val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
-      if (pw > 0 && ph > 0) expectedL += ph.toLong * (pw.toLong * bpp + 1)
+      if (pw > 0 && ph > 0)
+        expectedL += ph.toLong * ((pw.toLong * bitsPP + 7) / 8 + 1)
     }
     if (expectedL > Int.MaxValue / 2) return None
     val expected = expectedL.toInt
@@ -300,7 +329,7 @@ object Png extends Serializable {
       passI += 1
       val pw = passDim(width, x0, dx); val ph = passDim(height, y0, dy)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = (pw * bitsPP + 7) / 8
         val prev = new Array[Int](stride)
         val cur = new Array[Int](stride)
         java.util.Arrays.fill(prev, 0)
@@ -310,9 +339,9 @@ object Png extends Serializable {
           if (f > 4) return None
           var i = 0
           while (i < stride) {
-            val left = if (i >= bpp) cur(i - bpp) else 0
+            val left = if (i >= fbpp) cur(i - fbpp) else 0
             val up = prev(i)
-            val upLeft = if (i >= bpp) prev(i - bpp) else 0
+            val upLeft = if (i >= fbpp) prev(i - fbpp) else 0
             val pred = f match {
               case 0 => 0
               case 1 => left
@@ -325,18 +354,36 @@ object Png extends Serializable {
           }
           var px = 0
           while (px < pw) {
-            val base = px * bpp
-            // 16-bit: the high byte is sample 0 of each channel pair
-            def s(ch: Int): Int = cur(base + ch * bps)
-            val packed = colorType match {
-              case 0 => val v = s(0); (255 << 24) | (v << 16) | (v << 8) | v
-              case 2 => (255 << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
-              case 3 =>
-                val idx = cur(base)
-                if (idx >= palette.length) return None
-                val a = if (trns != null && idx < trns.length) trns(idx) else 255
-                (a << 24) | palette(idx)
-              case 6 => (s(3) << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
+            val packed = if (bitDepth < 8) {
+              // single-channel sub-byte sample, MSB-first in each byte
+              val bitpos = px * bitDepth
+              val v = (cur(bitpos >> 3) >> (8 - bitDepth - (bitpos & 7))) &
+                ((1 << bitDepth) - 1)
+              if (colorType == 3) {
+                if (v >= palette.length) return None
+                val a = if (trns != null && v < trns.length) trns(v) else 255
+                (a << 24) | palette(v)
+              } else {
+                // gray: scale to 8-bit over the depth's full range
+                val g = v * 255 / ((1 << bitDepth) - 1)
+                (255 << 24) | (g << 16) | (g << 8) | g
+              }
+            } else {
+              val base = px * channels * bps
+              // 16-bit: the high byte is sample 0 of each channel pair
+              def s(ch: Int): Int = cur(base + ch * bps)
+              colorType match {
+                case 0 => val v = s(0); (255 << 24) | (v << 16) | (v << 8) | v
+                case 2 => (255 << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
+                case 3 =>
+                  val idx = cur(base)
+                  if (idx >= palette.length) return None
+                  val a = if (trns != null && idx < trns.length) trns(idx) else 255
+                  (a << 24) | palette(idx)
+                case 4 => val v = s(0)
+                  (s(1) << 24) | (v << 16) | (v << 8) | v
+                case 6 => (s(3) << 24) | (s(0) << 16) | (s(1) << 8) | s(2)
+              }
             }
             argb((y0 + py * dy) * width + (x0 + px * dx)) = packed
             px += 1
@@ -348,7 +395,8 @@ object Png extends Serializable {
       }
     }
     Some(PngPixels(width, height,
-      colorType == 6 || (colorType == 3 && trns != null), argb))
+      colorType == 6 || colorType == 4 || (colorType == 3 && trns != null),
+      argb))
   }
 
   /** Synthesize → PNG-encode → REAL-decode an image per row and prove

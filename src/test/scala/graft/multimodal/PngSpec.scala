@@ -230,6 +230,64 @@ class PngSpec extends SparkSpec {
     }
   }
 
+  test("sub-byte depths: gray 1/2/4 scale over the depth range; palette 1/2/4 index bit-packed rows") {
+    // gray: ragged widths force row-end padding bits (w=9 at depth 1 →
+    // 2 bytes with 7 pad bits; w=5 at depth 4 → 3 bytes with 4)
+    for (depth <- Seq(1, 2, 4); (w, h) <- Seq((9, 5), (5, 4), (8, 3), (1, 1))) {
+      val mx = (1 << depth) - 1
+      def gv(x: Int, y: Int) = (x * 3 + y * 5) % (mx + 1)
+      val img = Png.decodePng(Png.encodePngExt(w, h, 0, depth,
+        interlaced = false, (x, y) => (gv(x, y), 0, 0, 255), y => y % 5)).get
+      for (y <- 0 until h; x <- 0 until w) {
+        val g8 = gv(x, y) * 255 / mx
+        assert(img.argb(y * w + x) ===
+          ((255 << 24) | (g8 << 16) | (g8 << 8) | g8),
+          s"gray ($x,$y) depth=$depth ${w}x$h")
+      }
+    }
+    // palette at depths 1/2/4: ≤ 2^d colors, bit-packed indexes
+    for (depth <- Seq(1, 2, 4)) {
+      val n = 1 << depth
+      val colors = Array.tabulate(n)(i => (i * 37 % 256) << 16 | (i * 91 % 256) << 8 | (i * 53 % 256))
+      def px(x: Int, y: Int) = {
+        val c = colors((x + 2 * y) % n)
+        ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff, 255)
+      }
+      val img = Png.decodePng(Png.encodePngExt(7, 5, 3, depth,
+        interlaced = false, px, y => y % 5)).get
+      for (y <- 0 until 5; x <- 0 until 7) {
+        val (r, g, b, _) = px(x, y)
+        assert((img.argb(y * 7 + x) & 0xffffff) === ((r << 16) | (g << 8) | b),
+          s"palette ($x,$y) depth=$depth")
+      }
+    }
+    // sub-byte + Adam7 composes (pass rows have their own padding)
+    def gv4(x: Int, y: Int) = (x + y) % 16
+    val plain = Png.decodePng(Png.encodePngExt(13, 9, 0, 4,
+      interlaced = false, (x, y) => (gv4(x, y), 0, 0, 255), y => y % 5)).get
+    val inter = Png.decodePng(Png.encodePngExt(13, 9, 0, 4,
+      interlaced = true, (x, y) => (gv4(x, y), 0, 0, 255), y => y % 5)).get
+    assert(inter.argb.toSeq === plain.argb.toSeq)
+  }
+
+  test("gray+alpha (type 4) carries per-pixel alpha at depths 8 and 16") {
+    def px(x: Int, y: Int) = {
+      val v = (x * 29 + y * 67) % 256
+      (v, v, v, (x * 71 + y * 13) % 256)
+    }
+    Seq(8, 16).foreach { depth =>
+      val img = Png.decodePng(Png.encodePngExt(7, 11, 4, depth,
+        interlaced = false, px, y => y % 5)).get
+      assert(img.hasAlpha)
+      for (y <- 0 until 11; x <- 0 until 7) {
+        val (v, _, _, a) = px(x, y)
+        assert(img.argb(y * 7 + x) ===
+          ((a << 24) | (v << 16) | (v << 8) | v),
+          s"($x,$y) depth=$depth")
+      }
+    }
+  }
+
   test("Adam7 interlaced decode equals the non-interlaced decode of the same pixels") {
     def px(x: Int, y: Int) =
       ((x * 37 + y * 101) % 256, (x * 53 + y * 7) % 256,
@@ -277,11 +335,14 @@ class PngSpec extends SparkSpec {
       val c = Array(0x102030, 0xff0000, 0x00ff00, 0x0000ff)((x + y) % 4)
       ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff, 255)
     }
+    def g4px(x: Int, y: Int) = { val v = (x + 2 * y) % 16; (v, v, v, 255) }
     val cases = Seq(
       (2, 8, false, px _), (2, 8, true, px _), (6, 8, true, px _),
       (2, 16, false, px _), (2, 16, true, px _),
       (0, 8, false, gpx _), (0, 16, true, gpx _),
-      (3, 8, false, ppx _), (3, 8, true, ppx _))
+      (0, 4, false, g4px _), (0, 4, true, g4px _),
+      (3, 8, false, ppx _), (3, 8, true, ppx _),
+      (3, 2, false, ppx _), (3, 2, true, ppx _))
     cases.foreach { case (ct, depth, inter, f) =>
       val pay = Png.encodePngExt(13, 9, ct, depth, inter, f, y => y % 5)
       val ours = Png.decodePng(pay).get
@@ -293,9 +354,13 @@ class PngSpec extends SparkSpec {
         if (ct == 0) {
           // grayscale: getRGB re-encodes through sRGB (a gamma curve),
           // so compare the RAW raster sample — 16-bit keeps all 16
-          // bits there, whose high byte is exactly our MSB reduction
+          // bits there (high byte = our MSB reduction); sub-byte
+          // samples stay in the depth domain and scale like ours
           val raw = jdk.getRaster.getSample(x, y, 0)
-          val theirs = if (depth == 16) raw >> 8 else raw
+          val theirs =
+            if (depth == 16) raw >> 8
+            else if (depth < 8) raw * 255 / ((1 << depth) - 1)
+            else raw
           assert((p & 0xff) === theirs, s"($x,$y) gray depth=$depth inter=$inter")
         } else if (depth == 8) {
           assert(p === jdk.getRGB(x, y), s"($x,$y) ct=$ct inter=$inter")
