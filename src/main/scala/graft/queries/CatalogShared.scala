@@ -461,6 +461,48 @@ private[queries] object CatalogShared {
       s"WHERE t0.term = ${q(ws.head)} ORDER BY t0.doc_id, t0.pos"
   }
 
+  /** The QUANTIZED persisted index on the SQL front end
+    * (s14_sql_pq_search) — the SQL face of
+    * [[graft.operators.IvfIndex.searchPq]], i.e. the index a 100 TB
+    * deployment actually serves: probe = the S9 centroid-CTE rank,
+    * ADC = a per-(subspace, codeword) lookup CTE built by dotting each
+    * codebook row against the query's sub-vector (the same sequential
+    * IEEE fold as [[graft.operators.Pq.adcDotTables]] — `dot_product`
+    * is the registered native expression), pool = the approximate-
+    * cosine top-(k·poolFactor) over the PRUNED code postings (m
+    * equi-joins on the code columns — zero arithmetic on any original
+    * vector), re-rank = exact cosine over only the pool's vectors
+    * fetched from the source table. A SQL-only analyst searches the
+    * quantized layout with zero Scala.
+    */
+  def sqlPqSearch(centT: String, bookT: String, postT: String,
+      m: Int, subLen: Int): String = {
+    val adSum = (0 until m).map(j => s"qd$j.d").mkString(" + ")
+    val n2Sum = (0 until m).map(j => s"qd$j.n2").mkString(" + ")
+    val qdJoins = (0 until m).map(j =>
+      s"JOIN qd qd$j ON qd$j.sub = $j AND qd$j.cid = p.code$j").mkString(" ")
+    "WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qv " +
+      "FROM embeddings WHERE vec_id = 0), " +
+      "pr AS (SELECT cid FROM (SELECT c.cid, " +
+      "-((dot_product(q.qv, q.qv) - 2 * dot_product(c.c, q.qv)) + dot_product(c.c, c.c)) AS s " +
+      s"FROM $centT c, q) ORDER BY s DESC, cid LIMIT 2), " +
+      "qd AS (SELECT cb.sub, cb.cid, " +
+      s"dot_product(cb.c, slice(q.qv, cb.sub * $subLen + 1, $subLen)) AS d, " +
+      s"dot_product(cb.c, cb.c) AS n2 FROM $bookT cb, q), " +
+      // BROADCAST(qd): the lookup CTE is m·pqK rows (16) but derives
+      // from a join, so the static estimator can't see it's tiny —
+      // without the hint each code join becomes a SortMergeJoin that
+      // SHUFFLES the pruned postings four times
+      s"pool AS (SELECT /*+ BROADCAST(${(0 until m).map(j => s"qd$j").mkString(", ")}) */ p.vec_id, p.centroid_id FROM $postT p " +
+      s"JOIN pr ON p.centroid_id = pr.cid $qdJoins " +
+      s"WHERE p.vec_id <> 0 ORDER BY ($adSum) / sqrt($n2Sum) DESC, p.vec_id " +
+      "LIMIT 40) " +
+      "SELECT e.vec_id, CAST(pool.centroid_id AS BIGINT) AS centroid_id " +
+      "FROM embeddings e JOIN pool ON e.vec_id = pool.vec_id, q " +
+      "ORDER BY dot_product(e.embedding, q.qv) / " +
+      "sqrt(dot_product(e.embedding, e.embedding)) DESC, e.vec_id LIMIT 10"
+  }
+
   /** Hybrid RRF retrieval over BOTH persisted indexes as ONE Spark SQL
     * statement (s13_sql_hybrid) — the SQL face of `sim_index_hybrid`:
     * the vector arm is [[sqlIndexSearch]]'s probe-CTE + pruned posting

@@ -1045,7 +1045,28 @@ private[queries] object VectorQueries {
         s.sql(sqlHybridSearch(vn.centroids, vn.postings,
           tn.postings, tn.stats))
       },
-      Some(hybridIndexRrfSql)))
+      Some(hybridIndexRrfSql)),
+
+    // S14: the QUANTIZED index on the SQL front end — one spark.sql
+    // statement searches the layout a 100 TB deployment actually
+    // serves: probe CTE over the centroids model, an ADC lookup CTE
+    // built by dotting each codebook row against the query's
+    // sub-vector (the exact Pq.adcDotTables IEEE fold via the native
+    // dot_product), the pruned code postings joined to it on the m
+    // code columns (zero arithmetic on any original vector), and the
+    // exact-cosine re-rank fetching ONLY the pool's vectors. Same ivq
+    // tables as sim_index_pq (read-only after the serialized build);
+    // the oracle is that row's standing twin, so the hash match proves
+    // SQL ≡ IvfIndex.searchPq ≡ the cross-engine ground truth.
+    Q("s14_sql_pq_search",
+      (s, d) => {
+        graft.functions.Registry.registerSql(s)
+        val n = ensurePqIndex(s, d, "ivq")
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(sqlPqSearch(n.centroids, n.codebooks, n.postings,
+          m = 4, subLen = 16))
+      },
+      Some(ivfPqPersistSql)))
 
   /** DuckDB corpus twin shared by `text_index_phrase` and
     * `s12_sql_phrase`: tokenize `documents` positionally, adjacent-join

@@ -296,6 +296,22 @@ class PlanSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("s14_sql_pq_search: DPP prunes the code-posting scan; SQL ≡ IvfIndex.searchPq row for row") {
+    val p = plan("s14_sql_pq_search")
+    // the probe CTE reaches the partitioned code-posting scan as a
+    // dynamic partition-pruning filter, and the ADC stage touches only
+    // code columns — no original vector arithmetic before the re-rank
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val viaSql = SparkEntry.queries("s14_sql_pq_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = SparkEntry.queries("sim_index_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi)
+  }
+
   test("text_index_persist: BM25 serves from the pruned persisted postings — corpus text never scanned") {
     val p = plan("text_index_persist")
     // the query terms' buckets reach the posting scan as PARTITION
