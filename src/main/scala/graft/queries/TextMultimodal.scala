@@ -232,6 +232,67 @@ private[queries] object TextMultimodalQueries {
       s"(${ILog.qlogSqlDuck("dpos")} - ${ILog.qlogSqlDuck("dneg")} + SUM(wt)) > 0 AS pred_pos " +
       "FROM j GROUP BY doc_id, dpos, dneg ORDER BY doc_id"
 
+  /** DuckDB CTE chain twin of the [[graft.operators.Punkt]] pipeline:
+    * `pt0…ptok` derive the sentence-structured token stream, `pabbr`
+    * is the type-stage abbreviation model, `psent` the per-document
+    * segmentation stats (the learned abbrevs feed the boundary rule
+    * through `pab`). All scores are fp20 BIGINTs via [[ILog]], so the
+    * chain is bit-identical to the Spark plan.
+    */
+  private lazy val punktCtes: String = {
+    import graft.operators.Punkt
+    def L(e: String) = ILog.qlogSqlDuck(e)
+    val l99 = ILog.qlog2Fp20(99) - ILog.qlog2Fp20(100)
+    val l01 = ILog.qlog2Fp20(1) - ILog.qlog2Fp20(100)
+    val abbrevIn = Punkt.AbbrevWords.map(w => s"'$w'").mkString("(", ", ", ")")
+    "pws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+      "pt0 AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w0 FROM pws, LATERAL unnest(generate_series(1, len(ws))) AS t(i)), " +
+      s"pt1 AS (SELECT doc_id, pos, w0, (w0 IN $abbrevIn) OR ((doc_id * 131 + pos) % ${Punkt.SentenceMod} = 0) AS endp FROM pt0), " +
+      "pt2 AS (SELECT doc_id, pos, w0 || CASE WHEN endp THEN '.' ELSE '' END AS w1, COALESCE(lag(endp) OVER (PARTITION BY doc_id ORDER BY pos), TRUE) AS cap FROM pt1), " +
+      "ptok AS (SELECT doc_id, pos, CASE WHEN cap THEN upper(substr(w1, 1, 1)) || substr(w1, 2) ELSE w1 END AS w FROM pt2), " +
+      "pty AS (SELECT doc_id, pos, w, w LIKE '%.' AS hasp, CASE WHEN w LIKE '%.' THEN lower(substr(w, 1, length(w) - 1)) ELSE lower(w) END AS ty FROM ptok), " +
+      "psc AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN hasp THEN 1 ELSE 0 END) AS BIGINT) AS n_period FROM pty), " +
+      "pgrp AS (SELECT ty, CAST(count(*) AS BIGINT) AS cnt_total, CAST(sum(CASE WHEN hasp THEN 1 ELSE 0 END) AS BIGINT) AS cnt_period FROM pty GROUP BY ty), " +
+      "pcand AS (SELECT ty, cnt_total, cnt_period, cnt_total - cnt_period AS cwp, CAST(length(replace(ty, '.', '')) AS BIGINT) AS len, CAST(length(ty) - length(replace(ty, '.', '')) + 1 AS BIGINT) AS np, n_tok, n_period FROM pgrp, psc WHERE cnt_period >= 1 AND length(replace(ty, '.', '')) >= 1), " +
+      s"pllr AS (SELECT *, CAST(CASE WHEN n_tok - n_period < 1 THEN NULL ELSE 2 * ((cnt_period * ($l99) + cwp * ($l01)) - (cnt_period * (${L("n_period")} - ${L("n_tok")}) + cwp * (${L("(n_tok - n_period)")} - ${L("n_tok")}))) END AS BIGINT) AS llr_fp20 FROM pcand), " +
+      s"pscore AS (SELECT *, CAST(CASE WHEN llr_fp20 IS NULL OR llr_fp20 < 1 THEN NULL ELSE ${L("llr_fp20")} - ${Punkt.Fp20Bias} + ${L("np")} - len * 1048576 - cwp * ${L("len")} END AS BIGINT) AS score_fp20 FROM pllr), " +
+      s"pabbr AS (SELECT ty, cnt_total, cnt_period, llr_fp20, score_fp20, COALESCE(score_fp20 >= ${Punkt.ScoreThresholdFp20}, FALSE) AS is_abbrev FROM pscore), " +
+      "pab AS (SELECT ty, TRUE AS is_ab FROM pabbr WHERE is_abbrev), " +
+      "pb AS (SELECT doc_id, pos, w, hasp, ty, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt, is_ab FROM pty LEFT JOIN pab USING (ty)), " +
+      "pbd AS (SELECT doc_id, pos, (nxt IS NULL) OR (hasp AND substr(nxt, 1, 1) BETWEEN 'A' AND 'Z' AND is_ab IS NULL) AS boundary FROM pb), " +
+      "psx AS (SELECT doc_id, pos, COALESCE(CAST(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sidx FROM pbd), " +
+      "pst AS (SELECT doc_id, sidx, CAST(count(*) AS BIGINT) AS stoks FROM psx GROUP BY 1, 2), " +
+      "psent AS (SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_sentences, CAST(max(stoks) AS BIGINT) AS max_sent_tokens FROM pst GROUP BY doc_id)"
+  }
+
+  /** Shared oracle of text_sentences AND text_punkt_persist — one SQL
+    * hash-pins persisted-model ≡ inline-trained segmentation (the
+    * quality_nb / quality_nb_persist pattern).
+    */
+  private lazy val punktSentSql: String =
+    s"WITH $punktCtes SELECT doc_id, n_tokens, n_sentences, max_sent_tokens FROM psent ORDER BY doc_id"
+
+  /** Build-once persisted Punkt abbreviation model per corpus
+    * fingerprint — the "learn the splitter on the corpus once, segment
+    * every batch retrain-free" deployment shape ([[ensureNbModel]]
+    * economics). All columns BIGINT/BOOLEAN/VARCHAR: parquet round-trip
+    * exact, persisted ≡ inline.
+    */
+  private[queries] def ensurePunktModel(s: SparkSession, d: String): String = {
+    import graft.operators.Punkt
+    val fp = graft.util.Paths.corpusFingerprint(d, Seq("documents"))
+    val t = s"punkt_model_$fp"
+    cachedBuild(s"punktmodel|$fp") {
+      if (!s.catalog.tableExists(t)) {
+        graft.sources.Warehouse.writeTable(
+          Punkt.trainAbbrevs(Punkt.derivedTokens(
+            Tables.documents(s, d).select("doc_id", "text"))), t)
+      }
+      java.lang.Boolean.TRUE
+    }
+    t
+  }
+
   private val textual = Seq(
     // A1+A2+C5+C7+C8: tokenize → alnum filter → stopword drop → global
     // word-frequency top-k (cache.py:220-240 cache_top_10_keywords).
@@ -1747,7 +1808,47 @@ private[queries] object TextMultimodalQueries {
         "(CASE WHEN doc_id % 2 = 1 THEN '#s' || (doc_id % 3) ELSE '' END) AS url, " +
         "'http://site' || (doc_id % 7) || '.example.com/news/' || (doc_id % 5) || '?id=' || (doc_id % 9) AS canonical, " +
         "doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 7, doc_id % 5, doc_id % 9) AS is_dup " +
-        "FROM documents ORDER BY doc_id")))
+        "FROM documents ORDER BY doc_id")),
+
+    // Beyond-reference: Punkt-style unsupervised abbreviation learning
+    // (Kiss & Strunk 2006, type stage) over the derived
+    // sentence-structured corpus — closes the C6 sentence-splitting
+    // waiver direction with a LEARNED model instead of a closed-form
+    // regex. Vocabulary-keyed aggregation + 1-row scalar broadcast:
+    // type-space state, scale-free in documents.
+    Q("text_punkt_train",
+      (s, d) => graft.operators.Punkt.trainAbbrevs(
+        graft.operators.Punkt.derivedTokens(
+          Tables.documents(s, d).select("doc_id", "text")))
+        .orderBy("ty"),
+      Some(s"WITH $punktCtes SELECT ty, cnt_total, cnt_period, llr_fp20, score_fp20, is_abbrev FROM pabbr ORDER BY ty")),
+
+    // Sentence segmentation with the learned model: boundary = period +
+    // capital successor + NOT a learned abbreviation. The abbrev join
+    // broadcasts (vocabulary-bounded); windows partition by doc_id.
+    Q("text_sentences",
+      (s, d) => {
+        import graft.operators.Punkt
+        val toks = Punkt.derivedTokens(
+          Tables.documents(s, d).select("doc_id", "text"))
+        Punkt.sentenceStats(toks,
+          Punkt.trainAbbrevs(toks).filter(col("is_abbrev")))
+          .orderBy("doc_id")
+      },
+      Some(punktSentSql)),
+
+    // Same segmentation against the PERSISTED model table — the shared
+    // oracle hash-pins persisted ≡ inline (quality_nb_persist pattern).
+    Q("text_punkt_persist",
+      (s, d) => {
+        import graft.operators.Punkt
+        val mt = ensurePunktModel(s, d)
+        Punkt.sentenceStats(
+          Punkt.derivedTokens(Tables.documents(s, d).select("doc_id", "text")),
+          s.table(mt).filter(col("is_abbrev")))
+          .orderBy("doc_id")
+      },
+      Some(punktSentSql)))
 
 
   val all: Seq[Q] = textual
