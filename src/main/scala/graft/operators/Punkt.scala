@@ -114,13 +114,15 @@ object Punkt {
     * scale-free in documents.
     */
   def trainAbbrevs(tokens: DataFrame): DataFrame = {
-    val t = typedTokens(tokens)
-    val types = t.groupBy("ty").agg(
+    val types = typedTokens(tokens).groupBy("ty").agg(
       count(lit(1)).as("cnt_total"),
       sum(when(col("hasp"), 1L).otherwise(0L)).as("cnt_period"))
-    val scal = t.agg(
-      count(lit(1)).as("n_tok"),
-      sum(when(col("hasp"), 1L).otherwise(0L)).as("n_period"))
+    // Corpus scalars fold from the TYPE table (sums of per-type counts
+    // over ALL types, candidates and not), not a second scan of the
+    // token stream: the trainer reads the corpus exactly once.
+    val scal = types.agg(
+      sum("cnt_total").as("n_tok"),
+      sum("cnt_period").as("n_period"))
     scoreTypes(types, scal)
   }
 
