@@ -59,8 +59,22 @@ object Punkt {
     */
   val AbbrevWords: Seq[String] = Seq("agg", "merge", "row")
 
+  /** Vocabulary words the derived corpus plants as frequent sentence
+    * STARTERS: an extra boundary lands before ~1/3 of their occurrences
+    * ([[StarterMod]]), so they follow sentence ends far above the
+    * corpus base rate — the token-stage statistic must find them.
+    */
+  val StarterWords: Seq[String] = Seq("the", "data")
+
   /** Sentence-end rule for the derived corpus. */
   val SentenceMod = 9
+
+  /** Planted-starter rule modulus: a period also lands on the token at
+    * position p when the NEXT token is a [[StarterWords]] member and
+    * (doc_id·131 + p) % 3 == 1 (residue disjoint from [[SentenceMod]]'s
+    * multiples, which are ≡ 0 mod 3).
+    */
+  val StarterMod = 3
 
   /** log2(0.3) in fp20, in the same approximate system as the scores:
     * qlog2(3) − qlog2(10).
@@ -83,7 +97,9 @@ object Punkt {
     val win = Window.partitionBy("doc_id").orderBy("pos")
     tok
       .withColumn("endp", col("w0").isin(AbbrevWords: _*) ||
-        (col("doc_id") * 131 + col("pos")) % SentenceMod === 0)
+        (col("doc_id") * 131 + col("pos")) % SentenceMod === 0 ||
+        (lead(col("w0"), 1).over(win).isin(StarterWords: _*) &&
+          (col("doc_id") * 131 + col("pos")) % StarterMod === 1))
       .withColumn("w1", concat(col("w0"),
         when(col("endp"), lit(".")).otherwise(lit(""))))
       .withColumn("cap", coalesce(lag(col("endp"), 1).over(win), lit(true)))
@@ -163,6 +179,61 @@ object Punkt {
         "is_abbrev")
   }
 
+  /** Token-stage frequent-sentence-starter model (the Kiss & Strunk
+    * refinement the type stage feeds): a type is a starter when it
+    * follows UNAMBIGUOUS sentence boundaries — document starts and
+    * periods whose type is NOT a learned abbreviation — well above the
+    * corpus base rate. Dunning llr of "this type starts sentences at
+    * rate ≥ 1/4" (log2(1/4) = −2 and log2(3/4) = qlog2(3) − qlog2(4),
+    * both exact in the fp20 system) vs the base rate; is_starter when
+    * the llr is positive — the planted-vs-ordinary rate gap
+    * (~0.37 vs ~0.12 around a ~0.175 crossover) makes the sign
+    * decisive, never a knife-edge.
+    *
+    * One row per type seen at least once after a boundary:
+    * (ty, cnt_total, cnt_start, llr_fp20, is_starter). Same shuffle
+    * shape as [[trainAbbrevs]] plus the per-document lag window:
+    * vocabulary-keyed state, scale-free in documents.
+    */
+  def trainStarters(tokens: DataFrame, abbrevs: DataFrame): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val ab = abbrevs.select(col("ty").as("prev_ty"), lit(true).as("p_ab"))
+    val t = typedTokens(tokens)
+      .withColumn("p_hasp", lag(col("hasp"), 1).over(win))
+      .withColumn("prev_ty", lag(col("ty"), 1).over(win))
+      .join(broadcast(ab), Seq("prev_ty"), "left")
+      .withColumn("afb", col("p_hasp").isNull ||
+        (col("p_hasp") && col("p_ab").isNull))
+    val stypes = t.groupBy("ty").agg(
+      count(lit(1)).as("cnt_total"),
+      sum(when(col("afb"), 1L).otherwise(0L)).as("cnt_start"))
+    val scal = stypes.agg(
+      sum("cnt_total").as("n_tok"),
+      sum("cnt_start").as("n_ab"))
+    scoreStarterTypes(stypes, scal)
+  }
+
+  /** Starter scoring against corpus scalars — split out for the spec.
+    * `stypes`: (ty, cnt_total, cnt_start); `scal`: (n_tok, n_ab).
+    */
+  def scoreStarterTypes(stypes: DataFrame, scal: DataFrame): DataFrame = {
+    def L(e: String) = ILog.qlogSqlSpark(e)
+    val l14 = -2L * 1048576L                              // log2(1/4)
+    val l34 = ILog.qlog2Fp20(3) - ILog.qlog2Fp20(4)       // log2(3/4)
+    stypes
+      .filter(col("cnt_start") >= 1 && length(col("ty")) >= 1)
+      .crossJoin(broadcast(scal))
+      .withColumn("cns", col("cnt_total") - col("cnt_start"))
+      .withColumn("llr_fp20", expr(
+        "CASE WHEN n_tok - n_ab < 1 THEN NULL ELSE " +
+          s"2 * ((cnt_start * $l14 + cns * $l34) - " +
+          s"(cnt_start * (${L("n_ab")} - ${L("n_tok")}) + " +
+          s"cns * (${L("n_tok - n_ab")} - ${L("n_tok")}))) END"))
+      .withColumn("is_starter",
+        coalesce(col("llr_fp20") >= 1, lit(false)))
+      .select("ty", "cnt_total", "cnt_start", "llr_fp20", "is_starter")
+  }
+
   /** Per-document sentence segmentation using a learned abbreviation
     * set: a boundary is a period-final token whose successor starts
     * with a capital and whose type is NOT a learned abbreviation (plus
@@ -173,15 +244,38 @@ object Punkt {
     * vocabulary-bounded, so the join broadcasts; the windows partition
     * by doc_id, the standard per-document token-pipeline shape.
     */
-  def sentenceStats(tokens: DataFrame, abbrevs: DataFrame): DataFrame = {
+  def sentenceStats(tokens: DataFrame, abbrevs: DataFrame): DataFrame =
+    segment(tokens, abbrevs, None)
+
+  /** [[sentenceStats]] plus the token-stage refinement: a period AFTER
+    * a learned abbreviation still opens a boundary when the successor's
+    * type is a learned frequent sentence starter ("He works at Merge.
+    * The next day …"). `starters` needs a `ty` column (pre-filtered to
+    * is_starter) — vocabulary-bounded, broadcast like the abbrev set.
+    */
+  def sentenceStatsFull(tokens: DataFrame, abbrevs: DataFrame,
+      starters: DataFrame): DataFrame =
+    segment(tokens, abbrevs, Some(starters))
+
+  private def segment(tokens: DataFrame, abbrevs: DataFrame,
+      starters: Option[DataFrame]): DataFrame = {
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val ab = abbrevs.select(col("ty"), lit(true).as("is_ab"))
-    val b = typedTokens(tokens)
+    val base = typedTokens(tokens)
       .join(broadcast(ab), Seq("ty"), "left")
       .withColumn("nxt", lead(col("w"), 1).over(win))
+    val (joined, starterOverride) = starters match {
+      case Some(st) =>
+        val s = st.select(col("ty").as("nxt_ty"), lit(true).as("is_st"))
+        (base.withColumn("nxt_ty", lead(col("ty"), 1).over(win))
+          .join(broadcast(s), Seq("nxt_ty"), "left"),
+          col("is_st").isNotNull)
+      case None => (base, lit(false))
+    }
+    val b = joined
       .withColumn("boundary", col("nxt").isNull ||
         (col("hasp") && substring(col("nxt"), 1, 1).between("A", "Z") &&
-          col("is_ab").isNull))
+          (col("is_ab").isNull || starterOverride)))
       .withColumn("sidx", coalesce(
         sum(when(col("boundary"), 1L).otherwise(0L))
           .over(win.rowsBetween(Window.unboundedPreceding, -1)),
@@ -216,6 +310,21 @@ object Punkt {
           cwp * L(len)
         (Some(llr), Some(score), score >= ScoreThresholdFp20)
       }
+    }
+  }
+
+  /** JVM twin of [[scoreStarterTypes]]'s per-type arithmetic. */
+  def scoreStarter(cntTotal: Long, cntStart: Long, nTok: Long,
+      nAb: Long): (Option[Long], Boolean) = {
+    if (nTok - nAb < 1) (None, false)
+    else {
+      def L(n: Long) = ILog.qlog2Fp20(n)
+      val l14 = -2L * 1048576L
+      val l34 = ILog.qlog2Fp20(3) - ILog.qlog2Fp20(4)
+      val cns = cntTotal - cntStart
+      val llr = 2 * ((cntStart * l14 + cns * l34) -
+        (cntStart * (L(nAb) - L(nTok)) + cns * (L(nTok - nAb) - L(nTok))))
+      (Some(llr), llr >= 1)
     }
   }
 }

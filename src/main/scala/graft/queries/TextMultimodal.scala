@@ -244,10 +244,13 @@ private[queries] object TextMultimodalQueries {
     def L(e: String) = ILog.qlogSqlDuck(e)
     val l99 = ILog.qlog2Fp20(99) - ILog.qlog2Fp20(100)
     val l01 = ILog.qlog2Fp20(1) - ILog.qlog2Fp20(100)
+    val l14 = -2L * 1048576L                              // log2(1/4)
+    val l34 = ILog.qlog2Fp20(3) - ILog.qlog2Fp20(4)       // log2(3/4)
     val abbrevIn = Punkt.AbbrevWords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val starterIn = Punkt.StarterWords.map(w => s"'$w'").mkString("(", ", ", ")")
     "pws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
       "pt0 AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w0 FROM pws, LATERAL unnest(generate_series(1, len(ws))) AS t(i)), " +
-      s"pt1 AS (SELECT doc_id, pos, w0, (w0 IN $abbrevIn) OR ((doc_id * 131 + pos) % ${Punkt.SentenceMod} = 0) AS endp FROM pt0), " +
+      s"pt1 AS (SELECT doc_id, pos, w0, (w0 IN $abbrevIn) OR ((doc_id * 131 + pos) % ${Punkt.SentenceMod} = 0) OR (lead(w0) OVER (PARTITION BY doc_id ORDER BY pos) IN $starterIn AND (doc_id * 131 + pos) % ${Punkt.StarterMod} = 1) AS endp FROM pt0), " +
       "pt2 AS (SELECT doc_id, pos, w0 || CASE WHEN endp THEN '.' ELSE '' END AS w1, COALESCE(lag(endp) OVER (PARTITION BY doc_id ORDER BY pos), TRUE) AS cap FROM pt1), " +
       "ptok AS (SELECT doc_id, pos, CASE WHEN cap THEN upper(substr(w1, 1, 1)) || substr(w1, 2) ELSE w1 END AS w FROM pt2), " +
       "pty AS (SELECT doc_id, pos, w, w LIKE '%.' AS hasp, CASE WHEN w LIKE '%.' THEN lower(substr(w, 1, length(w) - 1)) ELSE lower(w) END AS ty FROM ptok), " +
@@ -262,7 +265,25 @@ private[queries] object TextMultimodalQueries {
       "pbd AS (SELECT doc_id, pos, (nxt IS NULL) OR (hasp AND substr(nxt, 1, 1) BETWEEN 'A' AND 'Z' AND is_ab IS NULL) AS boundary FROM pb), " +
       "psx AS (SELECT doc_id, pos, COALESCE(CAST(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sidx FROM pbd), " +
       "pst AS (SELECT doc_id, sidx, CAST(count(*) AS BIGINT) AS stoks FROM psx GROUP BY 1, 2), " +
-      "psent AS (SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_sentences, CAST(max(stoks) AS BIGINT) AS max_sent_tokens FROM pst GROUP BY doc_id)"
+      "psent AS (SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_sentences, CAST(max(stoks) AS BIGINT) AS max_sent_tokens FROM pst GROUP BY doc_id), " +
+      // Token-stage frequent-sentence-starter model: types following
+      // UNAMBIGUOUS boundaries (doc start, or a period whose type is
+      // not a learned abbreviation) at rate >= 1/4 vs the base rate.
+      "psv AS (SELECT doc_id, pos, ty, hasp, lag(hasp) OVER (PARTITION BY doc_id ORDER BY pos) AS p_hasp, lag(ty) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_ty FROM pty), " +
+      "psafb AS (SELECT psv.ty, (p_hasp IS NULL) OR (p_hasp AND ab2.is_ab IS NULL) AS afb FROM psv LEFT JOIN pab ab2 ON psv.prev_ty = ab2.ty), " +
+      "psg AS (SELECT ty, CAST(count(*) AS BIGINT) AS cnt_total, CAST(sum(CASE WHEN afb THEN 1 ELSE 0 END) AS BIGINT) AS cnt_start FROM psafb GROUP BY ty), " +
+      "pssc AS (SELECT CAST(sum(cnt_total) AS BIGINT) AS n_tok, CAST(sum(cnt_start) AS BIGINT) AS n_ab FROM psg), " +
+      "pscand2 AS (SELECT ty, cnt_total, cnt_start, cnt_total - cnt_start AS cns, n_tok, n_ab FROM psg, pssc WHERE cnt_start >= 1 AND length(replace(ty, '.', '')) >= 1), " +
+      s"psllr AS (SELECT ty, cnt_total, cnt_start, CAST(CASE WHEN n_tok - n_ab < 1 THEN NULL ELSE 2 * ((cnt_start * ($l14) + cns * ($l34)) - (cnt_start * (${L("n_ab")} - ${L("n_tok")}) + cns * (${L("(n_tok - n_ab)")} - ${L("n_tok")}))) END AS BIGINT) AS llr_fp20 FROM pscand2), " +
+      "pstart AS (SELECT ty, cnt_total, cnt_start, llr_fp20, COALESCE(llr_fp20 >= 1, FALSE) AS is_starter FROM psllr), " +
+      "pstty AS (SELECT ty FROM pstart WHERE is_starter), " +
+      // Full segmentation: the starter set re-opens boundaries after
+      // learned abbreviations ("… at Merge. The next day …").
+      "pb2 AS (SELECT pty.doc_id, pty.pos, pty.w, pty.hasp, pty.ty, lead(pty.w) OVER (PARTITION BY pty.doc_id ORDER BY pty.pos) AS nxt, lead(pty.ty) OVER (PARTITION BY pty.doc_id ORDER BY pty.pos) AS nxt_ty, pab.is_ab FROM pty LEFT JOIN pab USING (ty)), " +
+      "pbd2 AS (SELECT pb2.doc_id, pb2.pos, (nxt IS NULL) OR (hasp AND substr(nxt, 1, 1) BETWEEN 'A' AND 'Z' AND (is_ab IS NULL OR st.ty IS NOT NULL)) AS boundary FROM pb2 LEFT JOIN pstty st ON pb2.nxt_ty = st.ty), " +
+      "psx2 AS (SELECT doc_id, pos, COALESCE(CAST(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sidx FROM pbd2), " +
+      "pst2 AS (SELECT doc_id, sidx, CAST(count(*) AS BIGINT) AS stoks FROM psx2 GROUP BY 1, 2), " +
+      "psent2 AS (SELECT doc_id, CAST(sum(stoks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_sentences, CAST(max(stoks) AS BIGINT) AS max_sent_tokens FROM pst2 GROUP BY doc_id)"
   }
 
   /** Shared oracle of text_sentences AND text_punkt_persist — one SQL
@@ -1836,6 +1857,35 @@ private[queries] object TextMultimodalQueries {
           .orderBy("doc_id")
       },
       Some(punktSentSql)),
+
+    // Token-stage frequent-sentence-starter model (the Kiss & Strunk
+    // refinement): Dunning llr of "starts sentences at rate >= 1/4" vs
+    // the base rate, trained on UNAMBIGUOUS boundaries — which requires
+    // the learned abbreviation set first (stage composition).
+    Q("text_punkt_starters",
+      (s, d) => {
+        import graft.operators.Punkt
+        val toks = Punkt.derivedTokens(
+          Tables.documents(s, d).select("doc_id", "text"))
+        Punkt.trainStarters(toks,
+          Punkt.trainAbbrevs(toks).filter(col("is_abbrev")))
+          .orderBy("ty")
+      },
+      Some(s"WITH $punktCtes SELECT ty, cnt_total, cnt_start, llr_fp20, is_starter FROM pstart ORDER BY ty")),
+
+    // Full segmentation: abbreviation AND starter models — a learned
+    // starter re-opens the boundary after an abbreviation.
+    Q("text_sentences_full",
+      (s, d) => {
+        import graft.operators.Punkt
+        val toks = Punkt.derivedTokens(
+          Tables.documents(s, d).select("doc_id", "text"))
+        val ab = Punkt.trainAbbrevs(toks).filter(col("is_abbrev"))
+        Punkt.sentenceStatsFull(toks, ab,
+          Punkt.trainStarters(toks, ab).filter(col("is_starter")))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $punktCtes SELECT doc_id, n_tokens, n_sentences, max_sent_tokens FROM psent2 ORDER BY doc_id")),
 
     // Same segmentation against the PERSISTED model table — the shared
     // oracle hash-pins persisted ≡ inline (quality_nb_persist pattern).

@@ -79,6 +79,39 @@ class PunktSpec extends SparkSpec {
     assert(noModel.getLong(2) === 3L)
   }
 
+  test("starter JVM twin matches the Spark scoring; planted rates split cleanly") {
+    // 'the' follows a boundary in 40 of 100 occurrences (planted rate),
+    // 'word' in 12 of 100 (base); corpus base rate 520/4000 = 0.13.
+    val stypes = Seq(("the", 100L, 40L), ("word", 100L, 12L))
+      .toDF("ty", "cnt_total", "cnt_start")
+    val scal = Seq((4000L, 520L)).toDF("n_tok", "n_ab")
+    val rows = Punkt.scoreStarterTypes(stypes, scal)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toMap
+    assert(rows("the") === Punkt.scoreStarter(100L, 40L, 4000L, 520L))
+    assert(rows("word") === Punkt.scoreStarter(100L, 12L, 4000L, 520L))
+    assert(rows("the")._2 === true)
+    assert(rows("word")._2 === false)
+  }
+
+  test("starters re-open boundaries after abbreviations in full segmentation") {
+    // "Start ab. The word" — base: 'ab.' is an abbreviation, 1 sentence;
+    // full with starter {the}: the period re-opens, 2 sentences.
+    val t = toks((1L, 0L, "Start"), (1L, 1L, "ab."), (1L, 2L, "The"),
+      (1L, 3L, "word"))
+    val ab = Seq("ab").toDF("ty")
+    val base = Punkt.sentenceStats(t, ab).collect().head
+    assert(base.getLong(2) === 1L)
+    val full = Punkt.sentenceStatsFull(t, ab, Seq("the").toDF("ty"))
+      .collect().head
+    assert(full.getLong(2) === 2L)
+    assert(full.getLong(3) === 2L)
+    // An empty starter set makes full ≡ base.
+    val none = Punkt.sentenceStatsFull(t, ab, Seq.empty[String].toDF("ty"))
+      .collect().head
+    assert(none.getLong(2) === 1L)
+  }
+
   test("document tail without a period still closes a sentence") {
     val t = toks((7L, 0L, "One."), (7L, 1L, "trailing"), (7L, 2L, "words"))
     val r = Punkt.sentenceStats(t, Seq.empty[String].toDF("ty"))
@@ -110,6 +143,8 @@ class PunktSpec extends SparkSpec {
   test("degenerate: empty corpus and periodless corpus") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Punkt.trainAbbrevs(Punkt.derivedTokens(empty)).count() === 0L)
+    assert(Punkt.trainStarters(Punkt.derivedTokens(empty),
+      Seq.empty[String].toDF("ty")).count() === 0L)
     assert(Punkt.sentenceStats(Punkt.derivedTokens(empty),
       Seq.empty[String].toDF("ty")).count() === 0L)
     // Periodless token stream: no candidates, one sentence per doc.
