@@ -727,4 +727,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
     assert(q.count() === 1)
   }
+
+  test("punkt: model joins broadcast; token stream never sort-merges or cartesians") {
+    for (name <- Seq("text_sentences", "text_sentences_full",
+        "text_punkt_starters")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: $p")
+      assert(!p.contains("SortMergeJoin"), s"$name: $p")
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(p.contains("hashpartitioning(doc_id"), s"$name: $p")
+    }
+  }
+
+  test("punkt trainer: vocabulary agg is partial before the exchange; scalars broadcast") {
+    val p = plan("text_punkt_train")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The 1-row corpus-scalar cross join is a broadcast nested loop —
+    // the only acceptable NLJ shape (k-row model side).
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
