@@ -403,6 +403,67 @@ private[queries] object ClusterPipelineQueries {
       },
       Some("SELECT * FROM (SELECT c_custkey, c_name, CASE WHEN c_custkey <= 100 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal FROM customer UNION ALL SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 5) ORDER BY c_custkey")),
 
+    // Type-2 SCD maintenance ([[graft.operators.Scd2]]): one change
+    // batch versioned into a customer dimension — real changes close
+    // the open version and insert a fresh one, no-op updates pass
+    // through, unseen keys insert their first version, history rows are
+    // untouched. One key-equi full-outer join of the current slice
+    // against the batch (the history slice never shuffles); the oracle
+    // is the CASE/UNION semantic twin of the same batch.
+    Q("scd2_apply",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          cents(col("c_acctbal")).cast("long").as("cents"),
+          col("c_mktsegment"))
+        val k = col("c_custkey")
+        // seeded history: every %9==4 key carries a closed LEGACY v0
+        val hist0 = base.filter(k % 9 === 4).select(
+          k, col("c_name"), col("c_nationkey"),
+          (col("cents") - 1000).as("cents"), lit("LEGACY").as("c_mktsegment"),
+          lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+          lit(false).as("is_current"))
+        val cur0 = base
+          .withColumn("valid_from", when(k % 9 === 4, 1L).otherwise(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val changes = base.filter(k % 7 === 2 || k % 7 === 3)
+          .withColumn("c_mktsegment",
+            when(k % 7 === 2, concat(col("c_mktsegment"), lit("_V2")))
+              .otherwise(col("c_mktsegment")))
+          .unionByName(base.filter(k % 13 === 5).select(
+            (k + 1000000L).as("c_custkey"),
+            concat(lit("NEW#"), k.cast("string")).as("c_name"),
+            col("c_nationkey"), lit(5000L).as("cents"),
+            lit("NEW").as("c_mktsegment")))
+        graft.operators.Scd2(cur0.unionByName(hist0), changes, "c_custkey",
+            tracked = Seq("cents", "c_mktsegment"), batchVersion = 2L)
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("WITH base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
+        "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +
+        "CAST(0 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS vt, FALSE AS cur FROM base WHERE k % 9 = 4), " +
+        "cur AS (SELECT k, c_name, nk, cents, seg, " +
+        "CAST(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS vf, " +
+        "CAST(NULL AS BIGINT) AS vt, TRUE AS cur FROM base), " +
+        "chg AS (SELECT k, c_name, nk, cents, " +
+        "CASE WHEN k % 7 = 2 THEN seg || '_V2' ELSE seg END AS seg FROM base WHERE k % 7 IN (2, 3) " +
+        "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
+        "FROM base WHERE k % 13 = 5), " +
+        "j AS (SELECT cur.k AS ck, cur.c_name AS cn, cur.nk AS cnk, cur.cents AS cc, cur.seg AS cs, " +
+        "cur.vf AS cvf, cur.vt AS cvt, " +
+        "chg.k AS gk, chg.c_name AS gn, chg.nk AS gnk, chg.cents AS gc, chg.seg AS gs, " +
+        "(cur.cents IS DISTINCT FROM chg.cents OR cur.seg IS DISTINCT FROM chg.seg) AS differs " +
+        "FROM cur FULL OUTER JOIN chg ON cur.k = chg.k), " +
+        "merged AS (" +
+        "SELECT k AS c_custkey, c_name, nk AS c_nationkey, cents, seg AS c_mktsegment, vf AS valid_from, vt AS valid_to, cur AS is_current FROM hist " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 2, FALSE FROM j WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
+        "UNION ALL SELECT gk, gn, gnk, gc, gs, 2, CAST(NULL AS BIGINT), TRUE FROM j WHERE gk IS NOT NULL AND (ck IS NULL OR differs)) " +
+        "SELECT * FROM merged ORDER BY c_custkey, valid_from")),
+
     // Incremental materialized-view maintenance ([[graft.operators.Mv]],
     // the Z-set/DBSP weighted-changelog formulation): a per-customer
     // (count, cents) view over pre-2001 orders is refreshed by a delta
