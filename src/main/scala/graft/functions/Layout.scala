@@ -50,4 +50,84 @@ object Layout {
   /** Decode a [[morton2]] key back to (x, y). */
   def mortonX(z: Column): Column = gather16(z)
   def mortonY(z: Column): Column = gather16(shiftright(z, 1))
+
+  /** Decompose the Morton image of the box `[x0,x1]×[y0,y1]` (inclusive,
+    * 16-bit coords — the [[morton2]] domain) into at most `maxIntervals`
+    * sorted, disjoint `[zlo, zhi]` key intervals (the Tropf & Herzog
+    * BIGMIN decomposition, done as a z-ordered quadtree walk: a quad
+    * fully inside the box is one contiguous z run; a partial quad splits
+    * into its four z-ordered children).
+    *
+    * Uncapped (budget permitting) the union of the intervals is EXACTLY
+    * the box's z set. At the cap, further quads fuse into the last
+    * interval — a SUPERSET cover. Callers always re-apply the exact
+    * x/y box predicate, so over-coverage costs scan rows, never
+    * correctness.
+    *
+    * Why this matters at 100 TB: a table laid out by zkey (partitioned
+    * by a zkey prefix, sorted by zkey within) turns each interval into
+    * partition pruning + row-group skipping on the SORT column itself —
+    * the scan opens only the files/groups whose zkey envelope meets an
+    * interval, where the single covering range
+    * `[morton2(x0,y0), morton2(x1,y1)]` would drag in every curve
+    * excursion between the two corners.
+    *
+    * Driver-side cost is O(box side) quad visits (sub-millisecond) and
+    * the output is ≤ `maxIntervals` pairs — bounded driver state by the
+    * capacity taxonomy.
+    */
+  def zIntervals(x0: Long, x1: Long, y0: Long, y1: Long,
+      maxIntervals: Int = 64): Seq[(Long, Long)] = {
+    require(0 <= x0 && x0 <= x1 && x1 <= 0xFFFFL, s"x box [$x0,$x1]")
+    require(0 <= y0 && y0 <= y1 && y1 <= 0xFFFFL, s"y box [$y0,$y1]")
+    require(maxIntervals >= 1, s"maxIntervals $maxIntervals")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // Adjacent-in-z quads merge for free; once the cap is reached every
+    // further quad fuses into the last interval (over-covering the gap).
+    def emit(zlo: Long, zhi: Long): Unit =
+      if (out.nonEmpty && (out.last._2 + 1 >= zlo || out.size >= maxIntervals))
+        out(out.size - 1) = (out.last._1, math.max(out.last._2, zhi))
+      else out += ((zlo, zhi))
+    // quad = [qx, qx+side-1] × [qy, qy+side-1]; z in [zbase, zbase+side²-1]
+    def go(level: Int, zbase: Long, qx: Long, qy: Long): Unit = {
+      val side = 1L << level
+      if (qx > x1 || qx + side - 1 < x0 || qy > y1 || qy + side - 1 < y0) return
+      if (qx >= x0 && qx + side - 1 <= x1 && qy >= y0 && qy + side - 1 <= y1) {
+        emit(zbase, zbase + side * side - 1); return
+      }
+      // children in increasing z: quadrant key = (ybit << 1) | xbit
+      val h = side >> 1
+      val q = h * h
+      go(level - 1, zbase, qx, qy)
+      go(level - 1, zbase + q, qx + h, qy)
+      go(level - 1, zbase + 2 * q, qx, qy + h)
+      go(level - 1, zbase + 3 * q, qx + h, qy + h)
+    }
+    go(16, 0L, 0L, 0L)
+    out.toSeq
+  }
+
+  /** The box predicate over a z-ordered layout: the [[zIntervals]]
+    * OR-chain on the z column (pushed to parquet as range filters on the
+    * sort key → row-group skipping; on a zkey-prefix partition column →
+    * partition pruning) AND the exact x/y box (drops any over-coverage,
+    * including 16-bit aliasing when a dimension exceeds the morton
+    * domain — quantization affects pruning granularity, never results).
+    */
+  def zRangeFilter(zCol: Column, xCol: Column, yCol: Column,
+      x0: Long, x1: Long, y0: Long, y1: Long,
+      maxIntervals: Int = 64): Column = {
+    val zPred = zIntervals(x0, x1, y0, y1, maxIntervals)
+      .map { case (lo, hi) => zCol.between(lit(lo), lit(hi)) }
+      .reduce(_ || _)
+    zPred && xCol.between(lit(x0), lit(x1)) && yCol.between(lit(y0), lit(y1))
+  }
+
+  /** The partition values a set of [[zIntervals]] touches under a
+    * `zkey >> shift` prefix-bucket partitioning — the driver-side
+    * pruning list (bounded by the bucket count).
+    */
+  def zBuckets(intervals: Seq[(Long, Long)], shift: Int): Seq[Long] =
+    intervals.flatMap { case (lo, hi) => (lo >> shift) to (hi >> shift) }
+      .distinct.sorted
 }

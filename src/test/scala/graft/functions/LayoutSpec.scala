@@ -107,4 +107,93 @@ class LayoutSpec extends SparkSpec {
         s"bucket ${r.getLong(0)} spans ${r.getLong(1)}x${r.getLong(2)}")
     }
   }
+
+  /** Brute-force z set of a box via the bit-by-bit reference, merged
+    * into maximal intervals — the ground truth [[Layout.zIntervals]]
+    * must reproduce when uncapped.
+    */
+  private def refIntervals(x0: Long, x1: Long, y0: Long,
+      y1: Long): Seq[(Long, Long)] = {
+    val zs = (for { x <- x0 to x1; y <- y0 to y1 } yield mortonRef(x, y)).sorted
+    zs.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, z) if z == hi + 1 => (lo, z) :: tail
+      case (acc, z) => (z, z) :: acc
+    }.reverse
+  }
+
+  test("zIntervals is exact when uncapped; always sorted, disjoint, merged") {
+    val boxes = Seq(
+      (0L, 0L, 0L, 0L), (3L, 12L, 5L, 9L), (0L, 15L, 0L, 15L),
+      (7L, 7L, 0L, 63L), (60L, 67L, 100L, 115L), (31L, 33L, 31L, 33L))
+    boxes.foreach { case (x0, x1, y0, y1) =>
+      val got = Layout.zIntervals(x0, x1, y0, y1, maxIntervals = 100000)
+      assert(got === refIntervals(x0, x1, y0, y1), s"box [$x0,$x1]x[$y0,$y1]")
+      got.sliding(2).foreach {
+        case Seq((_, h), (l, _)) => assert(h + 1 < l, "unmerged or overlapping")
+        case _ =>
+      }
+    }
+  }
+
+  test("zIntervals respects the cap by over-covering, never dropping") {
+    val (x0, x1, y0, y1) = (3L, 200L, 17L, 90L)
+    val exact = refIntervals(x0, x1, y0, y1)
+    assert(exact.size > 8, s"box too simple: ${exact.size} maximal runs")
+    val capped = Layout.zIntervals(x0, x1, y0, y1, maxIntervals = 8)
+    assert(capped.size <= 8)
+    // superset: every exact interval is inside some capped interval
+    exact.foreach { case (lo, hi) =>
+      assert(capped.exists { case (cl, ch) => cl <= lo && hi <= ch },
+        s"[$lo,$hi] dropped by the capped cover")
+    }
+    // the uncapped cover of the same box stays exact
+    assert(Layout.zIntervals(x0, x1, y0, y1, 100000) === exact)
+  }
+
+  test("z-interval cover prunes PARTITIONS the single covering z-range cannot") {
+    // 256×256 grid partitioned by the 6-bit zkey prefix (64 directory
+    // buckets = 64 z tiles). A 2-D box touches few tiles, but the
+    // single covering range [morton(x0,y0), morton(x1,y1)] spans every
+    // curve excursion between the corners — so its bucket span reads
+    // ~3× the directories the zIntervals bucket set opens. Measured on
+    // the scan's own numFiles metric (partition pruning = fewer files
+    // even listed into the scan).
+    val base = tmpDir("zrangeprune")
+    val grid = (for { x <- 0L until 256L; y <- 0L until 256L } yield (x, y))
+      .toDF("x", "y")
+      .withColumn("z", Layout.morton2(col("x"), col("y")))
+      .withColumn("zb", shiftright(col("z"), 10))
+    grid.repartition(col("zb")).sortWithinPartitions(col("zb"), col("z"))
+      .write.partitionBy("zb").mode("overwrite").parquet(base)
+    // box 100-139 × 60-99: 6 z tiles (buckets {7,13,15,18,24,26}) vs a
+    // corner-to-corner bucket span of 7..26 = 20 directories
+    val (x0, x1, y0, y1) = (100L, 139L, 60L, 99L)
+    def filesRead(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(base).filter(pred)
+      val n = df.count()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+      (scans.map(_.metrics("numFiles").value).sum, n)
+    }
+    val box = col("x").between(x0, x1) && col("y").between(y0, y1)
+    val ivs = Layout.zIntervals(x0, x1, y0, y1)
+    val naive = col("zb").between(
+      mortonRef(x0, y0) >> 10, mortonRef(x1, y1) >> 10) && box
+    val pruned = col("zb").isin(Layout.zBuckets(ivs, 10): _*) &&
+      Layout.zRangeFilter(col("z"), col("x"), col("y"), x0, x1, y0, y1)
+    val (naiveFiles, naiveRows) = filesRead(naive)
+    val (prunedFiles, prunedRows) = filesRead(pruned)
+    // both are CORRECT (the exact box residual rides each scan) ...
+    assert(naiveRows === 40L * 40L && prunedRows === 40L * 40L)
+    // ... but the interval cover opens ≤ half the directories
+    assert(prunedFiles * 2 <= naiveFiles,
+      s"interval cover read $prunedFiles files vs naive $naiveFiles")
+  }
 }
