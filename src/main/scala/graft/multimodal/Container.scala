@@ -276,20 +276,8 @@ object Container extends Serializable {
     require(nPages >= 3, s"nPages $nPages: need BOS + tags + >=1 data page")
     require(channels >= 1 && channels <= 8 && preSkip >= 0, s"ch $channels preskip $preSkip")
     require(lastGranule >= preSkip, s"granule $lastGranule < preskip $preSkip")
-    val head = new Array[Byte](19)
-    putAscii(head, 0, "OpusHead")
-    head(8) = 1 // version
-    head(9) = channels.toByte
-    head(10) = (preSkip & 0xff).toByte; head(11) = ((preSkip >> 8) & 0xff).toByte
-    (0 until 4).foreach(i => head(12 + i) = ((inputSampleRate >> (8 * i)) & 0xff).toByte)
-    val tags = {
-      val vendor = "graft".getBytes("US-ASCII")
-      val t = new Array[Byte](8 + 4 + vendor.length + 4)
-      putAscii(t, 0, "OpusTags")
-      t(8) = vendor.length.toByte
-      System.arraycopy(vendor, 0, t, 12, vendor.length)
-      t
-    }
+    val head = opusHeadBytes(channels, preSkip, inputSampleRate)
+    val tags = opusTagsBytes
     val nData = nPages - 2
     val pages = Seq(
       oggPage(0x02, 0L, serial, 0L, Seq(head)),
@@ -304,6 +292,116 @@ object Container extends Serializable {
         oggPage(if (last) 0x04 else 0x00, granule, serial, seq, Seq(pkt))
       }
     pages.toArray.flatten
+  }
+
+  private def opusHeadBytes(channels: Int, preSkip: Int,
+      inputSampleRate: Long): Array[Byte] = {
+    val head = new Array[Byte](19)
+    putAscii(head, 0, "OpusHead")
+    head(8) = 1 // version
+    head(9) = channels.toByte
+    head(10) = (preSkip & 0xff).toByte; head(11) = ((preSkip >> 8) & 0xff).toByte
+    (0 until 4).foreach(i => head(12 + i) = ((inputSampleRate >> (8 * i)) & 0xff).toByte)
+    head
+  }
+
+  private def opusTagsBytes: Array[Byte] = {
+    val vendor = "graft".getBytes("US-ASCII")
+    val t = new Array[Byte](8 + 4 + vendor.length + 4)
+    putAscii(t, 0, "OpusTags")
+    t(8) = vendor.length.toByte
+    System.arraycopy(vendor, 0, t, 12, vendor.length)
+    t
+  }
+
+  /** Ogg-Opus writer whose data packets carry REAL Opus packet framing
+    * ([[Opus.packetForPlan]] — valid TOC bytes, packing codes 0-3,
+    * length fields, CBR/VBR code-3 framing, padding) and whose granule
+    * positions are the TRUE cumulative 48 kHz sample counts of those
+    * packets (RFC 7845 §4: pre-skip plus decoded samples). One packet
+    * per data page, `1 + id % 4` data pages; deterministic from the id
+    * alone so an oracle reproduces every count closed-form. The legacy
+    * [[encodeOggOpus]] keeps its arbitrary-payload packets so every
+    * existing oracle row stays byte-stable.
+    */
+  def encodeOggOpusReal(id: Long): Array[Byte] = {
+    require(id >= 0, s"encodeOggOpusReal needs a non-negative id (got $id)")
+    val channels = 1 + (id % 2).toInt
+    val preSkip = (312 + id % 100).toInt
+    val rate = 8000L * (1 + id % 6)
+    val serial = 2000L + id
+    val nData = 1 + (id % 4).toInt
+    val packets = (0 until nData).map(d =>
+      Opus.packetForPlan(id, d, stereo = channels == 2))
+    var granule = preSkip.toLong
+    val dataPages = packets.zipWithIndex.map { case (pkt, d) =>
+      granule += Opus.parsePacket(pkt)
+        .getOrElse(sys.error(s"plan packet invalid: id=$id d=$d"))
+        .samples48k
+      oggPage(if (d == nData - 1) 0x04 else 0x00, granule, serial, 2L + d,
+        Seq(pkt))
+    }
+    (Seq(
+      oggPage(0x02, 0L, serial, 0L,
+        Seq(opusHeadBytes(channels, preSkip, rate))),
+      oggPage(0x00, 0L, serial, 1L, Seq(opusTagsBytes))) ++ dataPages)
+      .toArray.flatten
+  }
+
+  /** Extract the packet sequence from an Ogg stream: the same
+    * CRC-checked single-stream page walk as [[parseOggOpus]], but
+    * reassembling packets from lacing values (a 255 lace continues the
+    * current packet; the 0x01 continuation flag carries a packet across
+    * a page boundary). Returns None for anything the walk rejects, or
+    * for a stream ending mid-packet.
+    */
+  def oggOpusPackets(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (payload == null || payload.length < 28) return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    var pos = 0
+    var serial = -1L
+    var lastSeq = -1L
+    val out = Vector.newBuilder[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var midPacket = false
+    while (pos + 27 <= payload.length) {
+      if (!(payload(pos) == 'O' && payload(pos + 1) == 'g' &&
+        payload(pos + 2) == 'g' && payload(pos + 3) == 'S')) return None
+      if (u8(pos + 4) != 0) return None
+      val headerType = u8(pos + 5)
+      val pageSerial = le32(pos + 14)
+      val nSegs = u8(pos + 26)
+      if (pos + 27 + nSegs > payload.length) return None
+      val bodyLen = (0 until nSegs).map(i => u8(pos + 27 + i)).sum
+      val pageLen = 27 + nSegs + bodyLen
+      if (pos + pageLen > payload.length) return None
+      val crcStored = le32(pos + 22)
+      val zeroed = java.util.Arrays.copyOfRange(payload, pos, pos + pageLen)
+      java.util.Arrays.fill(zeroed, 22, 26, 0.toByte)
+      if ((oggCrc(zeroed, 0, pageLen) & 0xffffffffL) != crcStored) return None
+      val pageSeq = le32(pos + 18)
+      if (serial < 0) { serial = pageSerial; lastSeq = pageSeq }
+      else {
+        if (pageSerial != serial) return None
+        if (pageSeq != lastSeq + 1) return None
+        lastSeq = pageSeq
+      }
+      // continuation flag must agree with our mid-packet state
+      if (((headerType & 0x01) != 0) != midPacket) return None
+      var off = pos + 27 + nSegs
+      (0 until nSegs).foreach { i =>
+        val l = u8(pos + 27 + i)
+        cur.write(payload, off, l)
+        off += l
+        if (l < 255) { out += cur.toByteArray; cur.reset(); midPacket = false }
+        else midPacket = true
+      }
+      pos += pageLen
+    }
+    if (pos != payload.length || midPacket || serial < 0) None
+    else Some(out.result())
   }
 
   /** REAL Ogg page walk: validates each page's "OggS" capture, version 0,
@@ -435,6 +533,65 @@ object Container extends Serializable {
           else parseOggOpus(corrupted).map(_.nPages.toLong)
         Row(id, if (isMp4) "mp4" else "ogg", mode, parsed.isDefined,
           parsed.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Per-stream Opus packet-layer stats over the REAL-framing corpus
+    * ([[encodeOggOpusReal]]): each id's stream is encoded, CRC-walked,
+    * its packets reassembled and parsed under the RFC 6716 R1-R7 rules
+    * ([[Opus.parsePacket]]), and the row aggregates what the PARSER
+    * recovered — packet/frame counts, true 48 kHz sample total, VBR and
+    * padded packet counts, and the SILK/Hybrid/CELT mode split. All
+    * derivations are closed-form in the id, so a hash match against the
+    * arithmetic oracle proves the writer emits valid framing AND the
+    * parser inverts every packing code, length coding, and padding
+    * form. `accepted` pins the walk + every packet parse succeeding AND
+    * the granule range equalling the packet-layer sample total.
+    */
+  def opusTocStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_packets", LongType),
+      StructField("n_frames", LongType),
+      StructField("samples48", LongType),
+      StructField("n_vbr", LongType),
+      StructField("n_padded", LongType),
+      StructField("n_silk", LongType),
+      StructField("n_hybrid", LongType),
+      StructField("n_celt", LongType),
+      StructField("accepted", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        require(id >= 0, s"opusTocStats needs a non-negative id (got $id)")
+        val bytes = encodeOggOpusReal(id)
+        val parsed = for {
+          meta <- parseOggOpus(bytes)
+          pkts <- oggOpusPackets(bytes)
+          infos <- {
+            val data = pkts.drop(2).map(Opus.parsePacket)
+            if (data.forall(_.isDefined)) Some(data.flatten) else None
+          }
+          // the packet layer must account for the granule range exactly
+          if meta.lastGranule - meta.preSkip == infos.map(_.samples48k).sum
+        } yield infos
+        parsed match {
+          case Some(infos) =>
+            Row(id, infos.size.toLong,
+              infos.map(_.frames.toLong).sum,
+              infos.map(_.samples48k).sum,
+              infos.count(_.vbr).toLong,
+              infos.count(_.padded).toLong,
+              infos.count(i => Opus.mode(i.config) == 0).toLong,
+              infos.count(i => Opus.mode(i.config) == 1).toLong,
+              infos.count(i => Opus.mode(i.config) == 2).toLong,
+              true)
+          case None =>
+            Row(id, null, null, null, null, null, null, null, null, false)
+        }
       }
     }(enc)
   }

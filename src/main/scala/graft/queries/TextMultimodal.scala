@@ -1178,6 +1178,56 @@ private[queries] object TextMultimodalQueries {
         "CAST(CASE WHEN (doc_id // 2) % 4 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 + doc_id % 4 END) END AS BIGINT) AS n_parts " +
         "FROM documents WHERE doc_id < 200 ORDER BY doc_id")),
 
+    // Opus packet layer (RFC 6716 §3) — the TOC/framing half of the
+    // last codec waiver, made real: each id's stream is written with
+    // VALID Opus packet framing ([[graft.multimodal.Opus.packetForPlan]]
+    // — all 32 TOC configs across the corpus, packing codes 0-3, 1- and
+    // 2-byte length coding, CBR/VBR code-3 frames, explicit padding)
+    // and TRUE granule positions, then CRC-walked, packet-reassembled
+    // from the lacing, and parsed back under the specification's R1-R7
+    // validity rules ([[graft.multimodal.Opus.parsePacket]]). The row
+    // aggregates what the PARSER recovered; the oracle recomputes every
+    // count from the (id, page) plan arithmetic alone, so a hash match
+    // proves writer and parser are exact inverses across every packing
+    // form — and `accepted` pins the granule range equalling the
+    // packet-layer sample total. PCM synthesis (SILK/CELT transform
+    // decode) remains the documented waiver (no conformance vectors
+    // offline). Scale: fixed-slice corpus, one mapPartitions pass, no
+    // shuffle before the output sort — the mm_container family's flat
+    // class.
+    Q("mm_audio_opus_toc",
+      (s, d) => graft.multimodal.Container
+        .opusTocStats(
+          Tables.documents(s, d).filter(col("doc_id") < 200).select("doc_id"),
+          "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200), " +
+        "dd(d) AS (VALUES (0), (1), (2), (3)), " +
+        "pk AS (SELECT id, d, (id * 7 + d * 3) % 32 AS cfg, d % 4 AS code " +
+        "FROM ids CROSS JOIN dd WHERE d <= id % 4), " +
+        "pe AS (SELECT id, d, cfg, code, " +
+        "CASE WHEN cfg < 12 THEN (CASE cfg % 4 WHEN 0 THEN 100 WHEN 1 THEN 200 WHEN 2 THEN 400 ELSE 600 END) " +
+        "WHEN cfg < 16 THEN (CASE cfg % 2 WHEN 0 THEN 100 ELSE 200 END) " +
+        "ELSE (CASE cfg % 4 WHEN 0 THEN 25 WHEN 1 THEN 50 WHEN 2 THEN 100 ELSE 200 END) END AS dur " +
+        "FROM pk), " +
+        "pf AS (SELECT id, cfg, code, dur, " +
+        "CASE code WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 " +
+        "ELSE 1 + (d + id) % LEAST(48, 1200 // dur) END AS frames, " +
+        "(code = 2 OR (code = 3 AND (id + d) % 2 = 1)) AS is_vbr, " +
+        "(code = 3 AND id % 3 = 0) AS is_pad " +
+        "FROM pe) " +
+        "SELECT id AS doc_id, " +
+        "CAST(count(*) AS BIGINT) AS n_packets, " +
+        "CAST(sum(frames) AS BIGINT) AS n_frames, " +
+        "CAST(sum(frames * (dur * 48 // 10)) AS BIGINT) AS samples48, " +
+        "CAST(sum(CASE WHEN is_vbr THEN 1 ELSE 0 END) AS BIGINT) AS n_vbr, " +
+        "CAST(sum(CASE WHEN is_pad THEN 1 ELSE 0 END) AS BIGINT) AS n_padded, " +
+        "CAST(sum(CASE WHEN cfg < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_silk, " +
+        "CAST(sum(CASE WHEN cfg >= 12 AND cfg < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_hybrid, " +
+        "CAST(sum(CASE WHEN cfg >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_celt, " +
+        "TRUE AS accepted " +
+        "FROM pf GROUP BY id ORDER BY doc_id")),
+
     // REAL video decode — the Y4M (YUV4MPEG2) twin of mm_pixel_stats,
     // closing the last modality without a real codec path: synthesize a
     // deterministic multi-frame C444 video per doc, round-trip it

@@ -748,4 +748,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("layout_zrange: z intervals prune PARTITIONS and push to the zkey sort column") {
+    val p = plan("layout_zrange")
+    // the zbucket IN (...) literal list is partition pruning at planning
+    // (at tiny SF the z space collapses into bucket 0, so the list may
+    // fold to an equality — the lock is zbucket appearing as a
+    // PARTITION filter, not a data filter)
+    assert("PartitionFilters: \\[[^\\]]*zbucket".r.findFirstIn(p).isDefined, p)
+    // the interval OR-chain reaches the parquet reader on the sort col
+    assert(p.contains("PushedFilters:") && p.contains("zkey"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("scd2_apply: only key-equi joins, never a cartesian or per-row lookup") {
+    // Catalyst specializes the authored full-outer into ≤3 equi joins
+    // with the branch filters pushed through — same children, reused
+    // exchanges/broadcasts; the lock is the JOIN CLASS, not the count.
+    val p = plan("scd2_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("sortmergejoin|broadcasthashjoin|shuffledhashjoin".r
+      .findAllIn(p.toLowerCase).length <= 3, p)
+  }
+
+  test("mm_audio_opus_toc: one decode pass, no join, no shuffle before the sort") {
+    val p = plan("mm_audio_opus_toc")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p) // the output range sort only
+  }
 }
