@@ -12,6 +12,61 @@ private[queries] object CatalogShared {
   /** floor(x*100 + 0.5) — exact cross-engine integer cents. */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5))
 
+  // --------------------------------------------------------------------
+  // Shared SCD2 corpus derivations (`scd2_apply` + `stream_scd2`): the
+  // customer-derived dimension attributes, the seeded v0/v1 dimension,
+  // and the version-2 change batch — ONE definition so the batch and
+  // streaming faces version the identical inputs.
+  // --------------------------------------------------------------------
+
+  /** Dimension attributes: integer cents + string/long columns only, so
+    * every engine (and the JSONL stream feed) round-trips them exactly.
+    */
+  def scd2Base(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      cents(col("c_acctbal")).cast("long").as("cents"),
+      col("c_mktsegment"))
+
+  /** The seeded dimension: every key open at v0 (v1 for the %9==4 keys,
+    * which also carry a closed LEGACY v0 history row).
+    */
+  def scd2Dim0(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = scd2Base(s, d)
+    val k = col("c_custkey")
+    val hist0 = base.filter(k % 9 === 4).select(
+      k, col("c_name"), col("c_nationkey"),
+      (col("cents") - 1000).as("cents"), lit("LEGACY").as("c_mktsegment"),
+      lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+      lit(false).as("is_current"))
+    base
+      .withColumn("valid_from", when(k % 9 === 4, 1L).otherwise(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .unionByName(hist0)
+  }
+
+  /** The version-2 change batch: real segment changes (%7==2), no-op
+    * re-sends (%7==3), and first-version inserts (%13==5, shifted keys).
+    */
+  def scd2Batch2(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = scd2Base(s, d)
+    val k = col("c_custkey")
+    base.filter(k % 7 === 2 || k % 7 === 3)
+      .withColumn("c_mktsegment",
+        when(k % 7 === 2, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(base.filter(k % 13 === 5).select(
+        (k + 1000000L).as("c_custkey"),
+        concat(lit("NEW#"), k.cast("string")).as("c_name"),
+        col("c_nationkey"), lit(5000L).as("cents"),
+        lit("NEW").as("c_mktsegment")))
+  }
+
   /** Session-scoped MODEL cache for the inline ANN/clustering queries:
     * the k-means/PQ models are deterministic functions of (corpus
     * content, hyperparameters) — fixed-point Lloyd, fixed seeds — so

@@ -411,36 +411,10 @@ private[queries] object ClusterPipelineQueries {
     // against the batch (the history slice never shuffles); the oracle
     // is the CASE/UNION semantic twin of the same batch.
     Q("scd2_apply",
-      (s, d) => {
-        val base = Tables.customer(s, d).select(
-          col("c_custkey"), col("c_name"),
-          col("c_nationkey").cast("long").as("c_nationkey"),
-          cents(col("c_acctbal")).cast("long").as("cents"),
-          col("c_mktsegment"))
-        val k = col("c_custkey")
-        // seeded history: every %9==4 key carries a closed LEGACY v0
-        val hist0 = base.filter(k % 9 === 4).select(
-          k, col("c_name"), col("c_nationkey"),
-          (col("cents") - 1000).as("cents"), lit("LEGACY").as("c_mktsegment"),
-          lit(0L).as("valid_from"), lit(1L).as("valid_to"),
-          lit(false).as("is_current"))
-        val cur0 = base
-          .withColumn("valid_from", when(k % 9 === 4, 1L).otherwise(0L))
-          .withColumn("valid_to", lit(null).cast("long"))
-          .withColumn("is_current", lit(true))
-        val changes = base.filter(k % 7 === 2 || k % 7 === 3)
-          .withColumn("c_mktsegment",
-            when(k % 7 === 2, concat(col("c_mktsegment"), lit("_V2")))
-              .otherwise(col("c_mktsegment")))
-          .unionByName(base.filter(k % 13 === 5).select(
-            (k + 1000000L).as("c_custkey"),
-            concat(lit("NEW#"), k.cast("string")).as("c_name"),
-            col("c_nationkey"), lit(5000L).as("cents"),
-            lit("NEW").as("c_mktsegment")))
-        graft.operators.Scd2(cur0.unionByName(hist0), changes, "c_custkey",
-            tracked = Seq("cents", "c_mktsegment"), batchVersion = 2L)
-          .orderBy("c_custkey", "valid_from")
-      },
+      (s, d) => graft.operators.Scd2(scd2Dim0(s, d), scd2Batch2(s, d),
+          "c_custkey", tracked = Seq("cents", "c_mktsegment"),
+          batchVersion = 2L)
+        .orderBy("c_custkey", "valid_from"),
       Some("WITH base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
         "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +

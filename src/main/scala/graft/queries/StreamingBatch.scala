@@ -443,7 +443,73 @@ private[queries] object StreamingQueries {
           .agg(count(lit(1)).as("n_events"))
           .orderBy("user_id", "session_id")
       },
-      Some("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), f AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")))
+      Some("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), f AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM e), g AS (SELECT user_id, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")),
+
+    // SCD2 maintenance AS A STREAM ([[graft.streaming.EventStream
+    // .drainScd2]]): two versioned change batches flow through the
+    // foreachBatch dimension sink — batch 2 is `scd2_apply`'s exact
+    // batch (shared derivation), batch 3 re-changes the %11==6 keys
+    // (including keys ALSO changed in batch 2 → three-version chains)
+    // and no-op re-sends a slice of batch 2's inserts. Batch membership
+    // is explicit (`batch_version` column, one feed file per version,
+    // mtime-ordered pickup), so the oracle replays the same two batches
+    // closed-form: streamed ≡ replayed is the hash statement.
+    Q("stream_scd2",
+      (s, d) => {
+        val base = scd2Base(s, d)
+        val k = col("c_custkey")
+        val b2 = scd2Batch2(s, d).withColumn("batch_version", lit(2L))
+        val b3 = base.filter(k % 11 === 6)
+          .select(k, col("c_name"), col("c_nationkey"), col("cents"),
+            concat(lit("W3_"), col("c_mktsegment")).as("c_mktsegment"))
+          .unionByName(base.filter(k % 13 === 5 && k % 3 === 0).select(
+            (k + 1000000L).as("c_custkey"),
+            concat(lit("NEW#"), k.cast("string")).as("c_name"),
+            col("c_nationkey"), lit(5000L).as("cents"),
+            lit("NEW").as("c_mktsegment")))
+          .withColumn("batch_version", lit(3L))
+        graft.streaming.EventStream
+          .drainScd2(s, scd2Dim0(s, d), b2.unionByName(b3),
+            "c_custkey", Seq("cents", "c_mktsegment"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("WITH base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
+        "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +
+        "CAST(0 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS vt, FALSE AS cur FROM base WHERE k % 9 = 4), " +
+        "cur AS (SELECT k, c_name, nk, cents, seg, " +
+        "CAST(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS vf, " +
+        "CAST(NULL AS BIGINT) AS vt, TRUE AS cur FROM base), " +
+        "chg AS (SELECT k, c_name, nk, cents, " +
+        "CASE WHEN k % 7 = 2 THEN seg || '_V2' ELSE seg END AS seg FROM base WHERE k % 7 IN (2, 3) " +
+        "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
+        "FROM base WHERE k % 13 = 5), " +
+        "j AS (SELECT cur.k AS ck, cur.c_name AS cn, cur.nk AS cnk, cur.cents AS cc, cur.seg AS cs, " +
+        "cur.vf AS cvf, cur.vt AS cvt, " +
+        "chg.k AS gk, chg.c_name AS gn, chg.nk AS gnk, chg.cents AS gc, chg.seg AS gs, " +
+        "(cur.cents IS DISTINCT FROM chg.cents OR cur.seg IS DISTINCT FROM chg.seg) AS differs " +
+        "FROM cur FULL OUTER JOIN chg ON cur.k = chg.k), " +
+        "m1 AS (" +
+        "SELECT k AS c_custkey, c_name, nk AS c_nationkey, cents, seg AS c_mktsegment, vf AS valid_from, vt AS valid_to, cur AS is_current FROM hist " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 2, FALSE FROM j WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
+        "UNION ALL SELECT gk, gn, gnk, gc, gs, 2, CAST(NULL AS BIGINT), TRUE FROM j WHERE gk IS NOT NULL AND (ck IS NULL OR differs)), " +
+        "b3 AS (SELECT k, c_name, nk, cents, 'W3_' || seg AS seg FROM base WHERE k % 11 = 6 " +
+        "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
+        "FROM base WHERE k % 13 = 5 AND k % 3 = 0), " +
+        "c1 AS (SELECT * FROM m1 WHERE is_current), " +
+        "h1 AS (SELECT * FROM m1 WHERE NOT is_current), " +
+        "j2 AS (SELECT c1.c_custkey AS ck, c1.c_name AS cn, c1.c_nationkey AS cnk, c1.cents AS cc, " +
+        "c1.c_mktsegment AS cs, c1.valid_from AS cvf, c1.valid_to AS cvt, " +
+        "b3.k AS gk, b3.c_name AS gn, b3.nk AS gnk, b3.cents AS gc, b3.seg AS gs, " +
+        "(c1.cents IS DISTINCT FROM b3.cents OR c1.c_mktsegment IS DISTINCT FROM b3.seg) AS differs " +
+        "FROM c1 FULL OUTER JOIN b3 ON c1.c_custkey = b3.k), " +
+        "m2 AS (" +
+        "SELECT c_custkey, c_name, c_nationkey, cents, c_mktsegment, valid_from, valid_to, is_current FROM h1 " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j2 WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
+        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 3, FALSE FROM j2 WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
+        "UNION ALL SELECT gk, gn, gnk, gc, gs, 3, CAST(NULL AS BIGINT), TRUE FROM j2 WHERE gk IS NOT NULL AND (ck IS NULL OR differs)) " +
+        "SELECT * FROM m2 ORDER BY c_custkey, valid_from")))
 
 
   val all: Seq[Q] = streaming

@@ -361,6 +361,36 @@ private[queries] object TrainingQueries {
         "AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) BETWEEN 400 AND 1199 " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
 
+    // Z-range over SQL — the analyst face: ONE spark.sql statement over
+    // the persisted z-ordered layout with the interval cover inlined as
+    // literals (exactly what a client library would generate from
+    // [[graft.functions.Layout.zIntervals]]). The zbucket IN list is
+    // partition pruning, the BETWEEN chain pushes onto the zkey sort
+    // column, the exact box residual rides the same scan — the
+    // DataFrame face's plan from a SQL prompt. Same oracle as
+    // `layout_zrange`, so SQL ≡ DataFrame is hash-proven. `0.5D`
+    // matters: a bare 0.5 parses as DECIMAL in Spark SQL and would
+    // change the cents rounding tree.
+    Q("s15_sql_zrange",
+      (s, d) => {
+        val t = ensureZOrderedOrders(s, d)
+        import graft.functions.Layout
+        val ivs = Layout.zIntervals(200, 899, 400, 1199)
+        val zPred = ivs.map { case (lo, hi) => s"(zkey BETWEEN $lo AND $hi)" }
+          .mkString(" OR ")
+        val bks = Layout.zBuckets(ivs, 26).mkString(", ")
+        s.sql("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+          "CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5D) AS BIGINT)) AS BIGINT) AS cents " +
+          s"FROM $t WHERE zbucket IN ($bks) AND ($zPred) " +
+          "AND o_custkey BETWEEN 200 AND 899 AND d_days BETWEEN 400 AND 1199 " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_custkey BETWEEN 200 AND 899 " +
+        "AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) BETWEEN 400 AND 1199 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
     // Snapshot content-hash diff ([[graft.operators.Snapshot]]): the
     // incremental-ingest bookkeeping step — classify every doc across
     // two corpus snapshots as added/removed/changed/unchanged from one

@@ -228,6 +228,68 @@ object EventStream {
     } finally graft.util.Paths.deleteRecursively(base)
   }
 
+  /** SCD2 maintenance AS A STREAM: each micro-batch applies one
+    * [[graft.operators.Scd2]] batch to a persisted versioned dimension
+    * (foreachBatch over a parquet snapshot — the warehouse-dimension
+    * sibling of [[upsertSink]]'s CDC merge). Unlike that merge, VERSION
+    * HISTORY depends on which batch carries a change, so batch
+    * membership is part of the contract, never a file-split accident:
+    * `changes` carries `versionCol`, the feed stages ONE file per
+    * version in ascending order with strictly increasing mtimes (the
+    * FileStreamSource pickup key), and each micro-batch stamps its
+    * single version on closes and inserts. A batch oracle replays the
+    * same versioned batches closed-form — streamed ≡ replayed is the
+    * hash statement.
+    */
+  def drainScd2(spark: SparkSession, dim0: DataFrame, changes: DataFrame,
+      key: String, tracked: Seq[String],
+      versionCol: String = "batch_version"): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_")
+    try {
+      val feed = base.resolve("feed")
+      java.nio.file.Files.createDirectories(feed)
+      // bounded driver state: one row per BATCH, not per change
+      val versions = changes.select(versionCol).distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.zipWithIndex.foreach { case (v, i) =>
+        val stage = base.resolve(s"b${i}_stage")
+        changes.filter(col(versionCol) === v).coalesce(1)
+          .write.mode("overwrite").json(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part =
+          try ls.filter(p => p.getFileName.toString.endsWith(".json"))
+            .findFirst().orElseThrow()
+          finally ls.close()
+        val dst = feed.resolve(f"b$i%05d.json")
+        java.nio.file.Files.move(part, dst)
+        // strictly increasing, second-resolution-safe pickup order
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val snap = base.resolve("snapshot").toString
+      dim0.write.mode("overwrite").parquet(snap)
+      val stream = spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).json(feed.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint()
+            val v = b.agg(org.apache.spark.sql.functions.max(col(versionCol)))
+              .head().getLong(0)
+            // a missing snapshot is a bug here (the seed write precedes
+            // the drain) — let any read failure propagate
+            val snapshot = spark.read.parquet(snap).localCheckpoint()
+            graft.operators.Scd2(snapshot, b.drop(versionCol), key, tracked, v)
+              .write.mode("overwrite").parquet(snap)
+          }
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrained(q)
+      spark.read.parquet(snap).localCheckpoint()
+    } finally graft.util.Paths.deleteRecursively(base)
+  }
+
   /** Late-data accounting drain: the watermark's silent row drops made
     * OBSERVABLE. On-time rows flow through [[windowedAgg]] in a first
     * AvailableNow drain — committing watermark W = max(on-time ts) − delay

@@ -277,4 +277,54 @@ class DegenerateInputSpec extends SparkSpec {
       k = 10, nprobe = 2, queryFrom = Some(emb))
       .collect().map(_.getLong(0)).toSeq === vBefore)
   }
+
+  test("Scd2: empty batch, empty dimension, and all-changed batch keep the contract") {
+    import graft.operators.Scd2
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "A", 0L, Option.empty[Long], true),
+      (1L, "Z", -5L, Option(0L), false))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    // empty batch: the dimension passes through row-for-row
+    val same = Scd2(dim, dim.select("k", "seg").limit(0), "k", Seq("seg"), 9L)
+    assert(same.orderBy("k", "valid_from").collect().toSeq ===
+      dim.orderBy("k", "valid_from").collect().toSeq)
+    // empty dimension: the batch inserts first versions, nothing else
+    val seeded = Scd2(dim.limit(0), Seq((7L, "N")).toDF("k", "seg"),
+      "k", Seq("seg"), 3L).collect()
+    assert(seeded.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.isNullAt(3), r.getBoolean(4))).toSeq === Seq((7L, "N", 3L, true, true)))
+    // all-changed batch: every current row closes at the stamp, history
+    // rows stay, exactly one open version per key afterwards
+    val allNew = Scd2(dim, dim.filter(col("is_current"))
+      .select(col("k"), concat(col("seg"), lit("!")).as("seg")),
+      "k", Seq("seg"), 9L)
+    val rows = allNew.orderBy("k", "valid_from").collect()
+    assert(rows.length === 3)
+    assert(rows.count(_.getBoolean(4)) === 1)
+    assert(rows.filter(!_.getBoolean(4)).forall(r => !r.isNullAt(3)))
+  }
+
+  test("zIntervals: degenerate boxes (single cell, full domain, box outside the data)") {
+    import graft.functions.Layout
+    import spark.implicits._
+    // single cell: one interval of width 1 (morton2(5, 9) = 147)
+    assert(Layout.zIntervals(5, 5, 9, 9) === Seq((147L, 147L)))
+    // full domain: one interval covering the whole 32-bit z space
+    assert(Layout.zIntervals(0, 0xFFFFL, 0, 0xFFFFL) ===
+      Seq((0L, 0xFFFFFFFFL)))
+    // a box entirely outside the data still yields a valid cover whose
+    // residual-filtered scan returns zero rows (never an empty-OR crash)
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+      .withColumn("z", Layout.morton2(col("x"), col("y")))
+    val n = grid.filter(Layout.zRangeFilter(col("z"), col("x"), col("y"),
+      1000, 1015, 1000, 1015)).count()
+    assert(n === 0L)
+    // cap = 1 degenerates to the single covering range — still a superset
+    val one = Layout.zIntervals(3, 12, 5, 9, maxIntervals = 1)
+    assert(one.size === 1)
+    val exact = Layout.zIntervals(3, 12, 5, 9, maxIntervals = 100000)
+    assert(one.head._1 === exact.head._1 && one.head._2 === exact.last._2)
+  }
 }

@@ -772,6 +772,15 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p.toLowerCase).length <= 3, p)
   }
 
+  test("s15_sql_zrange: the SQL face rides the same pruned scan, row-for-row vs the DataFrame face") {
+    val p = plan("s15_sql_zrange")
+    assert("PartitionFilters: \\[[^\\]]*zbucket".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("PushedFilters:") && p.contains("zkey"), p)
+    val sqlRows = SparkEntry.queries("s15_sql_zrange")(spark, sf).collect().toSeq
+    val dfRows = SparkEntry.queries("layout_zrange")(spark, sf).collect().toSeq
+    assert(sqlRows === dfRows)
+  }
+
   test("mm_audio_opus_toc: one decode pass, no join, no shuffle before the sort") {
     val p = plan("mm_audio_opus_toc")
     assert(!p.toLowerCase.contains("join"), p)
