@@ -87,4 +87,17 @@ object Scd2 {
     hist.select(kept.columns.toIndexedSeq.map(col): _*)
       .unionByName(kept).unionByName(closed).unionByName(fresh)
   }
+
+  /** Point-in-time read of a type-2 dimension: the version visible AT
+    * `version` — `valid_from <= version < valid_to` (an open version
+    * has null `valid_to`). This is why the history is kept at all: any
+    * past training snapshot's dimension state reproduces exactly, the
+    * [[Upsert.readAt]] contract for versioned dimensions. A pure
+    * filter — no join, no window, trivially partition-prunable when the
+    * dimension is stored partitioned on a `valid_from` range.
+    */
+  def asOf(dim: DataFrame, version: Long): DataFrame =
+    dim.filter(col("valid_from") <= version &&
+      (col("valid_to").isNull || col("valid_to") > version))
+      .drop("is_current")
 }

@@ -49,6 +49,37 @@ private[queries] object CatalogShared {
       .unionByName(hist0)
   }
 
+  /** DuckDB CTE chain computing the post-batch-2 dimension state
+    * (`merged`) — the oracle core shared by `scd2_apply` and
+    * `scd2_as_of` (and extended inline by `stream_scd2`'s two-batch
+    * replay).
+    */
+  val scd2MergedCtes: String =
+    "base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
+      "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
+      "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +
+      "CAST(0 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS vt, FALSE AS cur FROM base WHERE k % 9 = 4), " +
+      "cur AS (SELECT k, c_name, nk, cents, seg, " +
+      "CAST(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS vf, " +
+      "CAST(NULL AS BIGINT) AS vt, TRUE AS cur FROM base), " +
+      "chg AS (SELECT k, c_name, nk, cents, " +
+      "CASE WHEN k % 7 = 2 THEN seg || '_V2' ELSE seg END AS seg FROM base WHERE k % 7 IN (2, 3) " +
+      "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
+      "FROM base WHERE k % 13 = 5), " +
+      "j AS (SELECT cur.k AS ck, cur.c_name AS cn, cur.nk AS cnk, cur.cents AS cc, cur.seg AS cs, " +
+      "cur.vf AS cvf, cur.vt AS cvt, " +
+      "chg.k AS gk, chg.c_name AS gn, chg.nk AS gnk, chg.cents AS gc, chg.seg AS gs, " +
+      "(cur.cents IS DISTINCT FROM chg.cents OR cur.seg IS DISTINCT FROM chg.seg) AS differs " +
+      "FROM cur FULL OUTER JOIN chg ON cur.k = chg.k), " +
+      "merged AS (" +
+      "SELECT k AS c_custkey, c_name, nk AS c_nationkey, cents, seg AS c_mktsegment, vf AS valid_from, vt AS valid_to, cur AS is_current FROM hist " +
+      "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
+      "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 2, FALSE FROM j WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
+      "UNION ALL SELECT gk, gn, gnk, gc, gs, 2, CAST(NULL AS BIGINT), TRUE FROM j WHERE gk IS NOT NULL AND (ck IS NULL OR differs))"
+
+  val scd2ApplyOracle: Option[String] =
+    Some(s"WITH $scd2MergedCtes SELECT * FROM merged ORDER BY c_custkey, valid_from")
+
   /** The version-2 change batch: real segment changes (%7==2), no-op
     * re-sends (%7==3), and first-version inserts (%13==5, shifted keys).
     */

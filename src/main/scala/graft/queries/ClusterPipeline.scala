@@ -415,28 +415,32 @@ private[queries] object ClusterPipelineQueries {
           "c_custkey", tracked = Seq("cents", "c_mktsegment"),
           batchVersion = 2L)
         .orderBy("c_custkey", "valid_from"),
-      Some("WITH base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
-        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
-        "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +
-        "CAST(0 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS vt, FALSE AS cur FROM base WHERE k % 9 = 4), " +
-        "cur AS (SELECT k, c_name, nk, cents, seg, " +
-        "CAST(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS vf, " +
-        "CAST(NULL AS BIGINT) AS vt, TRUE AS cur FROM base), " +
-        "chg AS (SELECT k, c_name, nk, cents, " +
-        "CASE WHEN k % 7 = 2 THEN seg || '_V2' ELSE seg END AS seg FROM base WHERE k % 7 IN (2, 3) " +
-        "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
-        "FROM base WHERE k % 13 = 5), " +
-        "j AS (SELECT cur.k AS ck, cur.c_name AS cn, cur.nk AS cnk, cur.cents AS cc, cur.seg AS cs, " +
-        "cur.vf AS cvf, cur.vt AS cvt, " +
-        "chg.k AS gk, chg.c_name AS gn, chg.nk AS gnk, chg.cents AS gc, chg.seg AS gs, " +
-        "(cur.cents IS DISTINCT FROM chg.cents OR cur.seg IS DISTINCT FROM chg.seg) AS differs " +
-        "FROM cur FULL OUTER JOIN chg ON cur.k = chg.k), " +
-        "merged AS (" +
-        "SELECT k AS c_custkey, c_name, nk AS c_nationkey, cents, seg AS c_mktsegment, vf AS valid_from, vt AS valid_to, cur AS is_current FROM hist " +
-        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
-        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 2, FALSE FROM j WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
-        "UNION ALL SELECT gk, gn, gnk, gc, gs, 2, CAST(NULL AS BIGINT), TRUE FROM j WHERE gk IS NOT NULL AND (ck IS NULL OR differs)) " +
-        "SELECT * FROM merged ORDER BY c_custkey, valid_from")),
+      scd2ApplyOracle),
+
+    // Point-in-time dimension reads ([[graft.operators.Scd2.asOf]]) —
+    // the payoff of keeping the history: the POST-batch dimension read
+    // AS OF version 0 reproduces the pre-batch state exactly (closed
+    // versions stay visible below their valid_to), and AS OF version 2
+    // reads the post-batch current set. Both reads union into one
+    // result tagged by as_of; a pure filter per read, no join.
+    Q("scd2_as_of",
+      (s, d) => {
+        val merged = graft.operators.Scd2(scd2Dim0(s, d), scd2Batch2(s, d),
+          "c_custkey", tracked = Seq("cents", "c_mktsegment"),
+          batchVersion = 2L).localCheckpoint()
+        val at0 = graft.operators.Scd2.asOf(merged, 0L)
+          .withColumn("as_of", lit(0L))
+        val at2 = graft.operators.Scd2.asOf(merged, 2L)
+          .withColumn("as_of", lit(2L))
+        at0.unionByName(at2).orderBy("as_of", "c_custkey", "valid_from")
+      },
+      Some(s"WITH $scd2MergedCtes, " +
+        "r0 AS (SELECT c_custkey, c_name, c_nationkey, cents, c_mktsegment, valid_from, valid_to, " +
+        "CAST(0 AS BIGINT) AS as_of FROM merged WHERE valid_from <= 0 AND (valid_to IS NULL OR valid_to > 0)), " +
+        "r2 AS (SELECT c_custkey, c_name, c_nationkey, cents, c_mktsegment, valid_from, valid_to, " +
+        "CAST(2 AS BIGINT) AS as_of FROM merged WHERE valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)) " +
+        "SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r2) " +
+        "ORDER BY as_of, c_custkey, valid_from")),
 
     // Incremental materialized-view maintenance ([[graft.operators.Mv]],
     // the Z-set/DBSP weighted-changelog formulation): a per-customer

@@ -473,32 +473,12 @@ private[queries] object StreamingQueries {
             "c_custkey", Seq("cents", "c_mktsegment"))
           .orderBy("c_custkey", "valid_from")
       },
-      Some("WITH base AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nk, " +
-        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment AS seg FROM customer), " +
-        "hist AS (SELECT k, c_name, nk, cents - 1000 AS cents, 'LEGACY' AS seg, " +
-        "CAST(0 AS BIGINT) AS vf, CAST(1 AS BIGINT) AS vt, FALSE AS cur FROM base WHERE k % 9 = 4), " +
-        "cur AS (SELECT k, c_name, nk, cents, seg, " +
-        "CAST(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS vf, " +
-        "CAST(NULL AS BIGINT) AS vt, TRUE AS cur FROM base), " +
-        "chg AS (SELECT k, c_name, nk, cents, " +
-        "CASE WHEN k % 7 = 2 THEN seg || '_V2' ELSE seg END AS seg FROM base WHERE k % 7 IN (2, 3) " +
-        "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
-        "FROM base WHERE k % 13 = 5), " +
-        "j AS (SELECT cur.k AS ck, cur.c_name AS cn, cur.nk AS cnk, cur.cents AS cc, cur.seg AS cs, " +
-        "cur.vf AS cvf, cur.vt AS cvt, " +
-        "chg.k AS gk, chg.c_name AS gn, chg.nk AS gnk, chg.cents AS gc, chg.seg AS gs, " +
-        "(cur.cents IS DISTINCT FROM chg.cents OR cur.seg IS DISTINCT FROM chg.seg) AS differs " +
-        "FROM cur FULL OUTER JOIN chg ON cur.k = chg.k), " +
-        "m1 AS (" +
-        "SELECT k AS c_custkey, c_name, nk AS c_nationkey, cents, seg AS c_mktsegment, vf AS valid_from, vt AS valid_to, cur AS is_current FROM hist " +
-        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, cvt, TRUE FROM j WHERE ck IS NOT NULL AND (gk IS NULL OR NOT differs) " +
-        "UNION ALL SELECT ck, cn, cnk, cc, cs, cvf, 2, FALSE FROM j WHERE ck IS NOT NULL AND gk IS NOT NULL AND differs " +
-        "UNION ALL SELECT gk, gn, gnk, gc, gs, 2, CAST(NULL AS BIGINT), TRUE FROM j WHERE gk IS NOT NULL AND (ck IS NULL OR differs)), " +
+      Some(s"WITH $scd2MergedCtes, " +
         "b3 AS (SELECT k, c_name, nk, cents, 'W3_' || seg AS seg FROM base WHERE k % 11 = 6 " +
         "UNION ALL SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, 5000, 'NEW' " +
         "FROM base WHERE k % 13 = 5 AND k % 3 = 0), " +
-        "c1 AS (SELECT * FROM m1 WHERE is_current), " +
-        "h1 AS (SELECT * FROM m1 WHERE NOT is_current), " +
+        "c1 AS (SELECT * FROM merged WHERE is_current), " +
+        "h1 AS (SELECT * FROM merged WHERE NOT is_current), " +
         "j2 AS (SELECT c1.c_custkey AS ck, c1.c_name AS cn, c1.c_nationkey AS cnk, c1.cents AS cc, " +
         "c1.c_mktsegment AS cs, c1.valid_from AS cvf, c1.valid_to AS cvt, " +
         "b3.k AS gk, b3.c_name AS gn, b3.nk AS gnk, b3.cents AS gc, b3.seg AS gs, " +

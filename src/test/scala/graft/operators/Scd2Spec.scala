@@ -88,6 +88,23 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("asOf reads the exact state visible at any version") {
+    val d0 = dim((1L, "A", Long.box(1L), 0L, null, true))
+    val d1 = Scd2(d0, chg((1L, "B", Long.box(1L)), (2L, "N", Long.box(2L))),
+      "k", Seq("seg", "score"), 5L)
+    def read(v: Long) = Scd2.asOf(d1, v).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // before the batch: only key 1's original version is visible
+    assert(read(0L) === Seq((1L, "A")))
+    assert(read(4L) === Seq((1L, "A")))
+    // at and after the batch stamp: the new versions
+    assert(read(5L) === Seq((1L, "B"), (2L, "N")))
+    assert(read(99L) === Seq((1L, "B"), (2L, "N")))
+    // asOf of the current state equals the is_current slice
+    assert(Scd2.asOf(d1, 99L).count() ===
+      d1.filter(col("is_current")).count())
+  }
+
   test("every join is key-equi (Catalyst may split the full-outer; no cartesian)") {
     // The authored plan is ONE full-outer join; the optimizer pushes the
     // three branch predicates through it and specializes into ≤3 joins

@@ -40,7 +40,7 @@ class CatalogSpec extends SparkSpec {
   test("query count matches docs (README / COVERAGE.md cite this number)") {
     // Update README.md and COVERAGE.md when this changes — the docs cite
     // this spec as the authoritative count so they can't silently drift.
-    assert(Catalog.all.size === 262, s"catalog has ${Catalog.all.size} queries")
+    assert(Catalog.all.size === 263, s"catalog has ${Catalog.all.size} queries")
   }
 
   test("catalog names are unique (a dup would silently shadow in the Map)") {
