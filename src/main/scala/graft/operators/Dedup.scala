@@ -473,11 +473,12 @@ object Dedup {
     *
     * Output: (id_a < id_b, shared, n_a, n_b) for qualifying pairs.
     *
-    * MEMORY ENVELOPE (the three `localCheckpoint`s below): `toks` is
-    * one row per distinct (doc, shingle) — O(corpus tokens); `packed`
-    * re-materializes the same volume as one sorted array per doc; and
-    * `ranked` adds a (df, rk) pair per token row — together roughly
-    * 3× the distinct-shingle volume held on executor block storage
+    * MEMORY ENVELOPE (the four `localCheckpoint`s below): `toks` is
+    * one row per distinct (doc, shingle) — O(corpus tokens); `tokIds`
+    * re-materializes it with the dictionary id; `packed` holds one
+    * sorted id array per doc; and `ranked` adds a (nd, rk) pair per
+    * token row — together roughly 4× the distinct-shingle volume held
+    * on executor block storage
     * for the query's lifetime. That is what makes the prefix filter
     * pay (each checkpoint is read 2-3×; unmaterialized, the shingle
     * explode re-runs per consumer), but at corpus scales beyond the
@@ -491,34 +492,75 @@ object Dedup {
     // materialized once: document frequencies, the ranked index, and
     // the packed per-doc sets all read the shingle rows
     val toks = shingleRows(df, idCol, textCol).distinct().localCheckpoint()
-    // one row per doc: the sorted shingle array + its size — the
+    // Dictionary-encode shingles to LONG ids (round-17 measured fix: the
+    // verification stage spent ~80% of the query hashing ~100-element
+    // STRING arrays through array_intersect for every candidate pair —
+    // long-array intersects and long join keys cut that per-pair cost).
+    // monotonically_increasing_id is nondeterministic per evaluation, so
+    // the id assignment is PINNED by the localCheckpoint below — every
+    // consumer (packed arrays, ranked index, candidate join) reads the
+    // same tid↔sh bijection, and the RESULT (overlap counts) is invariant
+    // to which bijection a run drew.
+    val dict = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+    val tokIds = toks.join(dict, "sh")
+      .select(col(idCol), col("tid"), col("df"), col("sh"))
+      .localCheckpoint()
+    // one row per doc: the sorted shingle-id array + its size — the
     // verification representation (map-side array_intersect per
     // candidate pair; a token-level re-join would pay
     // |candidates|·|doc| rows)
-    val packed = toks.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("sh"))).as("__toks"),
+    val packed = tokIds.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("tid"))).as("__toks"),
         count(lit(1)).as("nd"))
       .localCheckpoint()
     val sizes = packed.select(col(idCol), col("nd"))
-    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfreq, "sh").join(sizes, idCol)
+    val ranked = tokIds.join(sizes, idCol)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh"))))
+      .select(col(idCol), col("tid"), col("nd"), col("rk"))
       .localCheckpoint()
     // prefix length |A| − ⌈τ|A|⌉ + 1, with ⌈τ·nd⌉ = (nd·num + den−1) div den
     val pref = ranked.filter(col("rk") <=
       col("nd") - expr(s"(nd * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-    val a = pref.select(col(idCol).as("id_a"), col("sh"), col("nd").as("na"))
-    val b = ranked.select(col(idCol).as("id_b"), col("sh"), col("nd").as("nb"))
+    val a = pref.select(col(idCol).as("id_a"), col("tid"),
+      col("nd").as("na"), col("rk").as("ra"))
     val num2 = tauNum.toLong * tauNum
     val den2 = tauDen.toLong * tauDen
+    // PPJoin prefix-prefix (Xiao, Wang, Lin & Yu, WWW 2008, Lemma 1): the
+    // probe side also indexes only a prefix — length |B| − ⌈τ²·|B|⌉ + 1 —
+    // instead of the full token list. Lossless for qualifying pairs with
+    // (|A|, idA) ≤ (|B|, idB): the true overlap t = ⌈τ·√(|A||B|)⌉ satisfies
+    // t ≥ ⌈τ²·|B|⌉ (τ√(|A||B|) ≥ τ²·|B| ⟺ |A| ≥ τ²·|B|, the size-filter
+    // condition below, itself implied by shared ≤ |A|), and Lemma 1 says the
+    // SMALLEST common token of any pair with overlap ≥ t sits inside both
+    // (len − t + 1)-prefixes under one global order: its t − 1 larger common
+    // successors force its position ≤ len − t + 1 in each list. Pairs
+    // outside the size filter are the only ones a τ²-prefix could lose, and
+    // those cannot reach τ anyway. At τ = 9/10 this indexes ~19% of B's
+    // tokens instead of 100% — the candidate equi-join shrinks ~5× with a
+    // provably identical verified pair set (oracle = semantic all-pairs).
+    val bPref = ranked.filter(col("rk") <=
+      col("nd") - expr(s"(nd * $num2 + ${den2 - 1}) div $den2") + 1)
+    val b = bPref.select(col(idCol).as("id_b"), col("tid"),
+      col("nd").as("nb"), col("rk").as("rb"))
     // size filter (the paper's second prune): with na <= nb,
     // cos <= sqrt(na/nb), so na·den² >= nb·num² is NECESSARY for
-    // cos >= τ — pairs of very different sizes never become candidates
-    val cand = a.join(b, "sh")
+    // cos >= τ — pairs of very different sizes never become candidates.
+    // POSITIONAL filter (PPJoin Lemma 2): a qualifying pair's SMALLEST
+    // common token (which Lemma 1 places inside both prefixes, so it is
+    // one of the joined rows) has no common token before it in either
+    // sorted list — overlap ≤ u = min(na − ra, nb − rb) + 1 on that row,
+    // so u²·den² ≥ na·nb·num² must hold for at least one joined row.
+    // Rows where the bound fails are pruned BEFORE the distinct and the
+    // array-intersect verification; the minimal-token row of any true
+    // pair always survives, so the pair set is unchanged.
+    val u = least(col("na") - col("ra"), col("nb") - col("rb")) + 1
+    val cand = a.join(b, "tid")
       .filter(col("na") < col("nb") ||
         (col("na") === col("nb") && col("id_a") < col("id_b")))
       .filter(col("na") * den2 >= col("nb") * num2)
+      .filter(u * u * den2 >= col("na") * col("nb") * num2)
       .select("id_a", "id_b").distinct()
     cand
       .join(packed.select(col(idCol).as("id_a"),

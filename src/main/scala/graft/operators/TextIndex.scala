@@ -175,14 +175,22 @@ object TextIndex {
           (col("tot") + col("btot")).as("tot"))
         .localCheckpoint(),
       n.stats)
+    // re-ingest clears a tombstone — but rewrite the table only when a
+    // tombstone actually matches the batch (one limit-1 probe on the
+    // bounded table vs a checkpoint + rewrite per appended batch; the
+    // streaming drains' add/del sets are disjoint by construction, so
+    // they always skip — the IvfIndex.appendBatch rationale)
     val tombT = tombstoneTable(n)
-    if (spark.catalog.tableExists(tombT))
-      Warehouse.writeTable(
-        spark.table(tombT)
-          .join(docs.select(col(idCol).as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint(),
-        tombT)
+    if (spark.catalog.tableExists(tombT)) {
+      val batchIds = docs.select(col(idCol).as("doc_id")).distinct()
+      val overlap = spark.table(tombT).join(batchIds, Seq("doc_id"), "left_semi")
+      if (!overlap.isEmpty)
+        Warehouse.writeTable(
+          spark.table(tombT)
+            .join(batchIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint(),
+          tombT)
+    }
   }
 
   /** Delete documents by id — the takedown path: ids land in a bounded
@@ -206,12 +214,17 @@ object TextIndex {
     */
   def delete(spark: SparkSession, n: Names, ids: DataFrame): Unit = {
     val tombT = tombstoneTable(n)
-    val add = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-    val merged =
-      if (spark.catalog.tableExists(tombT))
-        spark.table(tombT).unionByName(add).distinct().localCheckpoint()
-      else add.distinct().localCheckpoint()
-    Warehouse.writeTable(merged, tombT)
+    val add = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    // APPEND only the genuinely new ids rather than read + union +
+    // distinct + rewrite (the IvfIndex.deleteFromDf rationale): the
+    // anti-join keeps the table an exact id SET, the checkpoint cuts
+    // lineage so the append never reads the table it inserts into, and
+    // a fully-redundant delete skips the write outright.
+    if (spark.catalog.tableExists(tombT)) {
+      val fresh = add.join(spark.table(tombT), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) Warehouse.appendInto(fresh, tombT)
+    } else Warehouse.writeTable(add, tombT)
   }
 
   /** Fold the tombstones into the physical layout: rewrite ONLY the

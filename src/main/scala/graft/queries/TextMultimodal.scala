@@ -651,9 +651,17 @@ private[queries] object TextMultimodalQueries {
     // DOUBLE)/3, not DuckDB's decimal 1.0/3).
     Q("ccnet_buckets",
       (s, d) => {
+        // Materialized once per invocation (round-17 measured fix): the
+        // two-level refinement chain + final ranking + the bucketing join
+        // each re-evaluate `scored`, and unmaterialized that re-runs the
+        // full bigram-LM scoring pipeline (explode + 3 count aggregates +
+        // fixed-point log per bigram) FOUR times per query. localCheckpoint
+        // recomputes from the parquet inputs on every invocation — nothing
+        // is memoized across runs.
         val scored = lmInterpDocScores(s, d)
           .select(col("doc_id"), col("avg_fp20"))
           .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+          .localCheckpoint()
         val th = graft.operators.Percentiles.exactRefinedChain(
           scored, Seq("lang"), "avg_fp20",
           Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
@@ -1900,8 +1908,12 @@ private[queries] object TextMultimodalQueries {
     Q("text_sentences",
       (s, d) => {
         import graft.operators.Punkt
+        // materialized once per invocation: the trainer and the segmenter
+        // each re-evaluate the derived token stream (posexplode + two
+        // doc_id windows) — checkpointing halves the token-stream passes;
+        // recomputed from parquet on every invocation, nothing memoized
         val toks = Punkt.derivedTokens(
-          Tables.documents(s, d).select("doc_id", "text"))
+          Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
         Punkt.sentenceStats(toks,
           Punkt.trainAbbrevs(toks).filter(col("is_abbrev")))
           .orderBy("doc_id")
@@ -1915,8 +1927,9 @@ private[queries] object TextMultimodalQueries {
     Q("text_punkt_starters",
       (s, d) => {
         import graft.operators.Punkt
+        // one materialization feeds both trainers (the text_sentences note)
         val toks = Punkt.derivedTokens(
-          Tables.documents(s, d).select("doc_id", "text"))
+          Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
         Punkt.trainStarters(toks,
           Punkt.trainAbbrevs(toks).filter(col("is_abbrev")))
           .orderBy("ty")
@@ -1928,8 +1941,10 @@ private[queries] object TextMultimodalQueries {
     Q("text_sentences_full",
       (s, d) => {
         import graft.operators.Punkt
+        // one materialization feeds both trainers AND the segmenter —
+        // three token-stream passes become one (the text_sentences note)
         val toks = Punkt.derivedTokens(
-          Tables.documents(s, d).select("doc_id", "text"))
+          Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
         val ab = Punkt.trainAbbrevs(toks).filter(col("is_abbrev"))
         Punkt.sentenceStatsFull(toks, ab,
           Punkt.trainStarters(toks, ab).filter(col("is_starter")))

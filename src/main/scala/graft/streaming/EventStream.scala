@@ -394,7 +394,9 @@ object EventStream {
     try {
       val old = emb.filter(col(idCol) < splitId)
       val k = math.max(8L, (old.count() + 511) / 512).toInt
-      IvfIndex.build(old, idCol, vecCol, n, k = k)
+      // build returns the model; every micro-batch appends against it —
+      // pass it through rather than re-reading the model table per batch
+      val cents = IvfIndex.build(old, idCol, vecCol, n, k = k)
       val newRows = emb.filter(col(idCol) >= splitId).select(col(idCol), col(vecCol))
       val feed = base.resolve("feed").toString
       newRows.repartition(nFiles).write.mode("overwrite").parquet(feed)
@@ -402,7 +404,7 @@ object EventStream {
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          IvfIndex.appendBatch(spark, n, batch, idCol, vecCol)
+          IvfIndex.appendBatch(spark, n, batch, idCol, vecCol, Some(cents))
         }
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
@@ -504,7 +506,9 @@ object EventStream {
     try {
       val old = emb.filter(col(idCol) < splitId)
       val k0 = math.max(8L, (old.count() + 511) / 512).toInt
-      IvfIndex.build(old, idCol, vecCol, n, k = k0)
+      // keep the built model for the per-batch appends (bounded k×dim
+      // driver state — the appendBatch re-read it per micro-batch)
+      val cents = IvfIndex.build(old, idCol, vecCol, n, k = k0)
       // one maintenance stream: adds carry their vectors (the ingest
       // shape), deletes are id events; repartition mixes both kinds
       // into every feed file so batches genuinely interleave
@@ -521,7 +525,7 @@ object EventStream {
           val b = batch.localCheckpoint()
           val adds = b.filter(col("op") === "add").drop("op")
           if (!adds.isEmpty)
-            IvfIndex.appendBatch(spark, n, adds, idCol, vecCol)
+            IvfIndex.appendBatch(spark, n, adds, idCol, vecCol, Some(cents))
           val ids = b.filter(col("op") === "del")
             .select(col(idCol)).collect().map(_.getLong(0)).toSeq
           if (ids.nonEmpty) IvfIndex.delete(spark, n, idCol, ids)
@@ -568,8 +572,14 @@ object EventStream {
     try {
       val old = emb.filter(col(idCol) < splitId)
       val k0 = math.max(8L, (old.count() + 511) / 512).toInt
+      // train the two bounded models here and hand them to the build AND
+      // to every micro-batch append — the per-batch model-table re-reads
+      // (k-row coarse + m×pqK codebooks) were pure repeat cost
+      val cents = graft.operators.Ivf.train(old, idCol, vecCol, k = k0, iters = 2)
+      val books = graft.operators.Pq.train(old, idCol, vecCol, dim, m, pqK, 2)
       IvfIndex.buildPq(old, idCol, vecCol, n, k = k0,
-        dim = dim, m = m, pqK = pqK)
+        dim = dim, m = m, pqK = pqK,
+        coarseModel = Some(cents), books = Some(books))
       val events = emb.filter(col(idCol) >= splitId)
           .select(col(idCol), col(vecCol), lit("add").as("op"))
         .unionByName(emb.filter(col(idCol).isInCollection(deleteIds))
@@ -583,7 +593,8 @@ object EventStream {
           val b = batch.localCheckpoint()
           val adds = b.filter(col("op") === "add").drop("op")
           if (!adds.isEmpty)
-            IvfIndex.appendBatchPq(spark, n, adds, idCol, vecCol)
+            IvfIndex.appendBatchPq(spark, n, adds, idCol, vecCol,
+              Some((cents, books)))
           val ids = b.filter(col("op") === "del")
             .select(col(idCol)).collect().map(_.getLong(0)).toSeq
           if (ids.nonEmpty) IvfIndex.delete(spark, n, idCol, ids)
