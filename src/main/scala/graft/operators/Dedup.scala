@@ -95,8 +95,14 @@ object Dedup {
   def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2 — 1 flags every span")
+    // xxhash64, not md5 (round-17 §2.3 "shuffle fewer bytes"): the span
+    // key is INTERNAL — never in the output, which carries only counts —
+    // so the cheap 8-byte key replaces the 32-char hex string in both
+    // aggregations and the flag join. (The oracle twin keys on md5; the
+    // grouping is identical under any injective-on-this-corpus hash, and
+    // the hash match at both driver scales proves no collision differs.)
     val grams = ngramRows(df, idCol, textCol, n)
-      .select(col(idCol), md5(col("gram")).as("__h"))
+      .select(col(idCol), xxhash64(col("gram")).as("__h"))
     val flagged = grams.distinct()
       .groupBy("__h").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -135,8 +141,11 @@ object Dedup {
       posexplode(Text.tokens(col(textCol))).as(Seq("pos", "w")))
     // materialized once: both the flag aggregation and the coverage
     // join read the gram rows
+    // internal-only span key: xxhash64 for the repeatedNgramStats reason
+    // (8-byte key through the checkpoint, the flag agg, and the coverage
+    // join instead of a 32-char hex string; output exposes no hash)
     val grams = ngramRowsPos(df, idCol, textCol, n)
-      .select(col(idCol), col("pos"), md5(col("gram")).as("__h"))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("__h"))
       .localCheckpoint()
     val flagged = grams.select(col(idCol), col("__h")).distinct()
       .groupBy("__h")
@@ -369,11 +378,19 @@ object Dedup {
       scopeCol: String): DataFrame = {
     // Materialized once: referenced by both self-join sides and the
     // per-doc-count branch (3 plan references → 3 recomputes otherwise).
-    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct().localCheckpoint()
+    // The (shingle, scope) join key is folded into ONE xxhash64 long
+    // BEFORE the checkpoint (round-17 §2.3 "shuffle fewer bytes"): the
+    // self-join shuffles and sort-compares an 8-byte key instead of the
+    // shingle string + scope string — the key is internal (output is
+    // ids + jaccard), grouping is identical under any corpus-injective
+    // hash, and the oracle hash-match at both driver scales proves it.
+    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct()
+      .select(col(idCol), xxhash64(col("sh"), col(scopeCol)).as("__k"))
+      .localCheckpoint()
     val n = w.groupBy(idCol).agg(count(lit(1)).as("nd"))
     val p = w.as("a")
       .join(w.as("b"),
-        col(s"a.sh") === col(s"b.sh") && col(s"a.$scopeCol") === col(s"b.$scopeCol")
+        col("a.__k") === col("b.__k")
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("shared"))

@@ -41,11 +41,20 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       idCol: String = "id"): DataFrame = {
+    // Materialized once (round-17 measured fix): `canon` is read by the
+    // degree aggregation AND both sides of the degree-attach joins, and
+    // `oriented` below by three join sides — unmaterialized, Catalyst
+    // re-inlines the whole upstream pipeline (here: the caller's edge
+    // self-join) into every reference, which planned to a 1015-operator
+    // tree whose subtrees re-ran per reference. The checkpoint holds
+    // one row per edge — the same O(m) executor-storage envelope as the
+    // Components per-round materialization.
     val canon = edges
       .filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+      .localCheckpoint()
 
     // Undirected degree over the canonical edge set.
     val deg = canon.select(col("u").as("id"))
@@ -68,6 +77,7 @@ object Graph {
           .otherwise(col("u")).as("dst"),
         when(lt(col("du"), col("u"), col("dv"), col("v")), col("dv"))
           .otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
 
     // Wedges from each apex: unordered head pairs, emitted once with
     // heads in (deg, id) order — the closing edge, if present, is
@@ -80,9 +90,11 @@ object Graph {
     val triangles = wedges.join(closing, Seq("a", "b"))
       .select(col("src").as("x"), col("a").as("y"), col("b").as("z"))
 
-    triangles.select(col("x").as(idCol))
-      .unionByName(triangles.select(col("y").as(idCol)))
-      .unionByName(triangles.select(col("z").as(idCol)))
+    // explode, not a 3-way union: a union re-evaluates the triangle
+    // join once per branch (and triples the plan); the explode emits
+    // the three corners from ONE evaluation — same rows, same counts
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as(idCol))
       .groupBy(idCol).agg(count(lit(1)).as("tri"))
   }
 }

@@ -1565,13 +1565,22 @@ private[queries] object TrainingQueries {
         // sequence(1, 0) descends instead of being empty (DuckDB's
         // generate_series(1, 0) is empty — this filter keeps the faces
         // aligned and slice() in-domain).
+        // xxhash64, not md5 (round-17): the shingle key is internal —
+        // the output carries only counts — so the 8-byte key replaces
+        // the 32-char hex string through the distinct, the totals agg,
+        // and the pair self-join (the oracle keys on md5; identical
+        // grouping under any corpus-injective hash, proven by the hash
+        // match at both driver scales). localCheckpoint: three
+        // consumers (totals + both self-join sides) would otherwise
+        // re-run the tokenize+explode per reference.
         val sh = Tables.documents(s, d)
           .select(col("source"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 8)
           .select(col("source"),
             explode(expr("transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
-          .select(col("source"), md5(col("g")).as("h"))
+          .select(col("source"), xxhash64(col("g")).as("h"))
           .distinct()
+          .localCheckpoint()
         val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val a = sh.select(col("source").as("src_a"), col("h"))
         val b = sh.select(col("source").as("src_b"), col("h"))
