@@ -378,19 +378,20 @@ object Dedup {
       scopeCol: String): DataFrame = {
     // Materialized once: referenced by both self-join sides and the
     // per-doc-count branch (3 plan references → 3 recomputes otherwise).
-    // The (shingle, scope) join key is folded into ONE xxhash64 long
-    // BEFORE the checkpoint (round-17 §2.3 "shuffle fewer bytes"): the
-    // self-join shuffles and sort-compares an 8-byte key instead of the
-    // shingle string + scope string — the key is internal (output is
-    // ids + jaccard), grouping is identical under any corpus-injective
-    // hash, and the oracle hash-match at both driver scales proves it.
-    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct()
-      .select(col(idCol), xxhash64(col("sh"), col(scopeCol)).as("__k"))
-      .localCheckpoint()
+    // MEASURED round-17 non-change: folding (sh, scope) into one
+    // xxhash64 long key (the repeatedNgramStats treatment) regressed
+    // this query 2.8× at 100× scale (35.6 s → 100.1 s, paired same-data
+    // runs) — the join's cost is its OUTPUT volume (hot shingles fan
+    // out quadratically before the pair aggregation), and the narrower
+    // input rows dropped the shuffled partitions below AQE's
+    // skew-split thresholds, serializing exactly the partitions whose
+    // join output dominates. The string key stays: its wider rows keep
+    // the skew splitter engaged where it matters.
+    val w = shingleRows(df, idCol, textCol, Seq(scopeCol)).distinct().localCheckpoint()
     val n = w.groupBy(idCol).agg(count(lit(1)).as("nd"))
     val p = w.as("a")
       .join(w.as("b"),
-        col("a.__k") === col("b.__k")
+        col(s"a.sh") === col(s"b.sh") && col(s"a.$scopeCol") === col(s"b.$scopeCol")
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("shared"))

@@ -117,7 +117,9 @@ object IvfIndex {
         val remaining = spark.table(tombT)
           .join(batchIds, Seq(idCol), "left_anti")
           .localCheckpoint()
-        Warehouse.writeTable(remaining, tombT)
+        // in-place data rewrite: the table exists (the guard above), so
+        // skip writeTable's DROP + delete-location + CREATE churn
+        Warehouse.overwriteInto(remaining, tombT)
       }
     }
   }
@@ -559,7 +561,8 @@ object IvfIndex {
         val remaining = spark.table(tombT)
           .join(batchIds, Seq(idCol), "left_anti")
           .localCheckpoint()
-        Warehouse.writeTable(remaining, tombT)
+        // in-place data rewrite — the flat appendBatch rationale
+        Warehouse.overwriteInto(remaining, tombT)
       }
     }
   }

@@ -166,10 +166,13 @@ object TextIndex {
         docs.select((col(idCol).as("doc_id") +: payloadCols.map(col).toSeq): _*),
         "doc_id")
     Warehouse.appendInto(rows, n.postings, sortCols = Seq("term", "doc_id"))
-    // coalesce: see build — an empty batch must fold +0, not null
+    // coalesce: see build — an empty batch must fold +0, not null.
+    // overwriteInto, not writeTable: the stats table exists (build wrote
+    // it), so the fold replaces one data file in place instead of
+    // paying DROP + delete-location + CREATE per appended batch
     val bstat = dl.agg(count(lit(1)).as("bn"),
       coalesce(sum(col("dl")), lit(0L)).as("btot"))
-    Warehouse.writeTable(
+    Warehouse.overwriteInto(
       spark.table(n.stats).crossJoin(bstat)
         .select((col("n") + col("bn")).as("n"),
           (col("tot") + col("btot")).as("tot"))
@@ -185,7 +188,7 @@ object TextIndex {
       val batchIds = docs.select(col(idCol).as("doc_id")).distinct()
       val overlap = spark.table(tombT).join(batchIds, Seq("doc_id"), "left_semi")
       if (!overlap.isEmpty)
-        Warehouse.writeTable(
+        Warehouse.overwriteInto(
           spark.table(tombT)
             .join(batchIds, Seq("doc_id"), "left_anti")
             .localCheckpoint(),
@@ -274,7 +277,7 @@ object TextIndex {
       }
       spark.catalog.refreshTable(n.postings)
     }
-    Warehouse.writeTable(
+    Warehouse.overwriteInto(
       spark.table(n.stats).crossJoin(del)
         .select((col("n") - col("dn")).as("n"),
           (col("tot") - col("dtot")).as("tot"))

@@ -169,18 +169,19 @@ private[queries] object ClusterPipelineQueries {
         // totals are one linear partial-agg pass. The oracle computes the
         // unrestricted join — same values on candidate pairs, affordable
         // at oracle scale.
-        // the shingle is internal here (output = ids + counts), so it
-        // rides as an xxhash64 long through the checkpoint and both
-        // pair-attach joins instead of a string (round-17 §2.3; the
-        // oracle hash-match at both driver scales proves the grouping)
+        // MEASURED round-17 non-change: riding the shingle as an
+        // xxhash64 long through these joins (the repeatedNgramStats
+        // treatment) regressed this query 1.6× at 100× scale (33.6 s →
+        // 54.9 s, paired same-data runs) — the pair-attach joins'
+        // cost is their fan-out volume, and the narrower rows dropped
+        // the shuffle below AQE's skew-split thresholds (the
+        // ngramJaccard finding). The string shingle stays.
         val w = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
-          .distinct()
-          .select(col("doc_id"), xxhash64(col("sh")).as("__k"))
-          .localCheckpoint()
+          .distinct().localCheckpoint()
         val n = w.groupBy("doc_id").agg(count(lit(1)).as("nd"))
         val shared = pairs
-          .join(w.select(col("doc_id").as("id_a"), col("__k")), "id_a")
-          .join(w.select(col("doc_id").as("id_b"), col("__k")), Seq("id_b", "__k"))
+          .join(w.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(w.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
           .groupBy("id_a", "id_b")
           .agg(count(lit(1)).as("shared"))
         est

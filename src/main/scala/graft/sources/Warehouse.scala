@@ -119,6 +119,24 @@ object Warehouse {
     refresh(spark, table)
   }
 
+  /** Rewrite the DATA of an existing unpartitioned managed table without
+    * the DROP TABLE + delete-location + CREATE TABLE churn of
+    * [[writeTable]] — `INSERT OVERWRITE` replaces the data files under
+    * the same table definition in one write job (round-17: the per-batch
+    * stats folds and tombstone rewrites in the streaming index drains
+    * paid the full drop/create/refresh cycle per micro-batch).
+    * PRECONDITION: the table exists; callers that may create fall back
+    * to [[writeTable]]. As with writeTable, a frame derived FROM the
+    * target table must be checkpointed first.
+    */
+  def overwriteInto(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val cols = spark.table(table).columns
+    df.select(cols.map(col).toSeq: _*).write.mode("overwrite").insertInto(table)
+    refresh(spark, table)
+  }
+
   /** The session-wide FileStatusCache is keyed by PATH: if any earlier
     * query read a same-named table at this location, a rewrite would
     * otherwise serve the stale file list to the next scan

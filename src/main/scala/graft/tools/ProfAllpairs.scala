@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** One-off stage breakdown for dedup_allpairs_cosine (optimization round
   * 17): times each materialization and the candidate join separately so
-  * the optimization targets the stage that actually costs.
+  * the optimization targets the stage that actually costs. Mirrors the
+  * CURRENT Dedup.allPairsCosine stages (dictionary-encoded ids, PPJoin
+  * probe prefix, positional filter).
   * Usage: runMain graft.tools.ProfAllpairs <sfDir>
   */
 object ProfAllpairs {
@@ -37,18 +39,26 @@ object ProfAllpairs {
         val x = Dedup.shingleRows(df, "doc_id", "text").distinct().localCheckpoint()
         x.count(); x
       }
+      val tokIds = t("tokIds (dict join ckpt)") {
+        val dict = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+          .withColumn("tid", monotonically_increasing_id())
+        val x = toks.join(dict, "sh")
+          .select(col("doc_id"), col("tid"), col("df"), col("sh"))
+          .localCheckpoint()
+        x.count(); x
+      }
       val packed = t("packed (collect_list ckpt)") {
-        val x = toks.groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("sh"))).as("__toks"),
+        val x = tokIds.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("tid"))).as("__toks"),
             count(lit(1)).as("nd")).localCheckpoint()
         x.count(); x
       }
       val sizes = packed.select(col("doc_id"), col("nd"))
-      val ranked = t("ranked (df+rank ckpt)") {
-        val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-        val x = toks.join(dfreq, "sh").join(sizes, "doc_id")
+      val ranked = t("ranked (rank ckpt)") {
+        val x = tokIds.join(sizes, "doc_id")
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+          .select(col("doc_id"), col("tid"), col("nd"), col("rk"))
           .localCheckpoint()
         x.count(); x
       }
@@ -57,13 +67,17 @@ object ProfAllpairs {
         col("nd") - expr("(nd * 9 + 9) div 10") + 1)
       val bPref = ranked.filter(col("rk") <=
         col("nd") - expr(s"(nd * $num2 + ${den2 - 1}) div $den2") + 1)
-      val a = pref.select(col("doc_id").as("id_a"), col("sh"), col("nd").as("na"))
-      val b = bPref.select(col("doc_id").as("id_b"), col("sh"), col("nd").as("nb"))
-      val cand = t("cand join+distinct") {
-        val x = a.join(b, "sh")
+      val a = pref.select(col("doc_id").as("id_a"), col("tid"),
+        col("nd").as("na"), col("rk").as("ra"))
+      val b = bPref.select(col("doc_id").as("id_b"), col("tid"),
+        col("nd").as("nb"), col("rk").as("rb"))
+      val u = least(col("na") - col("ra"), col("nb") - col("rb")) + 1
+      val cand = t("cand join+posfilter+distinct") {
+        val x = a.join(b, "tid")
           .filter(col("na") < col("nb") ||
             (col("na") === col("nb") && col("id_a") < col("id_b")))
           .filter(col("na") * den2 >= col("nb") * num2)
+          .filter(u * u * den2 >= col("na") * col("nb") * num2)
           .select("id_a", "id_b").distinct().localCheckpoint()
         println(s"[prof] n_cand=${x.count()}")
         x
